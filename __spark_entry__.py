@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship query (TPC-H-style Q5 star join — scans,
+  broadcast dims, shuffle joins, grouped decimal-exact aggregation) on
+  the sf0.001 testdata.
+- ``queries()``: every implemented operator/query from SURVEY.md §2,
+  via the engine's registry (storm_bench_spark.plans.registry).
+- ``oracle_sql()``: the DuckDB twin for each query (same column names;
+  queries without an oracle are non-SQL-expressible and take the
+  rows-only check).
 """
 
 from __future__ import annotations
@@ -13,26 +16,38 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF_SMOKE_DIR = "/root/testdata/sf0.001"
+
+
+def _configure(spark: SparkSession) -> SparkSession:
+    # The driver owns the session; apply the engine's runtime-settable
+    # requirements (UTC determinism, nanos timestamps in the fixtures).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass  # static confs on an already-started session; loader copes
+    return spark
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from storm_bench_spark.plans.registry import all_queries
+
+    return all_queries()["tpch_q5"](_configure(spark), SF_SMOKE_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from storm_bench_spark.plans.registry import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        name: (lambda fn: (lambda spark, sf_dir: fn(_configure(spark), sf_dir)))(fn)
+        for name, fn in all_queries().items()
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from storm_bench_spark.plans.registry import all_oracles
+
+    return all_oracles()

@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is fully materialized through the noop sink (no driver
+collect, no column pruning shortcut — the executed plan is the plan a
+real sink would see).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from storm_bench_spark.plans.registry import all_queries
+from storm_bench_spark.session import get_spark
+
+HEADLINE = [
+    "wordcount",
+    "grep",
+    "rolling_count",
+    "rolling_hashtag_count",
+    "rolling_geo_count",
+    "rolling_sort",
+    "sol",
+    "pageview_count",
+    "dataclean",
+    "unique_visitor",
+    "rolling_latlong",
+    "rolling_flight_dist",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "dedup_exact",
+    "doc_fingerprint",
+    "token_count",
+    "quality_score",
+    "lang_id",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="sbs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = all_queries()
+    # JVM/codegen warmup on a trivial plan so q1 doesn't pay startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Text column functions: splitting, hashtags, token stats, language ID.
+
+Reference parity:
+- ``word_split``       ≙ WordSplit.splitSentence (WordSplit.java:32-37):
+                        whitespace split, one row per word.
+- ``extract_hashtags`` ≙ HashtagBolt (RollingHashtagCount.java:60-69):
+                        space-split words starting with '#' and longer
+                        than one char.
+
+The analysis functions (token_count, lang_scores, quality_features) are
+engine extensions for training-data pipelines; all are pure column
+expressions so they run inside whole-stage codegen at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WHITESPACE_RE = r"\s+"
+
+
+def word_split(col: Column | str) -> Column:
+    """Array of whitespace-separated words, empties dropped.
+
+    Java's ``String.split("\\s+")`` drops trailing empties but keeps a
+    leading empty token for leading whitespace; we normalize by dropping
+    all empties (documented semantic cleanup — counting "" as a word is
+    an artifact, not intent).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, WHITESPACE_RE), lambda w: w != F.lit(""))
+
+
+def extract_hashtags(text: Column | str) -> Column:
+    """Hashtags: words starting with '#', length > 1 (RollingHashtagCount.java:60-69)."""
+    words = word_split(text)
+    return F.filter(words, lambda w: w.startswith("#") & (F.length(w) > 1))
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(word_split(text))
+
+
+# Tiny per-language marker-word lists for the n-gram/stopword heuristic
+# language ID. Deterministic, portable to the SQL oracle.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es": ("el", "la", "los", "las", "es", "un", "una", "y"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "de"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),  # romanized placeholders
+}
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language marker-word hit counts over the whitespace tokens."""
+    words = word_split(text)
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        scores[lang] = F.size(F.filter(words, lambda w: F.array_contains(marker_arr, F.lower(w))))
+    return scores
+
+
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "of", "and", "to", "in", "is", "it", "for", "on", "with", "as",
+)
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Deterministic quality-scoring features for a document column.
+
+    n_tokens, mean token length, stopword ratio, punctuation ratio —
+    the standard cheap quality signals for corpus filtering.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    words = word_split(c)
+    n_tokens = F.size(words)
+    total_wlen = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return {
+        "n_tokens": n_tokens,
+        "avg_token_len": F.when(n_tokens > 0, total_wlen.cast("double") / n_tokens).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(F.lit(0.0)),
+        "punct_ratio": F.when(F.length(c) > 0, n_punct.cast("double") / F.length(c)).otherwise(F.lit(0.0)),
+    }

@@ -1,0 +1,192 @@
+"""Training-data pipeline operators over documents/embeddings.
+
+The operations a large-scale corpus pipeline needs beyond the
+reference's surface: dedup (exact → fingerprint), text analysis
+(token stats, language ID, quality scoring). Sketch-based dedup
+(MinHash/SimHash) and similarity search live in their own modules
+(operators/dedup.py, operators/similarity.py) and register here too.
+
+Integer outputs are always BIGINT and double outputs rounded, so the
+driver's schema/value-hash comparison is stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from storm_bench_spark.functions.hashing import hash64, hash64_sql
+from storm_bench_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    lang_scores,
+    quality_features,
+    word_split,
+)
+from storm_bench_spark.plans.registry import register
+from storm_bench_spark.sources.tables import load_table
+
+_WORDS_SQL = "list_filter(string_split_regex(text, '\\s+'), w -> w <> '')"
+
+
+# --- token counting ------------------------------------------------------
+
+@register(
+    "token_count",
+    oracle=f"""
+SELECT doc_id, CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_actual
+FROM documents
+""",
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + actual char length per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(word_split("text")).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+    )
+
+
+# --- exact dedup ---------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS text_hash, count(*) AS cnt, min(doc_id) AS keeper
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep the lowest doc_id.
+
+    At 100 TB this is the cheapest dedup pass: map-side partial
+    aggregation on md5(text) means the shuffle carries one row per
+    distinct document, not per input row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.count("*").alias("cnt"), F.min("doc_id").alias("keeper")
+    )
+
+
+# --- language ID (marker-word heuristic) ---------------------------------
+
+def _lang_id_sql() -> str:
+    score_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        score_cols.append(
+            f"CAST(len(list_filter({_WORDS_SQL}, w -> list_contains([{lst}], lower(w)))) AS BIGINT) AS s_{lang}"
+        )
+    langs = list(LANG_MARKERS)
+    # argmax with fixed priority order (first language wins ties)
+    cond = []
+    for i, lang in enumerate(langs[:-1]):
+        geqs = " AND ".join(f"s_{lang} >= s_{other}" for other in langs if other != lang)
+        cond.append(f"WHEN {geqs} THEN '{lang}'")
+    case = "CASE " + " ".join(cond) + f" ELSE '{langs[-1]}' END"
+    scores = ",\n       ".join(score_cols)
+    return f"""
+SELECT doc_id, {case} AS pred_lang, s_en
+FROM (SELECT doc_id, {scores} FROM documents)
+"""
+
+
+@register("lang_id", oracle=_lang_id_sql())
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: per-language stopword hit counts, argmax
+    with a fixed priority order for ties."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = lang_scores("text")
+    scored = docs.select(
+        "doc_id", *[c.cast("bigint").alias(f"s_{lang}") for lang, c in scores.items()]
+    )
+    langs = list(scores)
+    pred = None
+    for lang in langs[:-1]:
+        geqs = None
+        for other in langs:
+            if other == lang:
+                continue
+            cmp_ = F.col(f"s_{lang}") >= F.col(f"s_{other}")
+            geqs = cmp_ if geqs is None else (geqs & cmp_)
+        pred = F.when(geqs, F.lit(lang)) if pred is None else pred.when(geqs, F.lit(lang))
+    pred = pred.otherwise(F.lit(langs[-1]))
+    return scored.select("doc_id", pred.alias("pred_lang"), "s_en")
+
+
+# --- quality scoring -----------------------------------------------------
+
+_STOP_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+@register(
+    "quality_score",
+    oracle=f"""
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CASE WHEN n_tokens > 0 THEN CAST(total_wlen AS DOUBLE) / n_tokens ELSE 0e0 END, 6) AS avg_token_len,
+       round(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0e0 END, 6) AS stopword_ratio,
+       round(CASE WHEN length(text) > 0 THEN CAST(n_punct AS DOUBLE) / length(text) ELSE 0e0 END, 6) AS punct_ratio
+FROM (
+  SELECT doc_id, text,
+         len({_WORDS_SQL}) AS n_tokens,
+         CAST(coalesce(list_sum(list_transform({_WORDS_SQL}, w -> length(w))), 0) AS BIGINT) AS total_wlen,
+         len(list_filter({_WORDS_SQL}, w -> list_contains([{_STOP_LIST}], lower(w)))) AS n_stop,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+  FROM documents
+)
+""",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap corpus-quality signals: token count, mean token length,
+    stopword ratio, punctuation ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    qf = quality_features("text")
+    return docs.select(
+        "doc_id",
+        qf["n_tokens"].cast("bigint").alias("n_tokens"),
+        F.round(qf["avg_token_len"], 6).alias("avg_token_len"),
+        F.round(qf["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(qf["punct_ratio"], 6).alias("punct_ratio"),
+    )
+
+
+# --- document fingerprint (min-hash of word 3-gram shingles) -------------
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+WITH words AS (SELECT doc_id, text, {_WORDS_SQL} AS w FROM documents),
+shingles AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+  FROM words WHERE len(w) >= 3
+),
+fp AS (SELECT doc_id, min({hash64_sql('sh')}) AS fp FROM shingles GROUP BY doc_id)
+SELECT d.doc_id, coalesce(fp.fp, {hash64_sql('d.text')}) AS fp
+FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: min portable-hash over word 3-gram shingles
+    (k-min sketch with k=1); whole-text hash fallback for short docs.
+
+    Shingles are exploded then min-aggregated — partial aggregation
+    keeps the shuffle at one row per doc at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = word_split("text")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - 3, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.get(w, i), F.get(w, i + 1), F.get(w, i + 2)),
+    )
+    sh = docs.where(F.size(w) >= 3).select("doc_id", F.explode(shingles).alias("sh"))
+    fp = sh.groupBy("doc_id").agg(F.min(hash64("sh")).alias("fp"))
+    return (
+        docs.join(fp, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("fp"), hash64("text")).alias("fp"))
+    )

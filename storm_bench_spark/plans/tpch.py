@@ -1,0 +1,155 @@
+"""TPC-H-style headline queries over the testdata star schema.
+
+The reference has no joins beyond the flight-dist self-join, but the
+engine exposes Spark's full relational surface; these queries are the
+coverage proof (multi-way joins, broadcast dims, grouped decimal
+aggregation) and the bench workload alongside the topology queries.
+
+Determinism discipline for oracle parity: double measures are summed as
+``SUM(CAST(expr AS DECIMAL(18,6)))`` — the per-row double→decimal
+conversion is deterministic in both engines (binary doubles never hit a
+decimal rounding midpoint at scale 6) and decimal addition is
+associative, so Spark's partition-order-dependent summation cannot
+drift from DuckDB's sequential sum. Averages divide the exact decimal
+sum as double by the row count. Final casts pin a fixed decimal type on
+both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from storm_bench_spark.plans.registry import register
+from storm_bench_spark.sources.tables import load_table
+
+DEC_ROW = "decimal(18,6)"
+
+
+def _dsum(expr: Column) -> Column:
+    # Exact decimal summation (associative — immune to partition order),
+    # surfaced as DOUBLE: the decimal→double conversion of the one exact
+    # sum is deterministic, and pandas/DuckDB render it identically.
+    return F.sum(expr.cast(DEC_ROW)).cast("double")
+
+
+def _davg(expr: Column) -> Column:
+    return F.sum(expr.cast(DEC_ROW)).cast("double") / F.count("*")
+
+
+# --- Q1: pricing summary -------------------------------------------------
+
+@register(
+    "tpch_q1",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped pricing summary — partial aggregation + tiny shuffle (6 groups)."""
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-12-01"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+        _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        _dsum(disc_price).alias("sum_disc_price"),
+        _dsum(charge).alias("sum_charge"),
+        _davg(F.col("l_quantity")).alias("avg_qty"),
+        _davg(F.col("l_discount")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# --- Q3: shipping priority (top unshipped orders) ------------------------
+
+@register(
+    "tpch_q3",
+    oracle="""
+SELECT l_orderkey,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_sec
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join, grouped revenue, global top-10 (TakeOrderedAndProject)."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-01-01"))
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-01-01"))
+    joined = l.join(o, l.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    g = joined.groupBy("l_orderkey", "o_orderdate").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+    return (
+        g.select(
+            "l_orderkey", "revenue", F.col("o_orderdate").cast("long").alias("o_sec")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --- Q5: local supplier volume (6-way join) ------------------------------
+
+@register(
+    "tpch_q5",
+    oracle="""
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact lineitem joined to broadcast dimensions, revenue per nation.
+
+    region/nation/supplier are broadcast explicitly (allGrouping analog);
+    customer⋈orders⋈lineitem shuffle on keys with AQE free to re-plan.
+    """
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+    )
+    return joined.groupBy("n_name").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )

@@ -1,0 +1,40 @@
+"""Spark-vs-DuckDB comparison mirroring the driver's correctness gate:
+row count, schema (column names), and order-insensitive value equality
+with columns sorted by name."""
+
+from __future__ import annotations
+
+import math
+from decimal import Decimal
+
+import pandas as pd
+
+
+def _canon_cell(v):
+    if isinstance(v, Decimal):
+        return ("dec", str(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("f", "nan")
+        return ("f", repr(round(v, 9)))
+    if v is None:
+        return ("none", "")
+    return (type(v).__name__, str(v))
+
+
+def canonical_rows(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [tuple(_canon_cell(v) for v in row) for row in df[cols].itertuples(index=False, name=None)]
+    return sorted(rows)
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str = "") -> None:
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(duck_pdf), f"{name}: row count {len(spark_pdf)} vs {len(duck_pdf)}"
+    sp = canonical_rows(spark_pdf)
+    du = canonical_rows(duck_pdf)
+    if sp != du:
+        diffs = [(a, b) for a, b in zip(sp, du) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch; first diffs {diffs}")
