@@ -46,6 +46,7 @@ def _ensure_loaded() -> None:
     import storm_bench_spark.plans.topologies  # noqa: F401
     import storm_bench_spark.plans.tpch  # noqa: F401
     import storm_bench_spark.plans.pipeline  # noqa: F401
+    import storm_bench_spark.plans.streaming_queries  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:

