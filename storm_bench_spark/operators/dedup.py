@@ -1,0 +1,292 @@
+"""Near-duplicate detection operators: MinHash+LSH, SimHash, exact
+similarity join.
+
+Engine extensions for corpus curation at 100 TB (no reference analog —
+the closest relatives are the Distinct/SetReducer set aggregates). The
+design rule: candidate generation must be JOIN-ON-KEY (band digest,
+hamming nibble, shared rare shingle), never an O(n²) cross join; the
+expensive exact verification then runs only on candidates.
+
+Every step uses the portable md5-derived hash (functions/hashing.py) so
+a DuckDB oracle reproduces results bit-for-bit; each Spark builder here
+has a ``*_sql`` twin generating that oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from storm_bench_spark.functions.hashing import (
+    MERSENNE_31,
+    PERMS_64,
+    hash64,
+    hash64_sql,
+)
+from storm_bench_spark.functions.text import word_split
+
+# --- word 3-gram shingles (set semantics) --------------------------------
+
+WORDS_SQL = "list_filter(string_split_regex(text, '\\s+'), w -> w <> '')"
+SHINGLES_SQL = f"""
+SELECT doc_id, unnest(list_distinct(list_transform(
+         range(1, greatest(len(w) - 1, 1)),
+         i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS sh
+FROM (SELECT doc_id, {WORDS_SQL} AS w FROM documents)
+WHERE len(w) >= 3
+"""
+
+
+def shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh): DISTINCT word 3-gram shingles per document."""
+    w = word_split("text")
+    arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(w) - 3, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.get(w, i), F.get(w, i + 1), F.get(w, i + 2)),
+        )
+    )
+    return docs.where(F.size(w) >= 3).select("doc_id", F.explode(arr).alias("sh"))
+
+
+# --- MinHash signatures + LSH banding ------------------------------------
+
+N_PERMS = 32
+N_BANDS = 8
+ROWS_PER_BAND = N_PERMS // N_BANDS
+
+
+def minhash_signature(sh: DataFrame) -> DataFrame:
+    """One row per doc with columns mh0..mh31: min over shingles of each
+    universal-hash permutation. A single groupBy with 32 agg expressions
+    — no 32× row blowup, full map-side partial aggregation."""
+    h = (hash64("sh") % MERSENNE_31).alias("h")
+    hashed = sh.select("doc_id", h)
+    aggs = []
+    for i in range(N_PERMS):
+        a, b = PERMS_64[i]
+        aggs.append(F.min((F.col("h") * a + b) % MERSENNE_31).alias(f"mh{i}"))
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signature_sql() -> str:
+    h = f"({hash64_sql('sh')} % {MERSENNE_31})"
+    cols = []
+    for i in range(N_PERMS):
+        a, b = PERMS_64[i]
+        cols.append(f"min(({h} * {a} + {b}) % {MERSENNE_31}) AS mh{i}")
+    return f"SELECT doc_id, {', '.join(cols)} FROM sh GROUP BY doc_id"  # expects CTE sh
+
+
+def band_digests(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, digest): md5 of each band's signature slice —
+    the LSH bucket key. Equal digest ⇒ candidate pair."""
+    entries = []
+    for band in range(N_BANDS):
+        cols = [
+            F.col(f"mh{band * ROWS_PER_BAND + r}").cast("string")
+            for r in range(ROWS_PER_BAND)
+        ]
+        entries.append(
+            F.struct(F.lit(band).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("digest"))
+        )
+    return sig.select("doc_id", F.explode(F.array(*entries)).alias("e")).select(
+        "doc_id", F.col("e.band").alias("band"), F.col("e.digest").alias("digest")
+    )
+
+
+def band_digests_sql() -> str:
+    selects = []
+    for band in range(N_BANDS):
+        cols = ", ".join(
+            f"CAST(mh{band * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        )
+        selects.append(
+            f"SELECT doc_id, {band} AS band, md5(concat_ws(',', {cols})) AS digest FROM sig"
+        )
+    return " UNION ALL ".join(selects)
+
+
+def lsh_candidates(bands: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing at least one band bucket."""
+    l = bands.alias("l")
+    r = bands.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.digest") == F.col("r.digest"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+# --- exact Jaccard verification over candidate pairs ---------------------
+
+def verify_jaccard(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs; keeps j ≥ threshold.
+
+    Intersection via equi-join on shingles restricted to the candidate
+    pairs, sizes via a pre-aggregated per-doc count — all shuffles are
+    on keys, nothing quadratic.
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("b"), "sh")
+    inter = (
+        cands.join(sa, "a")
+        .join(sb, ["b", "sh"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("ix"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    j = F.col("ix").cast("double") / (F.col("na") + F.col("nb") - F.col("ix"))
+    return (
+        inter.join(na, "a")
+        .join(nb, "b")
+        .select("a", "b", F.round(j, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def verify_jaccard_sql(cands_cte: str, threshold: float) -> str:
+    """DuckDB twin of verify_jaccard; expects CTEs ``sh`` and ``{cands_cte}``."""
+    return f"""
+SELECT a, b, jaccard FROM (
+  SELECT i.a, i.b,
+         round(CAST(i.ix AS DOUBLE) / (sa.n + sb.n - i.ix), 6) AS jaccard
+  FROM (
+    SELECT c.a, c.b, count(*) AS ix
+    FROM {cands_cte} c
+    JOIN sh x ON x.doc_id = c.a
+    JOIN sh y ON y.doc_id = c.b AND y.sh = x.sh
+    GROUP BY c.a, c.b
+  ) i
+  JOIN (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id) sa ON sa.doc_id = i.a
+  JOIN (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id) sb ON sb.doc_id = i.b
+)
+WHERE jaccard >= {threshold}
+"""
+
+
+# --- SimHash (16-bit) ----------------------------------------------------
+
+N_SIMHASH_BITS = 16
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 16-bit SimHash over distinct word hashes.
+
+    Bit b of the fingerprint is the majority vote (+1/−1, ties → 0)
+    of bit b across token hashes — 16 sum expressions in one groupBy,
+    partial-aggregable like any sum.
+    """
+    w = word_split("text")
+    tokens = docs.select(
+        "doc_id", F.explode(F.array_distinct(w)).alias("tok")
+    ).select("doc_id", hash64("tok").alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(N_SIMHASH_BITS)
+    ]
+    votes = tokens.groupBy("doc_id").agg(*aggs)
+    fp = None
+    for b in range(N_SIMHASH_BITS):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return votes.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+
+def simhash_sql() -> str:
+    h = hash64_sql("tok")
+    votes = ", ".join(
+        f"sum(CASE WHEN (({h}) >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(N_SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(N_SIMHASH_BITS)
+    )
+    return f"""
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM (
+  SELECT doc_id, {votes}
+  FROM (SELECT doc_id, unnest(list_distinct({WORDS_SQL})) AS tok FROM documents)
+  GROUP BY doc_id
+)
+"""
+
+
+def simhash_near_pairs(fp: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ max_hamming via nibble-banding.
+
+    Pigeonhole: ≤3 differing bits across 4 nibbles ⇒ at least one
+    nibble identical, so joining on each nibble finds EVERY qualifying
+    pair (this banding is exact, not approximate). Candidates then
+    filter on true Hamming distance.
+    """
+    entries = [
+        F.struct(
+            F.lit(nib).alias("nib"),
+            F.shiftright(F.col("simhash"), nib * 4).bitwiseAND(F.lit(0xF)).alias("key"),
+        )
+        for nib in range(4)
+    ]
+    banded = fp.select(
+        "doc_id", "simhash", F.explode(F.array(*entries)).alias("e")
+    ).select("doc_id", "simhash", F.col("e.nib").alias("nib"), F.col("e.key").alias("key"))
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.nib") == F.col("r.nib"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            F.col("l.simhash").alias("fa"),
+            F.col("r.simhash").alias("fb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return cand.select("a", "b", hamming.cast("bigint").alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def simhash_near_pairs_sql(max_hamming: int = 3) -> str:
+    # The oracle can afford the O(n²) brute force — banding is exact,
+    # so brute force over the same fingerprints yields identical pairs.
+    return f"""
+SELECT l.doc_id AS a, r.doc_id AS b,
+       CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+FROM fp l JOIN fp r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
+"""
+
+
+# --- exact similarity join via DF-capped inverted index ------------------
+
+DF_CAP = 50  # prefix-filter: shingles in more docs than this don't key pairs
+
+
+def inverted_index_candidates(sh: DataFrame, df_cap: int = DF_CAP) -> DataFrame:
+    """Candidate pairs sharing at least one LOW-frequency shingle.
+
+    The document-frequency cap is the standard prefix-filter guard: a
+    shingle appearing in thousands of docs would alone generate a
+    quadratic pair blowup. Near-duplicate pairs share many shingles,
+    so requiring one shared *rare* shingle keeps recall at high
+    thresholds while bounding the join fan-out.
+    """
+    df_counts = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    rare = sh.join(df_counts.where(F.col("df") <= df_cap), "sh")
+    l = rare.select(F.col("doc_id").alias("a"), "sh")
+    r = rare.select(F.col("doc_id").alias("b"), "sh")
+    return l.join(r, ["sh"]).where(F.col("a") < F.col("b")).select("a", "b").distinct()

@@ -1,0 +1,197 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, both engine extensions for training-data pipelines:
+
+- Brute force: broadcast the (small) query set against the full vector
+  table — O(Q·N), scales with N because it's a broadcast nested loop
+  with no shuffle of the big side. The oracle-grade baseline.
+- LSH (random hyperplanes): deterministic ±1 hyperplanes derived from
+  the portable hash; vectors joining on their bucket signature. This is
+  the 100 TB path — candidate generation is an equi-join on the bucket
+  key, verification only touches bucket-mates.
+
+All vector math is double-precision, computed as an identical
+left-fold in Spark (``F.aggregate``) and DuckDB (``list_reduce``) so
+cosines agree bitwise before the rounding that outputs carry.
+
+A NumPy/Pandas-UDF variant of the brute-force scorer exists in tests
+as the wide-vector alternative; the default stays JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from storm_bench_spark.functions.hashing import hash64_sql
+
+# --- shared double-precision vector expressions --------------------------
+
+def _dvec(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+DVEC_SQL = "CAST({col} AS DOUBLE[])"
+DOT_SQL = (
+    "list_reduce(list_prepend(0e0, list_transform(range(1, len({a}) + 1), "
+    "i -> {a}[i] * {b}[i])), (s, v) -> s + v)"
+)
+NORM_SQL = (
+    "sqrt(list_reduce(list_prepend(0e0, list_transform({a}, x -> x * x)), "
+    "(s, v) -> s + v))"
+)
+
+
+def cosine_sql(a: str, b: str) -> str:
+    dot = DOT_SQL.format(a=a, b=b)
+    return f"({dot}) / ({NORM_SQL.format(a=a)} * {NORM_SQL.format(a=b)})"
+
+
+# --- brute-force top-k ---------------------------------------------------
+
+def ann_topk_bruteforce(
+    vectors: DataFrame, queries: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Top-k cosine neighbors of each query vector (self excluded).
+
+    The query side is broadcast; ranking uses min-heap semantics via a
+    window over (qid) — the per-query row count is N, but the shuffle
+    key is qid so the sort never sees more than one query's scores.
+    """
+    from pyspark.sql.window import Window
+
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("qid"), _dvec(vec_col).alias("qv"))
+    )
+    v = vectors.select(F.col(id_col).alias("nid"), _dvec(vec_col).alias("nv"))
+    scored = q.join(v, F.col("qid") != F.col("nid")).select(
+        "qid", "nid", F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", F.col("nid").alias("neighbor"), "cos", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+# --- random-hyperplane LSH (banded OR-of-ANDs) ---------------------------
+# B bands of R planes each: a pair is a candidate if ALL R sign bits
+# agree in ANY band — the standard amplification that keeps recall
+# useful at moderate cosine (single-bucket AND-only collapses to
+# p^R recall).
+
+N_BANDS = 4
+ROWS_PER_BAND = 4
+
+
+def hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
+    """Sign bit of <v, w_plane> where w_plane has deterministic ±1
+    weights per dimension (parity of the portable hash of 'plane:dim')."""
+    terms = None
+    for i in range(dim):
+        # parity of PERMS-free deterministic hash; computed at plan
+        # build time in Python so the weight is a literal ±1.
+        w = 1 if _weight_bit(plane, i) else -1
+        t = F.get(vec, i) * w
+        terms = t if terms is None else terms + t
+    return F.when(terms >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def _weight_bit(plane: int, dim: int) -> int:
+    import hashlib
+
+    h = hashlib.md5(f"{plane}:{dim}".encode()).hexdigest()
+    return int(h[0], 16) & 1
+
+
+def band_bucket(vec: Column, band: int, dim: int) -> Column:
+    """Bucket key for one band: ROWS_PER_BAND sign bits packed into BIGINT."""
+    acc = None
+    for r in range(ROWS_PER_BAND):
+        plane = band * ROWS_PER_BAND + r
+        bit = hyperplane_sign(vec, plane, dim) * (1 << r)
+        acc = bit if acc is None else acc + bit
+    return acc.cast("bigint")
+
+
+def band_bucket_sql(vec: str, band: int, dim: int) -> str:
+    parts = []
+    for r in range(ROWS_PER_BAND):
+        plane = band * ROWS_PER_BAND + r
+        terms = " + ".join(
+            f"({vec}[{i + 1}] * {1 if _weight_bit(plane, i) else -1})" for i in range(dim)
+        )
+        parts.append(f"CASE WHEN ({terms}) >= 0 THEN {1 << r} ELSE 0 END")
+    return f"CAST({' + '.join(parts)} AS BIGINT)"
+
+
+def lsh_banded(vectors_dv: DataFrame, dim: int) -> DataFrame:
+    """(id, v, band, key): one row per vector per band."""
+    entries = [
+        F.struct(F.lit(b).alias("band"), band_bucket(F.col("v"), b, dim).alias("key"))
+        for b in range(N_BANDS)
+    ]
+    return vectors_dv.select(
+        "id", "v", F.explode(F.array(*entries)).alias("e")
+    ).select("id", "v", F.col("e.band").alias("band"), F.col("e.key").alias("key"))
+
+
+def neardup_lsh(
+    vectors: DataFrame, threshold: float, dim: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Near-duplicate vector pairs: same bucket in ANY band, then
+    cosine-verified ≥ threshold. Candidates come from an equi-join on
+    (band, key) — never a cross join."""
+    v = vectors.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("v"))
+    banded = lsh_banded(v, dim)
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+            F.col("l.v").alias("va"), F.col("r.v").alias("vb"),
+        )
+        .distinct()
+    )
+    cos = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return cand.select("a", "b", cos.alias("cos")).where(F.col("cos") >= threshold)
+
+
+def neardup_lsh_sql(v_cte: str, dim: int, threshold: float) -> str:
+    """DuckDB twin of ``neardup_lsh``; ``v_cte`` must yield (id, v)."""
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, v, {b} AS band, {band_bucket_sql('v', b, dim)} AS key FROM v"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH v AS ({v_cte}),
+banded AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT l.id AS a, r.id AS b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.key = r.key AND l.id < r.id
+)
+SELECT a, b, cos FROM (
+  SELECT c.a, c.b, round({cosine_sql('va.v', 'vb.v')}, 6) AS cos
+  FROM cand c JOIN v va ON va.id = c.a JOIN v vb ON vb.id = c.b
+) WHERE cos >= {threshold}
+"""

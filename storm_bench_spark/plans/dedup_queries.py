@@ -1,0 +1,195 @@
+"""Registered dedup / similarity-search queries (SURVEY extensions).
+
+Thresholds are tuned to the synthetic corpus, which plants near-dup
+pairs (word-3-gram Jaccard ≥ 0.89 cluster; embedding cosine ≈ 0.5
+pairs vs a ≤ 0.3 background) above a wide gap, so results are non-trivial at every SF.
+
+Every oracle reproduces the FULL pipeline (hashing, banding,
+candidates, verification) — not just the final predicate — so the
+driver's comparison certifies the sketch math itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from storm_bench_spark.operators import dedup as DD
+from storm_bench_spark.operators import similarity as SIM
+from storm_bench_spark.operators.multimodal import (
+    decode_image_meta,
+    documents_as_binary,
+)
+from storm_bench_spark.plans.registry import register
+from storm_bench_spark.sources.tables import load_table
+
+JACCARD_T = 0.5
+COSINE_T = 0.45
+EMB_DIM = 64
+ANN_QUERIES = 10
+ANN_K = 5
+
+
+# --- MinHash + LSH near-dup ---------------------------------------------
+
+@register(
+    "minhash_lsh",
+    oracle=f"""
+WITH sh AS ({DD.SHINGLES_SQL}),
+sig AS ({DD.minhash_signature_sql()}),
+bands AS ({DD.band_digests_sql()}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.digest = r.digest AND l.doc_id < r.doc_id
+)
+{DD.verify_jaccard_sql('cand', JACCARD_T)}
+""",
+)
+def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 perms) → 8×4 banding → candidate pairs → exact-Jaccard
+    verify ≥ 0.5. Candidate generation is an equi-join on band digests —
+    the only pairs ever materialized are bucket collisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = DD.shingles(docs)
+    sig = DD.minhash_signature(sh)
+    cands = DD.lsh_candidates(DD.band_digests(sig))
+    return DD.verify_jaccard(cands, sh, JACCARD_T)
+
+
+# --- exact similarity join (inverted index, DF-capped) -------------------
+
+@register(
+    "ngram_jaccard",
+    oracle=f"""
+WITH sh AS ({DD.SHINGLES_SQL}),
+rare AS (
+  SELECT s.doc_id, s.sh FROM sh s
+  JOIN (SELECT sh AS shv, count(*) AS df FROM sh GROUP BY sh) d
+    ON s.sh = d.shv AND d.df <= {DD.DF_CAP}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM rare l JOIN rare r ON l.sh = r.sh AND l.doc_id < r.doc_id
+)
+{DD.verify_jaccard_sql('cand', JACCARD_T)}
+""",
+)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: candidates from a
+    document-frequency-capped inverted shingle index, then full-set
+    verification ≥ 0.5."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = DD.shingles(docs)
+    cands = DD.inverted_index_candidates(sh)
+    return DD.verify_jaccard(cands, sh, JACCARD_T)
+
+
+# --- SimHash -------------------------------------------------------------
+
+@register("simhash", oracle=DD.simhash_sql())
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document (majority vote over
+    token-hash bits)."""
+    return DD.simhash(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "simhash_pairs",
+    oracle=f"""
+WITH fp AS ({DD.simhash_sql()})
+{DD.simhash_near_pairs_sql(3)}
+""",
+)
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3) via exact nibble banding;
+    the oracle brute-forces the same fingerprints — pigeonhole makes
+    the banded candidate set lossless."""
+    fp = DD.simhash(load_table(spark, sf_dir, "documents"))
+    return DD.simhash_near_pairs(fp, max_hamming=3)
+
+
+# --- embedding near-dup --------------------------------------------------
+
+_V_CTE = "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+
+
+@register(
+    "embedding_neardup",
+    oracle=f"""
+WITH v AS ({_V_CTE})
+SELECT a, b, cos FROM (
+  SELECT l.id AS a, r.id AS b, round({SIM.cosine_sql('l.v', 'r.v')}, 6) AS cos
+  FROM v l JOIN v r ON l.id < r.id
+) WHERE cos >= {COSINE_T}
+""",
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine near-dup pairs (baseline; O(n²) — the LSH
+    variant below is the scale path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(F.col("vec_id").alias("id"), SIM._dvec("embedding").alias("v"))
+    l, r = v.alias("l"), v.alias("r")
+    cos = F.round(SIM.cosine(F.col("l.v"), F.col("r.v")), 6)
+    return (
+        l.join(r, F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"), cos.alias("cos"))
+        .where(F.col("cos") >= COSINE_T)
+    )
+
+
+@register(
+    "embedding_neardup_lsh",
+    oracle=SIM.neardup_lsh_sql(_V_CTE, EMB_DIM, COSINE_T),
+)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded random-hyperplane LSH near-dup (4 bands x 4 planes):
+    candidates share a full band signature (equi-join on (band, key)),
+    then cosine-verify — the 100 TB variant of embedding_neardup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.neardup_lsh(emb, COSINE_T, EMB_DIM)
+
+
+@register(
+    "ann_topk",
+    oracle=f"""
+WITH v AS ({_V_CTE}), q AS (SELECT * FROM v WHERE id < {ANN_QUERIES})
+SELECT qid, neighbor, cos, rank FROM (
+  SELECT qid, neighbor, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor) AS rank
+  FROM (
+    SELECT q.id AS qid, v.id AS neighbor,
+           round({SIM.cosine_sql('q.v', 'v.v')}, 6) AS cos
+    FROM q JOIN v ON q.id <> v.id
+  )
+) WHERE rank <= {ANN_K}
+""",
+)
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k neighbors for the first 10 vectors
+    (broadcast query side; deterministic tie-break by neighbor id)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < ANN_QUERIES)
+    return SIM.ann_topk_bruteforce(emb, queries, ANN_K)
+
+
+# --- multimodal ----------------------------------------------------------
+
+@register(
+    "multimodal_image_meta",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) % 640 + 16 AS BIGINT) AS width,
+       CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 + 16 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
+       CAST(octet_length(CAST(text AS BLOB)) // 1024 + 1 AS BIGINT) AS n_frames
+FROM documents
+""",
+)
+def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing: UTF-8 payload bytes → mapInPandas
+    (Arrow-batched) → typed metadata. The decoder is a deterministic
+    STUB (no codec libs in this container); the oracle checks the whole
+    Spark-side path via octet_length arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_image_meta(documents_as_binary(docs))

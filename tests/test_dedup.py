@@ -1,0 +1,85 @@
+"""Dedup/similarity behavior tests: the synthetic corpus plants
+near-duplicate docs and embeddings — the operators must actually find
+them (non-empty results), and the LSH paths must agree with their
+exact baselines on high-similarity pairs."""
+
+from pyspark.sql import functions as F
+
+from storm_bench_spark.plans.registry import all_queries
+from tests.conftest import SF_DIR
+
+QS = all_queries()
+
+
+def test_minhash_finds_planted_neardups(spark):
+    out = QS["minhash_lsh"](spark, SF_DIR).toPandas()
+    assert len(out) > 0, "corpus plants near-dups; LSH must surface them"
+    assert (out["jaccard"] >= 0.5).all()
+    # the planted cluster sits at jaccard >= 0.89
+    assert (out["jaccard"] >= 0.89).any()
+
+
+def test_minhash_and_inverted_index_agree_on_high_sim(spark):
+    lsh = QS["minhash_lsh"](spark, SF_DIR).toPandas()
+    exact = QS["ngram_jaccard"](spark, SF_DIR).toPandas()
+    high_lsh = {(r.a, r.b) for r in lsh.itertuples() if r.jaccard >= 0.8}
+    high_exact = {(r.a, r.b) for r in exact.itertuples() if r.jaccard >= 0.8}
+    # At j>=0.8 with 8x4 banding, collision probability is ~1; both
+    # candidate schemes must find the same high-similarity pairs.
+    assert high_lsh == high_exact
+
+
+def test_embedding_lsh_is_subset_of_bruteforce(spark):
+    brute = QS["embedding_neardup"](spark, SF_DIR).toPandas()
+    lsh = QS["embedding_neardup_lsh"](spark, SF_DIR).toPandas()
+    bset = {(r.a, r.b) for r in brute.itertuples()}
+    lset = {(r.a, r.b) for r in lsh.itertuples()}
+    assert len(bset) > 0, "corpus plants cosine~0.5 pairs above threshold"
+    assert lset <= bset
+    # banded LSH (4x4) at cos~0.5 has ~0.5+ per-pair recall; on the
+    # fixed corpus this resolves deterministically to a nonzero catch.
+    assert len(lset) > 0
+
+
+def test_ann_topk_shape_and_selfexclusion(spark):
+    out = QS["ann_topk"](spark, SF_DIR).toPandas()
+    assert set(out["qid"]) == set(range(10))
+    assert (out.groupby("qid").size() == 5).all()
+    assert (out["qid"] != out["neighbor"]).all()
+    # ranks are 1..5 per query, cos non-increasing within a query
+    for _, g in out.groupby("qid"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == [1, 2, 3, 4, 5]
+        assert (g["cos"].diff().dropna() <= 1e-12).all()
+
+
+def test_simhash_pairs_cover_identical_token_sets(spark):
+    from storm_bench_spark.functions.text import word_split
+    from storm_bench_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.sort_array(F.array_distinct(word_split("text"))).alias("toks")
+    )
+    l, r = docs.alias("l"), docs.alias("r")
+    same_tokens = {
+        (row.a, row.b)
+        for row in l.join(
+            r,
+            (F.col("l.toks") == F.col("r.toks")) & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .collect()
+    }
+    pairs = QS["simhash_pairs"](spark, SF_DIR).toPandas()
+    zero_hamming = {(r.a, r.b) for r in pairs.itertuples() if r.hamming == 0}
+    # identical distinct-token sets ⇒ identical simhash ⇒ hamming 0
+    assert len(same_tokens) > 0
+    assert same_tokens <= zero_hamming
+
+
+def test_multimodal_meta_is_deterministic_fake(spark):
+    out = QS["multimodal_image_meta"](spark, SF_DIR).toPandas()
+    assert len(out) == 500
+    assert (out["channels"] == 3).all()
+    assert out["width"].between(16, 655).all()
+    assert out["height"].between(16, 495).all()
