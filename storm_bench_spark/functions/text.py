@@ -20,6 +20,21 @@ from pyspark.sql import functions as F
 WHITESPACE_RE = r"\s+"
 
 
+def bind(value: Column, body) -> Column:
+    """Let-expression for the column DSL: evaluate ``value`` ONCE per row
+    and pass it to ``body`` as a bound lambda variable.
+
+    Spark does not apply common-subexpression elimination inside
+    higher-order-function lambdas, so an expression like
+    ``transform(seq, i -> get(split(text), i))`` re-runs the split for
+    every element. Wrapping the split in a one-element array and
+    binding it through ``transform`` turns every inner reference into a
+    lambda-variable read: ``get(transform(array(v), x -> body(x)), 0)``.
+    Measured ~15× on shingle construction over real documents.
+    """
+    return F.get(F.transform(F.array(value), body), 0)
+
+
 def word_split(col: Column | str) -> Column:
     """Array of whitespace-separated words, empties dropped.
 

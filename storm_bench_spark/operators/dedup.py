@@ -23,7 +23,7 @@ from storm_bench_spark.functions.hashing import (
     hash64,
     hash64_sql,
 )
-from storm_bench_spark.functions.text import word_split
+from storm_bench_spark.functions.text import bind, word_split
 
 # --- word 3-gram shingles (set semantics) --------------------------------
 
@@ -37,15 +37,23 @@ WHERE len(w) >= 3
 """
 
 
-def shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh): DISTINCT word 3-gram shingles per document."""
-    w = word_split("text")
-    arr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(w) - 3, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.get(w, i), F.get(w, i + 1), F.get(w, i + 2)),
-        )
+def shingle_array(wv) -> F.Column:
+    """Word 3-gram shingle array from a bound token-array variable."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(wv) - 3, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.get(wv, i), F.get(wv, i + 1), F.get(wv, i + 2)),
     )
+
+
+def shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh): DISTINCT word 3-gram shingles per document.
+
+    The token array is bound once per row (``bind``) — without it the
+    whitespace split re-runs for every ``get(w, i)`` in the shingle
+    lambda, which is quadratic in document length.
+    """
+    w = word_split("text")
+    arr = bind(w, lambda wv: F.array_distinct(shingle_array(wv)))
     return docs.where(F.size(w) >= 3).select("doc_id", F.explode(arr).alias("sh"))
 
 
@@ -172,17 +180,35 @@ WHERE jaccard >= {threshold}
 """
 
 
-# --- SimHash (16-bit) ----------------------------------------------------
+# --- SimHash (64-bit, 4×16-bit bands) ------------------------------------
+# Hash width and band size matter at scale: a 16-bit fingerprint has
+# only 2^4 values per nibble band, so every band-bucket holds n/16 docs
+# and candidate generation degenerates to O(n²/16). 64 bits with four
+# 16-bit bands (65 536 buckets per band) keeps buckets sparse while the
+# pigeonhole guarantee (≤3 differing bits across 4 bands ⇒ some band
+# identical) stays exact for Hamming ≤ 3.
 
-N_SIMHASH_BITS = 16
+N_SIMHASH_BITS = 64
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = N_SIMHASH_BITS // SIMHASH_BANDS
+_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
+
+
+def _bit_value(b: int) -> int:
+    # Two's-complement value of bit b in a signed 64-bit integer: the
+    # sign bit contributes -(2^63), so the bit-sum stays in BIGINT range
+    # in both engines.
+    return (1 << b) if b < 63 else -(1 << 63)
 
 
 def simhash(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash): 16-bit SimHash over distinct word hashes.
+    """(doc_id, simhash): 64-bit SimHash over distinct word hashes.
 
     Bit b of the fingerprint is the majority vote (+1/−1, ties → 0)
-    of bit b across token hashes — 16 sum expressions in one groupBy,
-    partial-aggregable like any sum.
+    of bit b across token hashes — 64 sum expressions in one groupBy,
+    partial-aggregable like any sum. The 60-bit md5-derived token hash
+    leaves bits 60-63 constant-zero; those fingerprint bits vote -1
+    everywhere, which is harmless (identical across all docs).
     """
     w = word_split("text")
     tokens = docs.select(
@@ -197,7 +223,7 @@ def simhash(docs: DataFrame) -> DataFrame:
     votes = tokens.groupBy("doc_id").agg(*aggs)
     fp = None
     for b in range(N_SIMHASH_BITS):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(_bit_value(b))).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return votes.select("doc_id", fp.cast("bigint").alias("simhash"))
 
@@ -209,7 +235,8 @@ def simhash_sql() -> str:
         for b in range(N_SIMHASH_BITS)
     )
     fp = " + ".join(
-        f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(N_SIMHASH_BITS)
+        f"CASE WHEN v{b} > 0 THEN CAST({_bit_value(b)} AS BIGINT) ELSE 0 END"
+        for b in range(N_SIMHASH_BITS)
     )
     return f"""
 SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM (
@@ -221,19 +248,21 @@ SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM (
 
 
 def simhash_near_pairs(fp: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Pairs with Hamming(simhash) ≤ max_hamming via nibble-banding.
+    """Pairs with Hamming(simhash) ≤ max_hamming via 16-bit banding.
 
-    Pigeonhole: ≤3 differing bits across 4 nibbles ⇒ at least one
-    nibble identical, so joining on each nibble finds EVERY qualifying
-    pair (this banding is exact, not approximate). Candidates then
-    filter on true Hamming distance.
+    Pigeonhole: ≤3 differing bits across 4 bands ⇒ at least one band
+    identical, so joining on each band key finds EVERY qualifying pair
+    (this banding is exact, not approximate). Candidates then filter
+    on true Hamming distance.
     """
     entries = [
         F.struct(
-            F.lit(nib).alias("nib"),
-            F.shiftright(F.col("simhash"), nib * 4).bitwiseAND(F.lit(0xF)).alias("key"),
+            F.lit(band).alias("nib"),
+            F.shiftright(F.col("simhash"), band * SIMHASH_BAND_BITS)
+            .bitwiseAND(F.lit(_BAND_MASK))
+            .alias("key"),
         )
-        for nib in range(4)
+        for band in range(SIMHASH_BANDS)
     ]
     banded = fp.select(
         "doc_id", "simhash", F.explode(F.array(*entries)).alias("e")

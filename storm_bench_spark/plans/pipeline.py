@@ -19,10 +19,12 @@ from storm_bench_spark.functions.hashing import hash64, hash64_sql
 from storm_bench_spark.functions.text import (
     LANG_MARKERS,
     STOPWORDS,
+    bind,
     lang_scores,
     quality_features,
     word_split,
 )
+from storm_bench_spark.operators.dedup import shingle_array
 from storm_bench_spark.plans.registry import register
 from storm_bench_spark.sources.tables import load_table
 
@@ -159,34 +161,32 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_fingerprint",
     oracle=f"""
-WITH words AS (SELECT doc_id, text, {_WORDS_SQL} AS w FROM documents),
-shingles AS (
-  SELECT doc_id,
-         unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
-                               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
-  FROM words WHERE len(w) >= 3
-),
-fp AS (SELECT doc_id, min({hash64_sql('sh')}) AS fp FROM shingles GROUP BY doc_id)
-SELECT d.doc_id, coalesce(fp.fp, {hash64_sql('d.text')}) AS fp
-FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+WITH words AS (SELECT doc_id, text, {_WORDS_SQL} AS w FROM documents)
+SELECT doc_id,
+       CASE WHEN len(w) >= 3 THEN
+         list_min(list_transform(
+           list_transform(range(1, greatest(len(w) - 1, 1)),
+                          i -> concat_ws(' ', w[i], w[i+1], w[i+2])),
+           sh -> {hash64_sql('sh')}))
+       ELSE {hash64_sql('text')} END AS fp
+FROM words
 """,
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint: min portable-hash over word 3-gram shingles
     (k-min sketch with k=1); whole-text hash fallback for short docs.
 
-    Shingles are exploded then min-aggregated — partial aggregation
-    keeps the shuffle at one row per doc at any corpus size.
+    The min folds over the per-row shingle array (``array_min`` over
+    ``transform``) — a pure narrow map with no explode, no shuffle, and
+    no join; at 100 TB the fingerprint costs exactly one scan. The token
+    array is let-bound (``bind``) so the split runs once per row, not
+    once per shingle.
     """
     docs = load_table(spark, sf_dir, "documents")
-    w = word_split("text")
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(w) - 3, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.get(w, i), F.get(w, i + 1), F.get(w, i + 2)),
+    fp = bind(
+        word_split("text"),
+        lambda wv: F.when(
+            F.size(wv) >= 3, F.array_min(F.transform(shingle_array(wv), hash64))
+        ).otherwise(hash64("text")),
     )
-    sh = docs.where(F.size(w) >= 3).select("doc_id", F.explode(shingles).alias("sh"))
-    fp = sh.groupBy("doc_id").agg(F.min(hash64("sh")).alias("fp"))
-    return (
-        docs.join(fp, "doc_id", "left")
-        .select("doc_id", F.coalesce(F.col("fp"), hash64("text")).alias("fp"))
-    )
+    return docs.select("doc_id", fp.alias("fp"))

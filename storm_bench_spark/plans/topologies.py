@@ -259,9 +259,31 @@ def unique_visitor_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- 12. RollingFlightDist (RollingFlightDist.java:313-327) --------------
 
+def _flight_dist_side_sql(i: str) -> str:
+    """Pair-level chord math for side ``i`` — mirrors, op for op, the
+    Spark expressions in operators/flightdist._unit_vector so the
+    oracle's doubles are bitwise-comparable (up to libm ulp, masked by
+    the 6 dp rounding)."""
+    rel = f"((spd{i} * {OF.KNOT}) * (t - pt{i})) / 1000e0 / {OF.R}"
+    return f"""
+  sin({rel}) AS sr{i}, cos({rel}) AS cr{i}"""
+
+
 def _flight_dist_oracle() -> str:
-    d1 = f"((spd1 * {OF.KNOT}) * (t - pt1)) / 1000"
-    d2 = f"((spd2 * {OF.KNOT}) * (t - pt2)) / 1000"
+    sides_pre = ", ".join(
+        f"{fn}(radians({src})) AS {dst}"
+        for src, d in (("lat", "l"), ("trak", "t"), ("lng", "g"))
+        for fn, dst in ((("sin"), f"s{d}"), (("cos"), f"c{d}"))
+    )
+    pair_cols = ", ".join(
+        f"a.{c} AS {c}1, b.{c} AS {c}2"
+        for c in ("pt", "spd", "sl", "cl", "st", "ct", "sg", "cg")
+    )
+    # Layered exactly like the Spark plan: x (sin lat'), cos lat',
+    # sin/cos Δλ via a/n, b/n, rotated lng, 3-D unit vector, chord.
+    sinlat2 = ", ".join(
+        f"(sl{i} * cr{i}) + ((cl{i} * sr{i}) * ct{i}) AS x_{i}" for i in ("1", "2")
+    )
     return f"""
 WITH fl AS ({D.ADSB_FLIGHTS_SQL}),
 latest AS (
@@ -269,30 +291,51 @@ latest AS (
   JOIN (SELECT icao, max(postime * 1000000 + event_id) AS mk FROM fl GROUP BY icao) m
     ON f.icao = m.icao AND f.postime * 1000000 + f.event_id = m.mk
 ),
-pairs AS (
-  SELECT a.icao AS icao1, a.postime AS pt1, a.lat AS lat1, a.lng AS lng1,
-         a.spd AS spd1, a.trak AS trak1,
-         b.icao AS icao2, b.postime AS pt2, b.lat AS lat2, b.lng AS lng2,
-         b.spd AS spd2, b.trak AS trak2
-  FROM latest a JOIN latest b ON a.icao < b.icao
+pre AS (
+  SELECT icao, postime AS pt, spd, {sides_pre}
+  FROM latest
 ),
 stepped AS (
-  SELECT pairs.*, grid.k AS step, greatest(pt1, pt2) + grid.k * {FLIGHT_STEP_SEC * 1000} AS t
-  FROM pairs CROSS JOIN (SELECT unnest(range(0, {FLIGHT_STEPS})) AS k) grid
+  SELECT a.icao AS icao1, b.icao AS icao2, {pair_cols}, grid.k AS step,
+         greatest(a.pt, b.pt) + grid.k * {FLIGHT_STEP_SEC * 1000} AS t
+  FROM pre a JOIN pre b ON a.icao < b.icao
+  CROSS JOIN (SELECT unnest(range(0, {FLIGHT_STEPS})) AS k) grid
 ),
-projected AS (
+_s1 AS (SELECT *, {_flight_dist_side_sql('1')} FROM stepped),
+_s2 AS (SELECT *, {_flight_dist_side_sql('2')} FROM _s1),
+_x2 AS (SELECT *, {sinlat2} FROM _s2),
+rot AS (
+  SELECT *,
+         sqrt(1e0 - (x_1 * x_1)) AS cl2_1, sqrt(1e0 - (x_2 * x_2)) AS cl2_2,
+         (st1 * sr1) * cl1 AS a_1, cr1 - (sl1 * x_1) AS b_1,
+         (st2 * sr2) * cl2 AS a_2, cr2 - (sl2 * x_2) AS b_2
+  FROM _x2
+),
+dl AS (
+  SELECT *,
+         a_1 / sqrt((a_1 * a_1) + (b_1 * b_1)) AS sd_1,
+         b_1 / sqrt((a_1 * a_1) + (b_1 * b_1)) AS cd_1,
+         a_2 / sqrt((a_2 * a_2) + (b_2 * b_2)) AS sd_2,
+         b_2 / sqrt((a_2 * a_2) + (b_2 * b_2)) AS cd_2
+  FROM rot
+),
+vec AS (
   SELECT icao1, icao2, step,
-         {OF.sql_dead_reckon_lat('lat1', 'trak1', d1)} AS drlat1,
-         {OF.sql_dead_reckon_lng('lat1', 'lng1', 'trak1', d1)} AS drlng1,
-         {OF.sql_dead_reckon_lat('lat2', 'trak2', d2)} AS drlat2,
-         {OF.sql_dead_reckon_lng('lat2', 'lng2', 'trak2', d2)} AS drlng2
-  FROM stepped
+         cl2_1 * ((cg1 * cd_1) - (sg1 * sd_1)) AS vx1,
+         cl2_1 * ((sg1 * cd_1) + (cg1 * sd_1)) AS vy1,
+         x_1 AS vz1,
+         cl2_2 * ((cg2 * cd_2) - (sg2 * sd_2)) AS vx2,
+         cl2_2 * ((sg2 * cd_2) + (cg2 * sd_2)) AS vy2,
+         x_2 AS vz2
+  FROM dl
 )
 SELECT round(dist_km, 6) AS dist_km, step, icao1, icao2
 FROM (
   SELECT icao1, icao2, step,
-         {OF.sql_haversine('drlat1', 'drlng1', 'drlat2', 'drlng2')} AS dist_km
-  FROM projected
+         (2e0 * {OF.R}) * asin(least(sqrt(
+           (((vx1 - vx2) * (vx1 - vx2)) + ((vy1 - vy2) * (vy1 - vy2))
+            + ((vz1 - vz2) * (vz1 - vz2))) / 4e0), 1e0)) AS dist_km
+  FROM vec
 )
 WHERE dist_km <= {FLIGHT_DIST_THRESHOLD_KM}
 ORDER BY dist_km, icao1, icao2, step
