@@ -23,7 +23,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    DoubleType,
     LongType,
     StructField,
     StructType,
@@ -89,3 +91,107 @@ def documents_as_binary(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", F.encode(F.col("text"), "utf-8").cast(BinaryType()).alias("payload")
     )
+
+
+# --- feature extraction ---------------------------------------------------
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _fake_features(payload: bytes) -> list[float]:
+    """STUB embedding: deterministic FEATURE_DIM-vector from payload
+    length (swap for a real vision/audio model in production). The
+    arithmetic is octet_length-only so a SQL oracle reproduces it."""
+    n = len(payload)
+    return [((n * (i + 1)) % 97) / 97.0 for i in range(FEATURE_DIM)]
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """(doc_id, features: array<double>) per binary payload — the
+    decode→embed stage of a multimodal pipeline as an Arrow-batched
+    mapInPandas; output feeds the similarity operators directly."""
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(doc_id), _fake_features(bytes(payload)))
+                for doc_id, payload in zip(pdf[id_col], pdf[payload_col])
+            ]
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURES_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(feature_batches, FEATURES_SCHEMA)
+
+
+# --- resize (payload → payload) ------------------------------------------
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("resized", BinaryType()),
+    ]
+)
+
+
+def resize_image(
+    df: DataFrame, width: int, height: int, channels: int = 3,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """(doc_id, resized: binary) — binary-in/binary-out UDF plumbing.
+
+    STUB resampler: tile the payload to exactly width·height·channels
+    bytes (a real decoder+resampler slots into the same batch shape).
+    """
+    target = width * height * channels
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload) or b"\x00"
+                reps = target // len(payload) + 1
+                rows.append((int(doc_id), (payload * reps)[:target]))
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(resize_batches, RESIZED_SCHEMA)
+
+
+# --- frame sampling (one payload → many frames) ---------------------------
+
+FRAME_SIZE_BYTES = 1024  # matches decode_image_meta's n_frames arithmetic
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_index", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, every_k: int = 2, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(doc_id, frame_index, frame) for every k-th frame — the
+    one-row-in/many-rows-out UDF shape (video frame sampling). Frames
+    are FRAME_SIZE_BYTES slices of the payload; count mirrors
+    ``decode_image_meta.n_frames`` (len // 1024 + 1)."""
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                n_frames = len(payload) // FRAME_SIZE_BYTES + 1
+                for i in range(0, n_frames, every_k):
+                    frame = payload[i * FRAME_SIZE_BYTES : (i + 1) * FRAME_SIZE_BYTES]
+                    rows.append((int(doc_id), i, frame))
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAMES_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(frame_batches, FRAMES_SCHEMA)

@@ -17,8 +17,13 @@ from pyspark.sql import functions as F
 from storm_bench_spark.operators import dedup as DD
 from storm_bench_spark.operators import similarity as SIM
 from storm_bench_spark.operators.multimodal import (
+    FEATURE_DIM,
+    FRAME_SIZE_BYTES,
     decode_image_meta,
     documents_as_binary,
+    extract_features,
+    resize_image,
+    sample_frames,
 )
 from storm_bench_spark.plans.registry import register
 from storm_bench_spark.sources.tables import load_table
@@ -89,7 +94,7 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("simhash", oracle=DD.simhash_sql())
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash fingerprint per document (majority vote over
+    """64-bit SimHash fingerprint per document (majority vote over
     token-hash bits)."""
     return DD.simhash(load_table(spark, sf_dir, "documents"))
 
@@ -179,10 +184,10 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_image_meta",
     oracle="""
 SELECT doc_id,
-       CAST(octet_length(CAST(text AS BLOB)) % 640 + 16 AS BIGINT) AS width,
-       CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 + 16 AS BIGINT) AS height,
+       CAST(octet_length(encode(text)) % 640 + 16 AS BIGINT) AS width,
+       CAST((octet_length(encode(text)) * 7) % 480 + 16 AS BIGINT) AS height,
        CAST(3 AS BIGINT) AS channels,
-       CAST(octet_length(CAST(text AS BLOB)) // 1024 + 1 AS BIGINT) AS n_frames
+       CAST(octet_length(encode(text)) // 1024 + 1 AS BIGINT) AS n_frames
 FROM documents
 """,
 )
@@ -193,3 +198,69 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-side path via octet_length arithmetic."""
     docs = load_table(spark, sf_dir, "documents")
     return decode_image_meta(documents_as_binary(docs))
+
+
+_BLOB_LEN = "octet_length(encode(text))"
+_HEX = "hex(encode(text))"  # 2 hex chars per payload byte
+
+RESIZE_W, RESIZE_H, RESIZE_C = 16, 8, 3
+_RESIZE_TARGET = RESIZE_W * RESIZE_H * RESIZE_C
+
+
+@register(
+    "multimodal_features",
+    oracle=f"""
+SELECT doc_id,
+       list_transform(range(0, {FEATURE_DIM}),
+                      i -> CAST(({_BLOB_LEN} * (i + 1)) % 97 AS DOUBLE) / 97e0) AS features
+FROM documents
+""",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode→embed stage: binary payload → FEATURE_DIM double vector
+    via Arrow-batched mapInPandas (STUB model, octet_length-derived, so
+    the oracle certifies the batching/schema path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(documents_as_binary(docs))
+
+
+# The resize/frame queries hex-encode their binary outputs: this DuckDB
+# build has no BLOB slicing, so the oracle tiles/slices the hex VARCHAR
+# (2 chars per byte). The operators themselves stay binary-in/binary-out.
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+SELECT doc_id,
+       substring(repeat({_HEX}, {_RESIZE_TARGET} // greatest({_BLOB_LEN}, 1) + 1),
+                 1, {2 * _RESIZE_TARGET}) AS resized
+FROM documents
+""",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-in/binary-out resize plumbing (STUB resampler tiles the
+    payload to exactly W·H·C bytes); output hex-encoded for the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = resize_image(documents_as_binary(docs), RESIZE_W, RESIZE_H, RESIZE_C)
+    return out.select("doc_id", F.hex("resized").alias("resized"))
+
+
+@register(
+    "multimodal_frames",
+    oracle=f"""
+SELECT doc_id,
+       CAST(i AS BIGINT) AS frame_index,
+       substring({_HEX}, CAST(i * {2 * FRAME_SIZE_BYTES} + 1 AS BIGINT),
+                 {2 * FRAME_SIZE_BYTES}) AS frame
+FROM (SELECT doc_id, text, unnest(range(0, {_BLOB_LEN} // {FRAME_SIZE_BYTES} + 1, 2)) AS i
+      FROM documents)
+""",
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-2nd-frame sampling: one payload → many (frame_index, frame)
+    rows through mapInPandas — the video-frame-extraction UDF shape;
+    frames hex-encoded for the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = sample_frames(documents_as_binary(docs), every_k=2)
+    return out.select("doc_id", "frame_index", F.hex("frame").alias("frame"))

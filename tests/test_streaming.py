@@ -40,7 +40,10 @@ def test_stateful_running_count_matches_groupby(spark):
     assert_frames_match(out, expect, "stateful running count")
 
 
-def _drain_rate_stream(df, seconds=4.0, query_name="gen_test"):
+def _drain_rate_stream(df, min_rows=1, timeout=60.0, query_name="gen_test"):
+    """Run the stream until the memory sink holds ``min_rows`` (the rate
+    source is wall-clock driven, so a fixed sleep is flaky under load)."""
+    spark = df.sparkSession
     q = (
         df.writeStream.format("memory")
         .queryName(query_name)
@@ -48,12 +51,14 @@ def _drain_rate_stream(df, seconds=4.0, query_name="gen_test"):
         .start()
     )
     try:
-        deadline = time.time() + seconds
+        deadline = time.time() + timeout
         while time.time() < deadline:
+            if spark.table(query_name).limit(min_rows).count() >= min_rows:
+                break
             time.sleep(0.25)
     finally:
         q.stop()
-    return df.sparkSession.table(query_name)
+    return spark.table(query_name)
 
 
 def test_random_message_stream_shape(spark):
