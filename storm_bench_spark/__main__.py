@@ -1,0 +1,86 @@
+"""Engine CLI — the run_topo analog (reference `run_topo:21-70`).
+
+    python -m storm_bench_spark list
+    python -m storm_bench_spark run wc --sf-dir /root/testdata/sf0.01
+    python -m storm_bench_spark run rolling_flight_dist --sink parquet --out /tmp/fd
+
+Aliases follow the reference's launcher (wc, grep, rcount, gcount,
+rsort, sol, pv, clean, visitor) with every additional registry query
+addressable by its full name. Batch execution against a scale-factor
+directory; `--sink` picks the output (show/noop/parquet/csv/json).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from storm_bench_spark.plans.registry import all_queries, get_spec
+from storm_bench_spark.session import get_spark
+
+# run_topo:21-70 alias table (the reference's CLI names per topology).
+ALIASES = {
+    "wc": "wordcount",
+    "grep": "grep",
+    "rcount": "rolling_count",
+    "gcount": "rolling_geo_count",
+    "rsort": "rolling_sort",
+    "sol": "sol",
+    "pv": "pageview_count",
+    "clean": "dataclean",
+    "visitor": "unique_visitor",
+}
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="storm_bench_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list every registered query")
+
+    runp = sub.add_parser("run", help="run one query")
+    runp.add_argument("query", help="query name or run_topo alias (wc, grep, ...)")
+    runp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    runp.add_argument(
+        "--sink", choices=["show", "noop", "parquet", "csv", "json"], default="show"
+    )
+    runp.add_argument("--out", help="output path (file sinks)")
+    runp.add_argument("--explain", action="store_true", help="print the physical plan")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "list":
+        for name in sorted(all_queries()):
+            doc = (get_spec(name).doc or "").strip().splitlines()
+            print(f"{name:28s} {doc[0] if doc else ''}")
+        return 0
+
+    name = ALIASES.get(args.query, args.query)
+    queries = all_queries()
+    if name not in queries:
+        print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
+        return 2
+
+    spark = get_spark(app_name=f"sbs-{name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = queries[name](spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+
+    t0 = time.perf_counter()
+    if args.sink == "show":
+        df.show(50, truncate=False)
+    elif args.sink == "noop":
+        df.write.format("noop").mode("overwrite").save()
+    else:
+        if not args.out:
+            print("--out is required for file sinks", file=sys.stderr)
+            return 2
+        df.write.format(args.sink).mode("overwrite").save(args.out)
+    print(f"# {name}: {time.perf_counter() - t0:.3f}s", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -176,6 +176,126 @@ def neardup_lsh(
     return cand.select("a", "b", cos.alias("cos")).where(F.col("cos") >= threshold)
 
 
+# --- IVF (inverted-file) top-k -------------------------------------------
+# The coarse-quantizer ANN: assign every vector to its nearest centroid
+# (the "cell"), search only the query's n_probe nearest cells. Candidate
+# generation is an equi-join on cell id — per query the scan touches
+# ~n_probe·N/C vectors instead of N. Centroids here are a deterministic
+# sample (vec_id < C) so the DuckDB oracle replays the identical
+# algorithm; swap in k-means centroids for production recall.
+
+IVF_CENTROIDS = 32
+IVF_NPROBE = 4
+
+
+def ivf_assign(v: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(id, v, cid): each vector keyed by its nearest centroid
+    (max cosine, ties broken by centroid id)."""
+    from pyspark.sql.window import Window
+
+    scored = v.crossJoin(F.broadcast(centroids)).select(
+        "id", "v", "cid", cosine(F.col("v"), F.col("cv")).alias("ccos")
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("ccos"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id", "v", "cid")
+    )
+
+
+def ann_topk_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_probe: int = IVF_NPROBE,
+    n_centroids: int = IVF_CENTROIDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via IVF cell probing.
+
+    Output shape matches ``ann_topk_bruteforce``; results are the exact
+    top-k *within the probed cells* (deterministic, oracle-checkable),
+    which is the standard IVF recall trade."""
+    from pyspark.sql.window import Window
+
+    v = vectors.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("v"))
+    centroids = F.broadcast(
+        vectors.where(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cid"), _dvec(vec_col).alias("cv")
+        )
+    )
+    assigned = ivf_assign(v, centroids)
+
+    q = queries.select(F.col(id_col).alias("qid"), _dvec(vec_col).alias("qv"))
+    qs = q.crossJoin(centroids).select(
+        "qid", "qv", "cid", cosine(F.col("qv"), F.col("cv")).alias("ccos")
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("ccos"), F.asc("cid"))
+    probes = (
+        qs.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= n_probe)
+        .select("qid", "qv", "cid")
+    )
+
+    cand = probes.join(assigned, "cid").where(F.col("qid") != F.col("id"))
+    scored = cand.select(
+        "qid", F.col("id").alias("nid"),
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select(
+            "qid", F.col("nid").alias("neighbor"), "cos",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def ann_topk_ivf_sql(
+    v_cte: str, n_queries: int, k: int,
+    n_probe: int = IVF_NPROBE, n_centroids: int = IVF_CENTROIDS,
+) -> str:
+    """DuckDB replay of ``ann_topk_ivf``; ``v_cte`` must yield (id, v)."""
+    return f"""
+WITH v AS ({v_cte}),
+c AS (SELECT id AS cid, v AS cv FROM v WHERE id < {n_centroids}),
+assigned AS (
+  SELECT id, v, cid FROM (
+    SELECT v.id, v.v, c.cid,
+           row_number() OVER (
+             PARTITION BY v.id
+             ORDER BY {cosine_sql('v.v', 'c.cv')} DESC, c.cid
+           ) AS rn
+    FROM v CROSS JOIN c
+  ) WHERE rn = 1
+),
+q AS (SELECT id AS qid, v AS qv FROM v WHERE id < {n_queries}),
+probes AS (
+  SELECT qid, qv, cid FROM (
+    SELECT q.qid, q.qv, c.cid,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY {cosine_sql('q.qv', 'c.cv')} DESC, c.cid
+           ) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= {n_probe}
+)
+SELECT qid, neighbor, cos, rank FROM (
+  SELECT qid, a.id AS neighbor, round({cosine_sql('qv', 'a.v')}, 6) AS cos,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round({cosine_sql('qv', 'a.v')}, 6) DESC, a.id
+         ) AS rank
+  FROM probes p JOIN assigned a USING (cid)
+  WHERE p.qid <> a.id
+) WHERE rank <= {k}
+"""
+
+
 def neardup_lsh_sql(v_cte: str, dim: int, threshold: float) -> str:
     """DuckDB twin of ``neardup_lsh``; ``v_cte`` must yield (id, v)."""
     band_selects = " UNION ALL ".join(

@@ -178,6 +178,20 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ann_topk_bruteforce(emb, queries, ANN_K)
 
 
+@register(
+    "ann_topk_ivf",
+    oracle=SIM.ann_topk_ivf_sql(_V_CTE, ANN_QUERIES, ANN_K),
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: nearest-centroid cell assignment, probe
+    the 4 nearest cells per query, exact rank within probed cells —
+    per-query scan cost drops from N to ~n_probe·N/C (the 100 TB ANN
+    path; brute-force ``ann_topk`` is the recall baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < ANN_QUERIES)
+    return SIM.ann_topk_ivf(emb, queries, ANN_K)
+
+
 # --- multimodal ----------------------------------------------------------
 
 @register(

@@ -77,6 +77,22 @@ def test_simhash_pairs_cover_identical_token_sets(spark):
     assert same_tokens <= zero_hamming
 
 
+def test_ivf_recall_against_bruteforce(spark):
+    bf = QS["ann_topk"](spark, SF_DIR).toPandas()
+    ivf = QS["ann_topk_ivf"](spark, SF_DIR).toPandas()
+    bset = {(r.qid, r.neighbor) for r in bf.itertuples()}
+    iset = {(r.qid, r.neighbor) for r in ivf.itertuples()}
+    # Probing 4/32 cells must find most true neighbors on the fixed
+    # corpus; exact threshold is corpus-dependent but stable.
+    assert len(iset & bset) / len(bset) >= 0.5
+    # within-cells ranking is exact: every IVF hit that IS a true
+    # top-k neighbor carries the same cosine the brute force computed
+    bf_cos = {(r.qid, r.neighbor): r.cos for r in bf.itertuples()}
+    for r in ivf.itertuples():
+        if (r.qid, r.neighbor) in bf_cos:
+            assert abs(bf_cos[(r.qid, r.neighbor)] - r.cos) < 1e-9
+
+
 def test_multimodal_meta_is_deterministic_fake(spark):
     out = QS["multimodal_image_meta"](spark, SF_DIR).toPandas()
     assert len(out) == 500
