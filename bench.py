@@ -20,6 +20,7 @@ from storm_bench_spark.plans.registry import all_queries
 from storm_bench_spark.session import get_spark
 
 HEADLINE = [
+    # the 12 reference topologies (SURVEY.md §2.10)
     "wordcount",
     "grep",
     "rolling_count",
@@ -32,14 +33,25 @@ HEADLINE = [
     "unique_visitor",
     "rolling_latlong",
     "rolling_flight_dist",
+    # SQL capability demos
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    # training-data pipeline: text analysis
     "dedup_exact",
     "doc_fingerprint",
     "token_count",
     "quality_score",
     "lang_id",
+    # training-data pipeline: dedup / similarity / multimodal
+    "minhash_lsh",
+    "ngram_jaccard",
+    "simhash_pairs",
+    "embedding_neardup_lsh",
+    "ann_topk",
+    "ann_topk_ivf",
+    "multimodal_image_meta",
+    "adsb_parse",
 ]
 
 

@@ -60,7 +60,14 @@ def parse_adsb(df: DataFrame, raw_col: str = "raw") -> DataFrame:
     raw = F.col(raw_col)
     shaped = raw.startswith('{"Id"') & raw.endswith("},")
     json_str = F.expr(f"substring({raw_col}, 1, length({raw_col}) - 1)")
-    parsed = df.where(shaped).select(F.from_json(json_str, ADSB_SCHEMA).alias("j"))
+    # explode(array(...)) materializes the parsed struct as a concrete
+    # attribute (Generate is an optimizer barrier): without it, project
+    # collapsing + filter pushdown would substitute the from_json
+    # expression into every downstream field reference and re-parse the
+    # JSON ~13x per row.
+    parsed = df.where(shaped).select(
+        F.explode(F.array(F.from_json(json_str, ADSB_SCHEMA))).alias("j")
+    )
     required = ["Icao", "PosTime", "Lat", "Long", "Spd", "Trak"]
     cond = F.lit(True)
     for name in required:

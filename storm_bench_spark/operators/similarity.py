@@ -44,6 +44,33 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+# Fixed-dimension twins: an unrolled sum is a flat codegen'd expression
+# (no per-row array allocation, no interpreted lambda steps), ~20× the
+# throughput of the fold on 64-dim vectors. Bitwise-identical results:
+# the fold's ``(0.0 + x1) + x2 + ...`` equals the unrolled left-assoc
+# sum because 0.0 + x == x in IEEE for finite x, so the same DuckDB
+# ``list_reduce`` oracle verifies both.
+
+def _dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    acc = None
+    for i in range(dim):
+        t = F.get(a, i) * F.get(b, i)
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def _norm_fixed(a: Column, dim: int) -> Column:
+    acc = None
+    for i in range(dim):
+        t = F.get(a, i) * F.get(a, i)
+        acc = t if acc is None else acc + t
+    return F.sqrt(acc)
+
+
+def cosine_fixed(a: Column, b: Column, dim: int) -> Column:
+    return _dot_fixed(a, b, dim) / (_norm_fixed(a, dim) * _norm_fixed(b, dim))
+
+
 DVEC_SQL = "CAST({col} AS DOUBLE[])"
 DOT_SQL = (
     "list_reduce(list_prepend(0e0, list_transform(range(1, len({a}) + 1), "
@@ -63,22 +90,26 @@ def cosine_sql(a: str, b: str) -> str:
 # --- brute-force top-k ---------------------------------------------------
 
 def ann_topk_bruteforce(
-    vectors: DataFrame, queries: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+    vectors: DataFrame, queries: DataFrame, k: int, id_col: str = "vec_id",
+    vec_col: str = "embedding", dim: int | None = None,
 ) -> DataFrame:
     """Top-k cosine neighbors of each query vector (self excluded).
 
     The query side is broadcast; ranking uses min-heap semantics via a
     window over (qid) — the per-query row count is N, but the shuffle
     key is qid so the sort never sees more than one query's scores.
+    Pass ``dim`` for fixed-width vectors to get the unrolled (codegen)
+    cosine; ``None`` falls back to the fold for ragged arrays.
     """
     from pyspark.sql.window import Window
 
+    cos_fn = (lambda a, b: cosine_fixed(a, b, dim)) if dim else cosine
     q = F.broadcast(
         queries.select(F.col(id_col).alias("qid"), _dvec(vec_col).alias("qv"))
     )
     v = vectors.select(F.col(id_col).alias("nid"), _dvec(vec_col).alias("nv"))
     scored = q.join(v, F.col("qid") != F.col("nid")).select(
-        "qid", "nid", F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos")
+        "qid", "nid", F.round(cos_fn(F.col("qv"), F.col("nv")), 6).alias("cos")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (
@@ -140,13 +171,27 @@ def band_bucket_sql(vec: str, band: int, dim: int) -> str:
 
 
 def lsh_banded(vectors_dv: DataFrame, dim: int) -> DataFrame:
-    """(id, v, band, key): one row per vector per band."""
-    entries = [
-        F.struct(F.lit(b).alias("band"), band_bucket(F.col("v"), b, dim).alias("key"))
-        for b in range(N_BANDS)
-    ]
+    """(id, v, band, key): one row per vector per band.
+
+    The vector is let-bound (``bind``) before the per-plane sign math:
+    the N_BANDS·ROWS_PER_BAND·dim ``get`` calls must read a bound lambda
+    variable, not re-evaluate the upstream cast-transform each time
+    (Spark applies no CSE inside higher-order-function lambdas).
+    """
+    from storm_bench_spark.functions.text import bind
+
+    def entries(vv):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"), band_bucket(vv, b, dim).alias("key")
+                )
+                for b in range(N_BANDS)
+            ]
+        )
+
     return vectors_dv.select(
-        "id", "v", F.explode(F.array(*entries)).alias("e")
+        "id", "v", F.explode(bind(F.col("v"), entries)).alias("e")
     ).select("id", "v", F.col("e.band").alias("band"), F.col("e.key").alias("key"))
 
 
@@ -155,9 +200,15 @@ def neardup_lsh(
 ) -> DataFrame:
     """Near-duplicate vector pairs: same bucket in ANY band, then
     cosine-verified ≥ threshold. Candidates come from an equi-join on
-    (band, key) — never a cross join."""
+    (band, key) — never a cross join.
+
+    Shuffle discipline: the band self-join and the dedup run on (id,
+    band, key) int rows only; the 8·dim-byte vectors are joined back
+    onto the deduped pairs, so each vector crosses the wire once per
+    *surviving candidate*, not once per band collision.
+    """
     v = vectors.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("v"))
-    banded = lsh_banded(v, dim)
+    banded = lsh_banded(v, dim).select("id", "band", "key")
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(
@@ -166,14 +217,18 @@ def neardup_lsh(
             & (F.col("l.key") == F.col("r.key"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("a"), F.col("r.id").alias("b"),
-            F.col("l.v").alias("va"), F.col("r.v").alias("vb"),
-        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .distinct()
     )
-    cos = F.round(cosine(F.col("va"), F.col("vb")), 6)
-    return cand.select("a", "b", cos.alias("cos")).where(F.col("cos") >= threshold)
+    va = v.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    vb = v.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    cos = F.round(cosine_fixed(F.col("va"), F.col("vb"), dim), 6)
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select("a", "b", cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
 
 
 # --- IVF (inverted-file) top-k -------------------------------------------
@@ -188,13 +243,14 @@ IVF_CENTROIDS = 32
 IVF_NPROBE = 4
 
 
-def ivf_assign(v: DataFrame, centroids: DataFrame) -> DataFrame:
+def ivf_assign(v: DataFrame, centroids: DataFrame, dim: int | None = None) -> DataFrame:
     """(id, v, cid): each vector keyed by its nearest centroid
     (max cosine, ties broken by centroid id)."""
     from pyspark.sql.window import Window
 
+    cos_fn = (lambda a, b: cosine_fixed(a, b, dim)) if dim else cosine
     scored = v.crossJoin(F.broadcast(centroids)).select(
-        "id", "v", "cid", cosine(F.col("v"), F.col("cv")).alias("ccos")
+        "id", "v", "cid", cos_fn(F.col("v"), F.col("cv")).alias("ccos")
     )
     w = Window.partitionBy("id").orderBy(F.desc("ccos"), F.asc("cid"))
     return (
@@ -212,6 +268,7 @@ def ann_topk_ivf(
     n_centroids: int = IVF_CENTROIDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via IVF cell probing.
 
@@ -220,17 +277,18 @@ def ann_topk_ivf(
     which is the standard IVF recall trade."""
     from pyspark.sql.window import Window
 
+    cos_fn = (lambda a, b: cosine_fixed(a, b, dim)) if dim else cosine
     v = vectors.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("v"))
     centroids = F.broadcast(
         vectors.where(F.col(id_col) < n_centroids).select(
             F.col(id_col).alias("cid"), _dvec(vec_col).alias("cv")
         )
     )
-    assigned = ivf_assign(v, centroids)
+    assigned = ivf_assign(v, centroids, dim)
 
     q = queries.select(F.col(id_col).alias("qid"), _dvec(vec_col).alias("qv"))
     qs = q.crossJoin(centroids).select(
-        "qid", "qv", "cid", cosine(F.col("qv"), F.col("cv")).alias("ccos")
+        "qid", "qv", "cid", cos_fn(F.col("qv"), F.col("cv")).alias("ccos")
     )
     wq = Window.partitionBy("qid").orderBy(F.desc("ccos"), F.asc("cid"))
     probes = (
@@ -242,7 +300,7 @@ def ann_topk_ivf(
     cand = probes.join(assigned, "cid").where(F.col("qid") != F.col("id"))
     scored = cand.select(
         "qid", F.col("id").alias("nid"),
-        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+        F.round(cos_fn(F.col("qv"), F.col("v")), 6).alias("cos"),
     )
     wk = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (

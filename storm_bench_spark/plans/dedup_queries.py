@@ -74,16 +74,18 @@ rare AS (
     ON s.sh = d.shv AND d.df <= {DD.DF_CAP}
 ),
 cand AS (
-  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  SELECT l.doc_id AS a, r.doc_id AS b
   FROM rare l JOIN rare r ON l.sh = r.sh AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id
+  HAVING count(*) >= {DD.MIN_SHARED}
 )
 {DD.verify_jaccard_sql('cand', JACCARD_T)}
 """,
 )
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity join: candidates from a
-    document-frequency-capped inverted shingle index, then full-set
-    verification ≥ 0.5."""
+    document-frequency-capped inverted shingle index with a ≥2
+    shared-rare-shingle count filter, then full-set verification ≥ 0.5."""
     docs = load_table(spark, sf_dir, "documents")
     sh = DD.shingles(docs)
     cands = DD.inverted_index_candidates(sh)
@@ -135,7 +137,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select(F.col("vec_id").alias("id"), SIM._dvec("embedding").alias("v"))
     l, r = v.alias("l"), v.alias("r")
-    cos = F.round(SIM.cosine(F.col("l.v"), F.col("r.v")), 6)
+    cos = F.round(SIM.cosine_fixed(F.col("l.v"), F.col("r.v"), EMB_DIM), 6)
     return (
         l.join(r, F.col("l.id") < F.col("r.id"))
         .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"), cos.alias("cos"))
@@ -175,7 +177,7 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast query side; deterministic tie-break by neighbor id)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < ANN_QUERIES)
-    return SIM.ann_topk_bruteforce(emb, queries, ANN_K)
+    return SIM.ann_topk_bruteforce(emb, queries, ANN_K, dim=EMB_DIM)
 
 
 @register(
@@ -189,7 +191,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     path; brute-force ``ann_topk`` is the recall baseline)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < ANN_QUERIES)
-    return SIM.ann_topk_ivf(emb, queries, ANN_K)
+    return SIM.ann_topk_ivf(emb, queries, ANN_K, dim=EMB_DIM)
 
 
 # --- multimodal ----------------------------------------------------------
