@@ -40,6 +40,47 @@ def sliding_agg(
     return g.select(F.col("w.start").cast("long").alias("ws"), *out_cols)
 
 
+def sliding_agg_twophase(
+    df: DataFrame,
+    window_sec: int,
+    slide_sec: int,
+    keys: Sequence[str],
+    partial_aggs: Sequence[Column],
+    final_aggs: Sequence[Column],
+    sec_col: str = "sec",
+) -> DataFrame:
+    """Sliding window via tumbling pre-aggregation + bucket combine.
+
+    ``window()`` assigns every input row to W/S windows before the
+    shuffle; here rows first collapse into their S-second tumbling
+    bucket (one shuffle on (bucket, keys) with full map-side combine),
+    and only the *aggregated* bucket rows explode into the W/S windows
+    that contain them for the final combine. At 100 TB that's the
+    difference between replicating every input row W/S× and replicating
+    one row per (bucket, key) — the input-side data volume drops by the
+    compression ratio of the first aggregation.
+
+    Requires a decomposable aggregate: ``partial_aggs`` runs per bucket,
+    ``final_aggs`` merges buckets (count→sum, sum→sum, max→max,
+    HLL sketch→union). Same epoch-aligned window set as ``sliding_agg``
+    (ws = bucket − k·S for k ∈ [0, W/S)) — results are identical, so
+    the same oracle verifies both formulations.
+    """
+    if window_sec % slide_sec != 0:
+        raise ValueError("window_sec must be a multiple of slide_sec")
+    n = window_sec // slide_sec
+    bucket = (F.col(sec_col) - (F.col(sec_col) % slide_sec)).cast("long")
+    pre = df.groupBy(bucket.alias("_bucket"), *[F.col(k) for k in keys]).agg(
+        *partial_aggs
+    )
+    steps = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("_k")
+    expanded = pre.select("*", steps).select(
+        (F.col("_bucket") - F.col("_k") * slide_sec).alias("ws"),
+        *[c for c in pre.columns if c != "_bucket"],
+    )
+    return expanded.groupBy("ws", *[F.col(k) for k in keys]).agg(*final_aggs)
+
+
 def latest_by(df: DataFrame, key_cols: Sequence[str], order_key: Column, payload_cols: Sequence[str]) -> DataFrame:
     """Newest row per key: ``max_by(struct(payload), order_key)``.
 

@@ -23,7 +23,7 @@ from storm_bench_spark.functions.geo import zone_index
 from storm_bench_spark.functions.parsers import parse_tweet_text
 from storm_bench_spark.functions.text import extract_hashtags, word_split
 from storm_bench_spark.operators.flightdist import flight_dist_pairs
-from storm_bench_spark.operators.windows import sliding_agg
+from storm_bench_spark.operators.windows import sliding_agg, sliding_agg_twophase
 from storm_bench_spark.plans import oracle_fragments as OF
 from storm_bench_spark.plans.registry import register
 from storm_bench_spark.sources import derived as D
@@ -93,7 +93,10 @@ def rolling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window (60s/10s) count per word over the doc timeline."""
     d = D.documents_ts(spark, sf_dir)
     words = d.select("sec", F.explode(word_split("text")).alias("word"))
-    return sliding_agg(words, 60, 10, ["word"], [F.count("*").alias("cnt")])
+    return sliding_agg_twophase(
+        words, 60, 10, ["word"],
+        [F.count("*").alias("_c")], [F.sum("_c").alias("cnt")],
+    )
 
 
 # --- 5. RollingHashtagCount (RollingHashtagCount.java:79-90): 60s/5s -----
@@ -121,7 +124,10 @@ def rolling_hashtag_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = D.tweets(spark, sf_dir)
     text = parse_tweet_text("raw")
     tags = t.select("sec", F.explode(extract_hashtags(text)).alias("tag"))
-    return sliding_agg(tags, 60, 5, ["tag"], [F.count("*").alias("cnt")])
+    return sliding_agg_twophase(
+        tags, 60, 5, ["tag"],
+        [F.count("*").alias("_c")], [F.sum("_c").alias("cnt")],
+    )
 
 
 # --- 6. RollingGeoCount (RollingGeoCount.java:91-102) --------------------
@@ -145,7 +151,10 @@ def rolling_geo_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     g = D.adsb_geo(spark, sf_dir)
     zones = g.select("sec", zone_index("lat", "lng").alias("zone"))
-    return sliding_agg(zones, 3600, 600, ["zone"], [F.count("*").alias("cnt")])
+    return sliding_agg_twophase(
+        zones, 3600, 600, ["zone"],
+        [F.count("*").alias("_c")], [F.sum("_c").alias("cnt")],
+    )
 
 
 # --- 7. RollingSort (RollingSort.java:44-52) -----------------------------
@@ -248,12 +257,16 @@ def unique_visitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("unique_visitor_approx", oracle=None)
 def unique_visitor_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ variant of unique_visitor — the scale path (no exact
-    distinct shuffle); rows-only check since the sketch is approximate."""
+    """Sketch variant of unique_visitor — the 100 TB path: HLL sketches
+    per (slide-bucket, url) then union-merged per window, so the
+    distinct state is a fixed-size sketch instead of a user-id set and
+    each input row is aggregated once (not once per overlapping
+    window). Rows-only check since the estimate is approximate."""
     pv = D.pageviews(spark, sf_dir)
-    return sliding_agg(
+    return sliding_agg_twophase(
         pv.select("sec", "url", "user_id"), 3600, 600, ["url"],
-        [F.approx_count_distinct("user_id").alias("uniques")],
+        [F.hll_sketch_agg("user_id").alias("_sk")],
+        [F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("uniques")],
     )
 
 
@@ -374,13 +387,18 @@ JOIN (SELECT ws, icao, max(postime * 1000000 + event_id) AS mk FROM w GROUP BY w
 )
 def rolling_latlong(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-window latest (postime, lat, lng) per aircraft — the argmax
-    reducer (LatLongReducer.java:27-41) as max_by under window()."""
+    reducer (LatLongReducer.java:27-41), two-phase: latest per
+    (slide-bucket, icao) first, then a bucket-level max per window.
+    The argmax is packed as max(struct(order_key, payload)) — struct
+    ordering is lexicographic and the order key is unique, so bucket
+    maxima merge exactly like the LatLongReducer monoid."""
     fl = D.adsb_flights(spark, sf_dir)
     fl = fl.withColumn("sec", F.floor(F.col("postime") / 1000).cast("bigint"))
     order_key = (F.col("postime") * 1_000_000 + F.col("event_id")).cast("bigint")
-    res = sliding_agg(
+    packed = F.struct(order_key.alias("k"), F.col("postime"), F.col("lat"), F.col("lng"))
+    res = sliding_agg_twophase(
         fl, 3600, 600, ["icao"],
-        [F.max_by(F.struct("postime", "lat", "lng"), order_key).alias("m")],
+        [F.max(packed).alias("m")], [F.max("m").alias("m")],
     )
     return res.select(
         "ws", "icao", F.col("m.postime").alias("postime"),
