@@ -1,0 +1,225 @@
+"""Property-based tests (hypothesis) for the column-function library.
+
+Each property evaluates one Spark job per generated example, so
+example counts are kept small; the examples themselves are batched
+into a single DataFrame where possible.
+"""
+
+import math
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from storm_bench_spark.functions.geo import zone_index
+from storm_bench_spark.functions.text import word_split
+from storm_bench_spark.operators.flightdist import flight_dist_pairs
+
+# ---------------------------------------------------------------------------
+# word_split == Python reference
+
+_texts = st.lists(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _py_word_split(s: str) -> list[str]:
+    # Java's \s is strictly [ \t\n\x0B\f\r] (the reference's
+    # String.split("\\s+") semantics, which Spark's JVM regex matches);
+    # Python's \s additionally matches Unicode whitespace like \x1f.
+    return [w for w in re.split(r"[ \t\n\x0B\f\r]+", s) if w != ""]
+
+
+@settings(max_examples=8, deadline=None)
+@given(_texts)
+def test_word_split_matches_python(spark, texts):
+    df = spark.createDataFrame([Row(i=i, s=s) for i, s in enumerate(texts)],
+                               schema="i long, s string")
+    got = {r.i: r.w for r in df.select("i", word_split("s").alias("w")).collect()}
+    for i, s in enumerate(texts):
+        assert got[i] == _py_word_split(s), repr(s)
+
+
+# ---------------------------------------------------------------------------
+# zone_index == Python reference of the Java band math
+# (RollingGeoCount.java:64-76)
+
+
+def _py_zone(lat, lng):
+    if lat is None or lng is None:
+        return "no_latlng"
+    if not (-80 <= lat < 84 and -180 <= lng < 180):
+        return "undefined"
+    if lat < -32:
+        letter = chr(ord("C") + int(math.floor((lat + 80) / 8)))
+    elif lat < 8:
+        letter = chr(ord("J") + int(math.floor((lat + 32) / 8)))
+    elif lat < 72:
+        letter = chr(ord("P") + int(math.floor((lat - 8) / 8)))
+    else:
+        letter = "X"
+    return f"{int(math.floor((lng + 180) / 6)) + 1}{letter}"
+
+
+_coords = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.floats(-90, 90, allow_nan=False)),
+        st.one_of(st.none(), st.floats(-180, 180, allow_nan=False)),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_coords)
+def test_zone_index_matches_python(spark, coords):
+    df = spark.createDataFrame(
+        [Row(i=i, lat=a, lng=b) for i, (a, b) in enumerate(coords)],
+        schema="i long, lat double, lng double",
+    )
+    got = {r.i: r.z for r in df.select("i", zone_index("lat", "lng").alias("z")).collect()}
+    for i, (a, b) in enumerate(coords):
+        assert got[i] == _py_zone(a, b), (a, b)
+
+
+# ---------------------------------------------------------------------------
+# chord-form pair distance == textbook dead-reckon + haversine
+# (independent Python implementation of RollingFlightDist.java:157-187)
+
+_R = 6378.137
+_KNOT = 0.000514444
+
+
+def _py_dead_reckon(lat, lng, brg, d):
+    rl, rg, rb = map(math.radians, (lat, lng, brg))
+    rel = d / _R
+    lat2 = math.asin(
+        math.sin(rl) * math.cos(rel) + math.cos(rl) * math.sin(rel) * math.cos(rb)
+    )
+    lng2 = rg + math.atan2(
+        math.sin(rb) * math.sin(rel) * math.cos(rl),
+        math.cos(rel) - math.sin(rl) * math.sin(lat2),
+    )
+    return math.degrees(lat2), math.degrees(lng2)
+
+
+def _py_haversine(lat1, lng1, lat2, lng2):
+    dlat = math.radians(lat2 - lat1)
+    dlng = math.radians(lng2 - lng1)
+    a = (
+        math.sin(dlat / 2) ** 2
+        + math.cos(math.radians(lat1)) * math.cos(math.radians(lat2))
+        * math.sin(dlng / 2) ** 2
+    )
+    return _R * 2 * math.atan2(math.sqrt(a), math.sqrt(1 - a))
+
+
+_aircraft = st.lists(
+    st.tuples(
+        st.floats(-75, 75, allow_nan=False),     # lat
+        st.floats(-179, 179, allow_nan=False),   # lng
+        st.floats(0, 600, allow_nan=False),      # spd knots
+        st.floats(0, 359.9, allow_nan=False),    # trak deg
+        st.integers(0, 60_000),                  # postime offset ms
+    ),
+    min_size=2,
+    max_size=6,
+    unique_by=lambda t: t[4],
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_aircraft)
+def test_flight_dist_matches_textbook_formulas(spark, fleet):
+    base = 1_700_000_000_000
+    rows = [
+        Row(
+            event_id=i,
+            icao=f"{i:06d}",
+            postime=base + pt,
+            lat=lat,
+            lng=lng,
+            spd=spd,
+            trak=trak,
+        )
+        for i, (lat, lng, spd, trak, pt) in enumerate(fleet)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        schema="event_id long, icao string, postime long, lat double, "
+        "lng double, spd double, trak double",
+    )
+    got = {
+        (r.icao1, r.icao2, r.step): r.dist_km
+        for r in flight_dist_pairs(
+            df, dist_threshold_km=1e9, speculative_comp_num=2
+        ).collect()
+    }
+    by_icao = {r.icao: r for r in rows}
+    for (i1, i2, step), dist in got.items():
+        a, b = by_icao[i1], by_icao[i2]
+        t = max(a.postime, b.postime) + step * 5000
+        da = a.spd * _KNOT * (t - a.postime) / 1000.0
+        db = b.spd * _KNOT * (t - b.postime) / 1000.0
+        pa = _py_dead_reckon(a.lat, a.lng, a.trak, da)
+        pb = _py_dead_reckon(b.lat, b.lng, b.trak, db)
+        want = _py_haversine(*pa, *pb)
+        assert math.isclose(dist, want, rel_tol=1e-9, abs_tol=1e-6), (
+            (i1, i2, step), dist, want
+        )
+    # every canonical pair × step must be present at the huge threshold
+    n = len(rows)
+    assert len(got) == n * (n - 1) // 2 * 2
+
+
+# ---------------------------------------------------------------------------
+# jaccard verification == Python set arithmetic
+
+_docs = st.lists(
+    st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_docs)
+def test_verify_jaccard_matches_python_sets(spark, texts):
+    from storm_bench_spark.operators.dedup import shingles, verify_jaccard
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        schema="doc_id long, text string",
+    )
+    sh = shingles(df)
+    n = len(texts)
+    all_pairs = spark.createDataFrame(
+        [Row(a=i, b=j) for i in range(n) for j in range(i + 1, n)],
+        schema="a long, b long",
+    )
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in verify_jaccard(all_pairs, sh, threshold=0.0).collect()
+    }
+
+    def sh_set(t):
+        w = _py_word_split(t)
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)} if len(w) >= 3 else set()
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            sa, sb = sh_set(texts[i]), sh_set(texts[j])
+            inter = len(sa & sb)
+            if not sa or not sb or inter == 0:
+                # docs under 3 words have no shingle rows; zero-overlap
+                # pairs drop out of the intersection equi-join
+                assert (i, j) not in got
+            else:
+                want = round(inter / len(sa | sb), 6)
+                assert math.isclose(got[(i, j)], want, abs_tol=1e-9), (i, j)
