@@ -1,0 +1,71 @@
+"""Physical-plan assertions: lock in the scale-critical plan shapes.
+
+A query can be value-correct and still carry a plan that dies at
+100 TB (lost pushdown, surprise shuffle, nested-loop instead of
+broadcast). These tests pin the plan properties the design relies on,
+so an innocent-looking refactor that breaks one fails CI, not the
+cluster.
+"""
+
+from storm_bench_spark.plans.registry import all_queries
+from tests.conftest import SF_DIR
+
+QS = all_queries()
+
+
+def _plan(spark, name: str) -> str:
+    return QS[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tpch_q1_pushes_filter_and_prunes_columns(spark):
+    plan = _plan(spark, "tpch_q1")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # column pruning: comment & shipping columns must not be read
+    assert "l_comment" not in plan
+    assert "l_shipmode" not in plan
+
+
+def test_wordcount_uses_partial_aggregation(spark):
+    plan = _plan(spark, "wordcount")
+    # map-side combine before the exchange: partial then final count
+    assert "partial_count" in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_doc_fingerprint_has_no_shuffle(spark):
+    # the fingerprint is a pure narrow map: scan → project, nothing else
+    plan = _plan(spark, "doc_fingerprint")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_flight_dist_broadcasts_pair_side(spark):
+    plan = _plan(spark, "rolling_flight_dist")
+    assert "BroadcastExchange" in plan
+    # global top-k must be TakeOrderedAndProject, not a full sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_topk_broadcasts_query_side(spark):
+    plan = _plan(spark, "ann_topk")
+    assert "BroadcastExchange" in plan
+
+
+def test_dedup_candidates_are_equi_joins(spark):
+    # LSH candidate generation must be hash-joinable (equi-join on the
+    # band key), never a nested-loop cross join
+    for name in ("minhash_lsh", "simhash_pairs", "embedding_neardup_lsh"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, name
+
+
+def test_two_phase_windows_aggregate_before_expanding(spark):
+    # sliding_agg_twophase: the Generate (window fan-out) must sit ABOVE
+    # the first aggregate, i.e. rows collapse before they replicate
+    plan = _plan(spark, "rolling_count")
+    gen = plan.index("Generate explode")
+    # the partial aggregate of phase 1 appears below (later in the
+    # bottom-up string) than the Generate
+    first_agg = plan.rindex("partial_count")
+    assert gen < first_agg, "window fan-out must consume aggregated buckets"
