@@ -56,7 +56,12 @@ EVENTS_SEC_SQL = (
 # --- pageviews (PageView.java wire format over events) -------------------
 
 def pageviews(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = events_sec(spark, sf_dir)
+    return pageviews_from_events(events_sec(spark, sf_dir))
+
+
+def pageviews_from_events(e: DataFrame) -> DataFrame:
+    """Pageview derivation over any (event_id, sec, user_id) frame —
+    batch or streaming — so stream/batch parity tests share one spec."""
     url = (
         F.when(F.col("user_id") % 10 < 7, F.lit("foo.com"))
         .when(F.col("user_id") % 10 < 9, F.lit("foo.news.com"))
@@ -171,7 +176,11 @@ FROM ({EVENTS_SEC_SQL})
 # field, so the arity-13 parser and the '#'-extractor both do real work.
 
 def tweets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = documents_ts(spark, sf_dir)
+    return tweets_from_docs(documents_ts(spark, sf_dir))
+
+
+def tweets_from_docs(d: DataFrame) -> DataFrame:
+    """Tweet derivation over any (doc_id, sec, text) frame."""
     tagged = F.regexp_replace(F.col("text"), r"(\w{6,})", r"#$1")
     fields = [F.lit(f"f{i}") for i in range(13)]
     fields[4] = tagged

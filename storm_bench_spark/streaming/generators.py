@@ -15,7 +15,7 @@ Random-seeded spouts:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -76,14 +76,16 @@ def file_replay_stream(
     The broadcast-joined line table replaces FileReader's rewind loop
     (FileReader.java:45-52); the stream never exhausts.
     """
-    raw_lines = (
-        spark.read.text(path)
-        .select(F.monotonically_increasing_id().alias("mid"), F.col("value").alias("sentence"))
+    # Index the lines driver-side: the replay file is small by contract
+    # (FileReadSpout reads a classpath resource), and expressions like
+    # monotonically_increasing_id/row_number are rejected inside a
+    # streaming plan even on the static join side.
+    rows = spark.read.text(path).collect()
+    lines = spark.createDataFrame(
+        [(i, r.value) for i, r in enumerate(rows)],
+        schema="idx long, sentence string",
     )
-    lines = raw_lines.select(
-        (F.row_number().over(Window.orderBy("mid")) - 1).alias("idx"), "sentence"
-    )
-    n = lines.count()
+    n = len(rows)
     rate = _rate(spark, rows_per_second).withColumn("idx", F.col("value") % n)
     return rate.join(F.broadcast(lines), "idx").select(
         F.col("timestamp").alias("event_time"), "sentence"

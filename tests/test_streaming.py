@@ -40,6 +40,65 @@ def test_stateful_running_count_matches_groupby(spark):
     assert_frames_match(out, expect, "stateful running count")
 
 
+def test_stream_batch_parity_unique_visitor(spark):
+    """Windowed COUNT DISTINCT through the streaming engine.
+
+    Structured Streaming rejects countDistinct; size(collect_set()) is
+    the supported spelling of the same set-cardinality monoid (the
+    SetReducer — SetReducer.java:31-33). Result must equal the batch
+    twin exactly.
+    """
+    from storm_bench_spark.operators.windows import sliding_agg
+    from storm_bench_spark.sources import derived as D
+    from storm_bench_spark.streaming.streams import stream_table
+
+    e = stream_table(spark, SF_DIR, "events").withColumn(
+        "sec", F.col("ts").cast("long")
+    )
+    pv = D.pageviews_from_events(e)
+    win = sliding_agg(
+        pv.select("sec", "url", "user_id"), 3600, 600, ["url"],
+        [F.size(F.collect_set("user_id")).alias("uniques")],
+    )
+    stream = run_to_memory(win, output_mode="complete").toPandas()
+    batch = all_queries()["unique_visitor"](spark, SF_DIR).toPandas()
+    assert_frames_match(stream, batch, "unique_visitor stream/batch parity")
+
+
+def test_stream_batch_parity_hashtag_count(spark):
+    from storm_bench_spark.functions.parsers import parse_tweet_text
+    from storm_bench_spark.functions.text import extract_hashtags
+    from storm_bench_spark.operators.windows import sliding_agg
+    from storm_bench_spark.sources import derived as D
+    from storm_bench_spark.streaming.streams import stream_table
+
+    d = stream_table(spark, SF_DIR, "documents").withColumn(
+        "sec", (F.lit(D.DOC_EPOCH) + F.col("doc_id") * D.DOC_TS_STEP_SEC).cast("bigint")
+    )
+    t = D.tweets_from_docs(d)
+    tags = t.select("sec", F.explode(extract_hashtags(parse_tweet_text("raw"))).alias("tag"))
+    win = sliding_agg(tags, 60, 5, ["tag"], [F.count("*").alias("cnt")])
+    stream = run_to_memory(win, output_mode="complete").toPandas()
+    batch = all_queries()["rolling_hashtag_count"](spark, SF_DIR).toPandas()
+    assert_frames_match(stream, batch, "hashtag stream/batch parity")
+
+
+def test_file_replay_stream_cycles(spark, tmp_path):
+    from storm_bench_spark.streaming.generators import file_replay_stream
+
+    lines = [f"sentence number {i}" for i in range(5)]
+    p = tmp_path / "book.txt"
+    p.write_text("\n".join(lines) + "\n")
+    out = _drain_rate_stream(
+        file_replay_stream(spark, str(p), rows_per_second=500),
+        min_rows=20,
+        query_name="gen_file_replay",
+    ).toPandas()
+    # cyclic replay: after >= 4 cycles every line has appeared, and
+    # nothing outside the file ever appears
+    assert set(out["sentence"]) == set(lines)
+
+
 def _drain_rate_stream(df, min_rows=1, timeout=60.0, query_name="gen_test"):
     """Run the stream until the memory sink holds ``min_rows`` (the rate
     source is wall-clock driven, so a fixed sleep is flaky under load)."""
