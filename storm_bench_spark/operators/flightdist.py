@@ -115,11 +115,26 @@ def flight_dist_pairs(
         order_key=order_key,
         payload_cols=["postime", "lat", "lng", "spd", "trak"],
     )
+    return flight_dist_from_latest(
+        latest, dist_threshold_km, speculative_comp_num, speculative_comp_timestep_sec
+    )
 
+
+def flight_dist_from_latest(
+    latest: DataFrame,
+    dist_threshold_km: float,
+    speculative_comp_num: int = 3,
+    speculative_comp_timestep_sec: int = 5,
+) -> DataFrame:
+    """Pair math over an already-reduced latest-position snapshot —
+    the probe step DistFilterBolt runs against its flightMap state
+    (RollingFlightDist.java:220-260). Streaming callers maintain the
+    snapshot with a streaming ``latest_by`` (state store) and run this
+    per trigger; batch callers use ``flight_dist_pairs``."""
     # Spread the probe side across the cluster: the aggregated state is
     # tiny (A rows) and would otherwise land in one AQE-coalesced
     # partition, serializing the A²·steps arithmetic onto one core.
-    parallelism = positions.sparkSession.sparkContext.defaultParallelism
+    parallelism = latest.sparkSession.sparkContext.defaultParallelism
     a = _precompute_side(latest, "1").repartition(parallelism)
     b = F.broadcast(_precompute_side(latest, "2"))
     pairs = a.join(b, F.col("icao1") < F.col("icao2"))

@@ -26,15 +26,27 @@ def sliding_agg(
     keys: Sequence[str],
     aggs: Sequence[Column],
     sec_col: str = "sec",
+    watermark: str | None = None,
 ) -> DataFrame:
     """Sliding event-time window aggregation over an epoch-seconds column.
 
     Enforces the reference's validity rule (window length a multiple of
     the slide — SlidingWindow.java:43-46, RollingBolt.java:45-47).
+
+    ``watermark`` (e.g. ``"30 seconds"``) enables streaming state
+    eviction + append-mode emission: windows finalize once the watermark
+    passes their end, and later-arriving rows are dropped — the
+    engine's (strictly stronger) replacement for the reference's
+    wall-clock slot wipe (SlidingWindow.java:62-64,148-158), which has
+    no late-data semantics at all.
     """
     if window_sec % slide_sec != 0:
         raise ValueError("window_sec must be a multiple of slide_sec")
-    w = F.window(F.timestamp_seconds(F.col(sec_col)), f"{window_sec} seconds", f"{slide_sec} seconds")
+    ts = F.timestamp_seconds(F.col(sec_col))
+    if watermark is not None:
+        df = df.withColumn("_event_ts", ts).withWatermark("_event_ts", watermark)
+        ts = F.col("_event_ts")
+    w = F.window(ts, f"{window_sec} seconds", f"{slide_sec} seconds")
     g = df.groupBy(w.alias("w"), *[F.col(k) for k in keys]).agg(*aggs)
     out_cols = [c for c in g.columns if c != "w"]
     return g.select(F.col("w.start").cast("long").alias("ws"), *out_cols)

@@ -65,6 +65,57 @@ def streaming_rolling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(win, output_mode="complete")
 
 
+# --- streaming RollingFlightDist (the hardest topology, streamed) --------
+
+@register(
+    "streaming_flight_dist",
+    # identical final state ⇒ the batch topology's oracle verifies the
+    # streaming path too
+    oracle=None,
+    doc="streaming twin of rolling_flight_dist",
+)
+def streaming_flight_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rolling_flight_dist through the streaming engine: the flightMap
+    state (latest position per aircraft) is a streaming ``max_by``
+    aggregation in the state store (complete-mode snapshot ≙ the
+    DistFilterBolt upsert map, RollingFlightDist.java:213-219); the
+    pair/dead-reckon/threshold/top-k probe then runs on the snapshot —
+    exactly the reference's tick-time probe against current state.
+
+    Registered rows-only; ``tests/test_streaming.py`` asserts equality
+    with the batch topology's result (which IS oracle-checked).
+    """
+    from storm_bench_spark.operators.flightdist import flight_dist_from_latest
+    from storm_bench_spark.operators.windows import latest_by
+    from storm_bench_spark.plans.topologies import (
+        FLIGHT_CHUNK,
+        FLIGHT_DIST_THRESHOLD_KM,
+        FLIGHT_STEP_SEC,
+        FLIGHT_STEPS,
+    )
+    from storm_bench_spark.sources.derived import adsb_flights_from_events
+
+    e = stream_table(spark, sf_dir, "events").withColumn(
+        "sec", F.col("ts").cast("long")
+    )
+    fl = adsb_flights_from_events(e)
+    order_key = (F.col("postime") * 1_000_000 + F.col("event_id")).cast("bigint")
+    latest = latest_by(
+        fl, ["icao"], order_key, ["postime", "lat", "lng", "spd", "trak"]
+    )
+    snapshot = run_to_memory(latest, output_mode="complete")
+    hits = flight_dist_from_latest(
+        snapshot,
+        dist_threshold_km=FLIGHT_DIST_THRESHOLD_KM,
+        speculative_comp_num=FLIGHT_STEPS,
+        speculative_comp_timestep_sec=FLIGHT_STEP_SEC,
+    )
+    ranked = hits.select(
+        F.round(F.col("dist_km"), 6).alias("dist_km"), "step", "icao1", "icao2"
+    )
+    return ranked.orderBy("dist_km", "icao1", "icao2", "step").limit(FLIGHT_CHUNK)
+
+
 # --- custom stateful operator (applyInPandasWithState) -------------------
 
 @register(

@@ -129,7 +129,12 @@ FROM ({EVENTS_SEC_SQL})
 
 
 def adsb_flights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = events_sec(spark, sf_dir)
+    return adsb_flights_from_events(events_sec(spark, sf_dir))
+
+
+def adsb_flights_from_events(e: DataFrame) -> DataFrame:
+    """Flight-record derivation over any (event_id, sec, user_id, value)
+    frame — batch or streaming."""
     return e.select(
         "event_id",
         F.lpad(F.col("user_id").cast("string"), 6, "0").alias("icao"),

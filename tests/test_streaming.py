@@ -83,6 +83,13 @@ def test_stream_batch_parity_hashtag_count(spark):
     assert_frames_match(stream, batch, "hashtag stream/batch parity")
 
 
+def test_stream_batch_parity_flight_dist(spark):
+    qs = all_queries()
+    batch = qs["rolling_flight_dist"](spark, SF_DIR).toPandas()
+    stream = qs["streaming_flight_dist"](spark, SF_DIR).toPandas()
+    assert_frames_match(stream, batch, "flight_dist stream/batch parity")
+
+
 def test_file_replay_stream_cycles(spark, tmp_path):
     from storm_bench_spark.streaming.generators import file_replay_stream
 
@@ -97,6 +104,67 @@ def test_file_replay_stream_cycles(spark, tmp_path):
     # cyclic replay: after >= 4 cycles every line has appeared, and
     # nothing outside the file ever appears
     assert set(out["sentence"]) == set(lines)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Event-time + watermark: a row arriving after the watermark passed
+    its window is dropped (documented stronger-than-reference
+    semantics — the reference's wall-clock slots have no late-data
+    story at all)."""
+    import os
+    import tempfile
+    import uuid
+
+    from storm_bench_spark.operators.windows import sliding_agg
+
+    data_dir = tmp_path / "in"
+    data_dir.mkdir()
+    # Three files = three micro-batches (maxFilesPerTrigger=1). The
+    # late-event filter uses the watermark as of TWO commits back
+    # (watermarkForLateEvents lags the eviction watermark by a batch),
+    # so the late row goes in batch 3, two batches after the on-time
+    # data that advanced the watermark.
+    batches = [
+        [(1000, "k"), (1010, "k"), (1050, "k")],  # watermark → 1040
+        [(5000, "k")],                            # watermark → 4990
+        [(0, "late")],                            # 0 < 1040 ⇒ dropped
+    ]
+    for age, rows in enumerate(batches):
+        before = set(os.listdir(data_dir))
+        spark.createDataFrame(rows, schema="sec long, key string").coalesce(
+            1
+        ).write.mode("append").parquet(str(data_dir))
+        # file source orders batches by modification time: age earlier files
+        for f in set(os.listdir(data_dir)) - before:
+            p = data_dir / f
+            shift = (len(batches) - age) * 3600
+            os.utime(p, (p.stat().st_mtime - shift, p.stat().st_mtime - shift))
+
+    stream = (
+        spark.readStream.schema("sec long, key string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(data_dir))
+    )
+    win = sliding_agg(
+        stream, 60, 30, ["key"], [F.count("*").alias("cnt")],
+        watermark="10 seconds",
+    )
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        win.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sbs_wm_"))
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name).toPandas()
+    # on-time windows finalized once the watermark passed them
+    assert (out["key"] == "k").any()
+    assert set(out[out["key"] == "k"]["ws"]) >= {990, 1020}
+    # the late row's windows (ws 0 / -30) must never appear
+    assert not (out["key"] == "late").any()
 
 
 def _drain_rate_stream(df, min_rows=1, timeout=60.0, query_name="gen_test"):
