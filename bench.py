@@ -16,6 +16,8 @@ import re
 import sys
 import time
 
+from pyspark.sql import functions as F
+
 from storm_bench_spark.plans.registry import all_queries
 from storm_bench_spark.session import get_spark
 
@@ -63,8 +65,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = all_queries()
-    # JVM/codegen warmup on a trivial plan so q1 doesn't pay startup.
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # JVM/codegen/scan warmup so the first timed query isn't charged
+    # one-time startup: exercise codegen, a shuffle, and the file index
+    # of every fixture table (cheap count over pruned scans).
+    spark.range(100_000).selectExpr("sum(id * 2)").collect()
+    spark.range(10_000).selectExpr("id % 7 AS k").groupBy("k").count().collect()
+    from storm_bench_spark.sources.tables import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).select(F.lit(1)).limit(1).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

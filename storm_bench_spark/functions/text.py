@@ -68,14 +68,28 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-def lang_scores(text: Column | str) -> dict[str, Column]:
-    """Per-language marker-word hit counts over the whitespace tokens."""
-    words = word_split(text)
-    scores = {}
-    for lang, markers in LANG_MARKERS.items():
-        marker_arr = F.array(*[F.lit(m) for m in markers])
-        scores[lang] = F.size(F.filter(words, lambda w: F.array_contains(marker_arr, F.lower(w))))
-    return scores
+def lang_scores(text: Column | str) -> Column:
+    """Struct of per-language marker-word hit counts (fields
+    ``s_<lang>``), computed from ONE tokenization per row (the token
+    array is let-bound; a dict of independent columns would re-split
+    once per language).
+
+    Consume behind a Generate barrier (``explode(array(...))``) so
+    field references read an attribute instead of re-evaluating the
+    struct.
+    """
+
+    def scores(wv: Column) -> Column:
+        fields = []
+        for lang, markers in LANG_MARKERS.items():
+            marker_arr = F.array(*[F.lit(m) for m in markers])
+            hits = F.size(
+                F.filter(wv, lambda w: F.array_contains(marker_arr, F.lower(w)))
+            )
+            fields.append(hits.cast("bigint").alias(f"s_{lang}"))
+        return F.struct(*fields)
+
+    return bind(word_split(text), scores)
 
 
 STOPWORDS: tuple[str, ...] = (
@@ -83,22 +97,34 @@ STOPWORDS: tuple[str, ...] = (
 )
 
 
-def quality_features(text: Column | str) -> dict[str, Column]:
-    """Deterministic quality-scoring features for a document column.
+def quality_features(text: Column | str) -> Column:
+    """Struct of deterministic quality-scoring features for a document
+    column: n_tokens, mean token length, stopword ratio, punctuation
+    ratio — the standard cheap quality signals for corpus filtering.
 
-    n_tokens, mean token length, stopword ratio, punctuation ratio —
-    the standard cheap quality signals for corpus filtering.
+    All features derive from ONE let-bound tokenization per row;
+    consume behind a Generate barrier (``explode(array(...))``) so each
+    field reference reads an attribute.
     """
     c = F.col(text) if isinstance(text, str) else text
-    words = word_split(c)
-    n_tokens = F.size(words)
-    total_wlen = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))
-    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
-    return {
-        "n_tokens": n_tokens,
-        "avg_token_len": F.when(n_tokens > 0, total_wlen.cast("double") / n_tokens).otherwise(F.lit(0.0)),
-        "stopword_ratio": F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(F.lit(0.0)),
-        "punct_ratio": F.when(F.length(c) > 0, n_punct.cast("double") / F.length(c)).otherwise(F.lit(0.0)),
-    }
+
+    def feats(wv: Column) -> Column:
+        n_tokens = F.size(wv)
+        total_wlen = F.aggregate(wv, F.lit(0), lambda acc, w: acc + F.length(w))
+        stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+        n_stop = F.size(F.filter(wv, lambda w: F.array_contains(stop_arr, F.lower(w))))
+        n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+        return F.struct(
+            n_tokens.alias("n_tokens"),
+            F.when(n_tokens > 0, total_wlen.cast("double") / n_tokens)
+            .otherwise(F.lit(0.0))
+            .alias("avg_token_len"),
+            F.when(n_tokens > 0, n_stop.cast("double") / n_tokens)
+            .otherwise(F.lit(0.0))
+            .alias("stopword_ratio"),
+            F.when(F.length(c) > 0, n_punct.cast("double") / F.length(c))
+            .otherwise(F.lit(0.0))
+            .alias("punct_ratio"),
+        )
+
+    return bind(word_split(c), feats)

@@ -31,6 +31,17 @@ from storm_bench_spark.sources.tables import load_table
 _WORDS_SQL = "list_filter(string_split_regex(text, '\\s+'), w -> w <> '')"
 
 
+def _spread(df):
+    """Fan a small-file scan across the cluster for CPU-bound feature
+    extraction. The fixture's documents table is a single parquet file
+    (one scan partition), which would serialize the regex/token work
+    onto one core; at production scale the input arrives in many splits
+    and the repartition collapses to a cheap no-op relative to the
+    per-row work it parallelizes."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 # --- token counting ------------------------------------------------------
 
 @register(
@@ -99,14 +110,14 @@ FROM (SELECT doc_id, {scores} FROM documents)
 
 @register("lang_id", oracle=_lang_id_sql())
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language ID: per-language stopword hit counts, argmax
-    with a fixed priority order for ties."""
-    docs = load_table(spark, sf_dir, "documents")
-    scores = lang_scores("text")
+    """Marker-word language ID: per-language stopword hit counts (one
+    tokenization per row, scores materialized behind a Generate
+    barrier), argmax with a fixed priority order for ties."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     scored = docs.select(
-        "doc_id", *[c.cast("bigint").alias(f"s_{lang}") for lang, c in scores.items()]
-    )
-    langs = list(scores)
+        "doc_id", F.explode(F.array(lang_scores("text"))).alias("s")
+    ).select("doc_id", "s.*")
+    langs = list(LANG_MARKERS)
     pred = None
     for lang in langs[:-1]:
         geqs = None
@@ -144,15 +155,18 @@ FROM (
 )
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cheap corpus-quality signals: token count, mean token length,
-    stopword ratio, punctuation ratio."""
-    docs = load_table(spark, sf_dir, "documents")
-    qf = quality_features("text")
-    return docs.select(
+    stopword ratio, punctuation ratio — one tokenization per row,
+    features materialized once behind a Generate barrier."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    q = docs.select(
+        "doc_id", F.explode(F.array(quality_features("text"))).alias("q")
+    )
+    return q.select(
         "doc_id",
-        qf["n_tokens"].cast("bigint").alias("n_tokens"),
-        F.round(qf["avg_token_len"], 6).alias("avg_token_len"),
-        F.round(qf["stopword_ratio"], 6).alias("stopword_ratio"),
-        F.round(qf["punct_ratio"], 6).alias("punct_ratio"),
+        F.col("q.n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.col("q.avg_token_len"), 6).alias("avg_token_len"),
+        F.round(F.col("q.stopword_ratio"), 6).alias("stopword_ratio"),
+        F.round(F.col("q.punct_ratio"), 6).alias("punct_ratio"),
     )
 
 
