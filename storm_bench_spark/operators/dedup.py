@@ -116,7 +116,13 @@ def band_digests_sql() -> str:
 
 
 def lsh_candidates(bands: DataFrame) -> DataFrame:
-    """Distinct candidate pairs (a < b) sharing at least one band bucket."""
+    """Distinct candidate pairs (a < b) sharing at least one band bucket.
+
+    The band side is repartitioned on the bucket key first, so the
+    self-join's two sides share one exchange (ReuseExchange) — the
+    shingle→signature→digest pipeline upstream runs once, not twice.
+    """
+    bands = bands.repartition("band", "digest")
     l = bands.alias("l")
     r = bands.alias("r")
     return (
@@ -264,9 +270,14 @@ def simhash_near_pairs(fp: DataFrame, max_hamming: int = 3) -> DataFrame:
         )
         for band in range(SIMHASH_BANDS)
     ]
-    banded = fp.select(
-        "doc_id", "simhash", F.explode(F.array(*entries)).alias("e")
-    ).select("doc_id", "simhash", F.col("e.nib").alias("nib"), F.col("e.key").alias("key"))
+    banded = (
+        fp.select("doc_id", "simhash", F.explode(F.array(*entries)).alias("e"))
+        .select(
+            "doc_id", "simhash", F.col("e.nib").alias("nib"), F.col("e.key").alias("key")
+        )
+        # shared exchange for the self-join: fingerprints compute once
+        .repartition("nib", "key")
+    )
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(

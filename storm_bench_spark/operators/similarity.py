@@ -173,26 +173,28 @@ def band_bucket_sql(vec: str, band: int, dim: int) -> str:
 def lsh_banded(vectors_dv: DataFrame, dim: int) -> DataFrame:
     """(id, v, band, key): one row per vector per band.
 
-    The vector is let-bound (``bind``) before the per-plane sign math:
-    the N_BANDS·ROWS_PER_BAND·dim ``get`` calls must read a bound lambda
-    variable, not re-evaluate the upstream cast-transform each time
-    (Spark applies no CSE inside higher-order-function lambdas).
+    The vector is materialized behind a Generate barrier
+    (``explode(array(v))``) before the per-plane sign math: the
+    N_BANDS·ROWS_PER_BAND·dim ``get`` calls must read a concrete
+    attribute — referencing the upstream cast-transform directly would
+    re-evaluate it per ``get``, and wrapping the banding in a ``bind``
+    lambda would force the whole 1024-term expression onto the
+    interpreted HOF path (measured ~ms/row). As a flat expression over
+    an attribute it whole-stage-codegens.
     """
-    from storm_bench_spark.functions.text import bind
-
-    def entries(vv):
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"), band_bucket(vv, b, dim).alias("key")
-                )
-                for b in range(N_BANDS)
-            ]
-        )
-
-    return vectors_dv.select(
-        "id", "v", F.explode(bind(F.col("v"), entries)).alias("e")
-    ).select("id", "v", F.col("e.band").alias("band"), F.col("e.key").alias("key"))
+    vm = vectors_dv.select("id", F.explode(F.array("v")).alias("v"))
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                band_bucket(F.col("v"), b, dim).alias("key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return vm.select("id", "v", F.explode(entries).alias("e")).select(
+        "id", "v", F.col("e.band").alias("band"), F.col("e.key").alias("key")
+    )
 
 
 def neardup_lsh(
@@ -208,7 +210,12 @@ def neardup_lsh(
     *surviving candidate*, not once per band collision.
     """
     v = vectors.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("v"))
-    banded = lsh_banded(v, dim).select("id", "band", "key")
+    # repartition on the join key so BOTH sides of the self-join share
+    # one exchange (ReuseExchange): the banding pipeline runs once, not
+    # twice, and the join needs no further shuffle.
+    banded = (
+        lsh_banded(v, dim).select("id", "band", "key").repartition("band", "key")
+    )
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(
