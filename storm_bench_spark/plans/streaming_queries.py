@@ -116,6 +116,63 @@ def streaming_flight_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.orderBy("dist_km", "icao1", "icao2", "step").limit(FLIGHT_CHUNK)
 
 
+# --- streaming RollingSort (per-trigger sort via foreachBatch) -----------
+
+@register(
+    "streaming_rolling_sort",
+    oracle=None,
+    doc="per-trigger buffered sort + top-k (RollingSort through foreachBatch)",
+)
+def streaming_rolling_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RollingSort's tick semantics — sort whatever the trigger
+    buffered, emit the top rows (SURVEY.md §4.3.3) — as a foreachBatch
+    sink: global sorts are not allowed inside a streaming plan, so each
+    micro-batch is sorted as a batch DataFrame, exactly the per-tick
+    ring-buffer sort. Returns the last trigger's top-k; parity with the
+    batch topology is asserted in tests."""
+    from storm_bench_spark.sources.derived import messages_from_events
+    from storm_bench_spark.sources.sinks import foreach_batch_capture
+
+    e = stream_table(spark, sf_dir, "events").withColumn(
+        "sec", F.col("ts").cast("long")
+    )
+    m = messages_from_events(e).select("event_id", "message")
+
+    per_trigger: list[list] = []
+
+    def sort_batch(batch_df, batch_id: int) -> None:
+        top = batch_df.orderBy("message", "event_id").limit(100).collect()
+        per_trigger.append(top)
+
+    q = foreach_batch_capture(m, sort_batch, output_mode="append")
+    q.awaitTermination()
+    rows = per_trigger[-1] if per_trigger else []
+    return spark.createDataFrame(rows, schema="event_id long, message string")
+
+
+# --- streaming SOL (shuffle chain through the streaming engine) ----------
+
+@register(
+    "streaming_sol",
+    oracle=None,
+    doc="identity shuffle chain through the streaming engine",
+)
+def streaming_sol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOL's identity-bolt chain with an exchange between levels,
+    executed per micro-batch (repartition is legal inside a streaming
+    plan; each trigger pays the same two shuffles the batch query
+    does)."""
+    from storm_bench_spark.sources.derived import messages_from_events
+
+    e = stream_table(spark, sf_dir, "events").withColumn(
+        "sec", F.col("ts").cast("long")
+    )
+    df = messages_from_events(e).select("message")
+    for _ in range(2):
+        df = df.repartition(32)
+    return run_to_memory(df, output_mode="append")
+
+
 # --- custom stateful operator (applyInPandasWithState) -------------------
 
 @register(

@@ -161,7 +161,11 @@ FROM ({EVENTS_SEC_SQL})
 # --- messages (RandomMessageSpout analog: pool of 100) -------------------
 
 def messages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = events_sec(spark, sf_dir)
+    return messages_from_events(events_sec(spark, sf_dir))
+
+
+def messages_from_events(e: DataFrame) -> DataFrame:
+    """Message derivation over any (event_id, sec) frame."""
     return e.select(
         "event_id",
         "sec",

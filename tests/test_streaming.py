@@ -83,6 +83,20 @@ def test_stream_batch_parity_hashtag_count(spark):
     assert_frames_match(stream, batch, "hashtag stream/batch parity")
 
 
+def test_stream_batch_parity_rolling_sort(spark):
+    qs = all_queries()
+    batch = qs["rolling_sort"](spark, SF_DIR).toPandas()
+    stream = qs["streaming_rolling_sort"](spark, SF_DIR).toPandas()
+    assert_frames_match(stream, batch, "rolling_sort stream/batch parity")
+
+
+def test_streaming_sol_preserves_rows(spark):
+    qs = all_queries()
+    batch = qs["sol"](spark, SF_DIR).toPandas()
+    stream = qs["streaming_sol"](spark, SF_DIR).toPandas()
+    assert sorted(stream["message"]) == sorted(batch["message"])
+
+
 def test_stream_batch_parity_flight_dist(spark):
     qs = all_queries()
     batch = qs["rolling_flight_dist"](spark, SF_DIR).toPandas()
