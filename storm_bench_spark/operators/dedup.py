@@ -145,7 +145,14 @@ def verify_jaccard(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFra
     Intersection via equi-join on shingles restricted to the candidate
     pairs, sizes via a pre-aggregated per-doc count — all shuffles are
     on keys, nothing quadratic.
+
+    ``sh`` is consumed three times (sizes, side a, side b); the
+    repartition pins one doc_id exchange that all three reuse
+    (ReuseExchange), so the shingle pipeline evaluates once. Alias-aware
+    output partitioning lets the renamed join keys (a = doc_id) ride the
+    same exchange.
     """
+    sh = sh.repartition("doc_id")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.select(F.col("doc_id").alias("a"), "sh")
     sb = sh.select(F.col("doc_id").alias("b"), "sh")
@@ -336,6 +343,9 @@ def inverted_index_candidates(
     frequent, or that share a single rare shingle — both imply the
     overlap is either non-distinctive or tiny.
     """
+    # one sh-keyed exchange feeds the DF count, the rare filter join,
+    # and both self-join sides (ReuseExchange)
+    sh = sh.repartition("sh")
     df_counts = sh.groupBy("sh").agg(F.count("*").alias("df"))
     rare = sh.join(df_counts.where(F.col("df") <= df_cap), "sh")
     l = rare.select(F.col("doc_id").alias("a"), "sh")
