@@ -20,6 +20,8 @@ as the wide-vector alternative; the default stays JVM-side.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve in module globals
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -124,9 +126,19 @@ def ann_topk_bruteforce(
 # agree in ANY band — the standard amplification that keeps recall
 # useful at moderate cosine (single-bucket AND-only collapses to
 # p^R recall).
+#
+# 8×8 sizing: R=8 gives 256 buckets per band, so random (unrelated)
+# vectors collide with probability 2^-8 per band — the candidate set
+# stays ~N·B·E[bucket]/2 instead of the O(N²/2^R) blowup a narrow key
+# space produces (R=4 ⇒ 16 buckets ⇒ ~N²/32 candidate pairs at any
+# scale: measured 460k candidates for 2k vectors). B=8 restores
+# recall: P(candidate) = 1-(1-p^8)^8 where p = 1-acos(cos)/π, i.e.
+# ≈0.93 at cos 0.9, ≈0.99 at cos 0.95 — the near-dup regime. Pairs
+# near the low verification threshold are deliberately under-recalled;
+# the brute-force twin remains the exact baseline.
 
-N_BANDS = 4
-ROWS_PER_BAND = 4
+N_BANDS = 8
+ROWS_PER_BAND = 8
 
 
 def hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
@@ -170,31 +182,72 @@ def band_bucket_sql(vec: str, band: int, dim: int) -> str:
     return f"CAST({' + '.join(parts)} AS BIGINT)"
 
 
+def _plane_weights(n_planes: int, dim: int):
+    import numpy as np
+
+    return np.array(
+        [
+            [1.0 if _weight_bit(p, i) else -1.0 for i in range(dim)]
+            for p in range(n_planes)
+        ]
+    )
+
+
+def _band_keys_udf():
+    """Arrow-batched band-key kernel: all N_BANDS keys per vector.
+
+    Why a Pandas UDF and not column expressions: the sign math is
+    N_BANDS·ROWS_PER_BAND·dim multiply-adds per row (4096 at 64 dims,
+    49k at 768). A flat unrolled expression exceeds janino's 64KB
+    method limit past ~1k terms, and inside WholeStageCodegen
+    ``splitExpressions`` can never split (consume() always passes
+    local variables), so every plan containing the projection burns
+    seconds in failed compilation *per task* and then runs the
+    interpreted tree (~ms/row). A ``bind``/HOF spelling is interpreted
+    too. NumPy over Arrow batches is the genuinely fast path — and the
+    only one whose cost doesn't grow with codegen limits as dim grows.
+
+    FP discipline: the fold over dimensions runs *sequentially in i*
+    (vectorized across rows and planes), so every plane dot is the
+    same left-associated double sum as the unrolled/``F.aggregate``
+    spelling and DuckDB's ``list_reduce`` — sign bits, and therefore
+    bucket keys, match the oracle bitwise.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    n_planes = N_BANDS * ROWS_PER_BAND
+    shifts = np.array([1 << r for r in range(ROWS_PER_BAND)], dtype=np.int64)
+
+    @pandas_udf("array<bigint>")
+    def band_keys(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(vec.to_numpy()).astype(np.float64)  # rows × dim
+        w = _plane_weights(n_planes, m.shape[1])  # planes × dim
+        acc = np.zeros((m.shape[0], n_planes))
+        for i in range(m.shape[1]):  # sequential in i: left-assoc sum
+            acc += np.outer(m[:, i], w[:, i])
+        bits = (acc >= 0).astype(np.int64)  # rows × planes
+        keys = (
+            bits.reshape(m.shape[0], N_BANDS, ROWS_PER_BAND) * shifts
+        ).sum(axis=2)
+        return pd.Series(list(keys))
+
+    return band_keys
+
+
 def lsh_banded(vectors_dv: DataFrame, dim: int) -> DataFrame:
     """(id, v, band, key): one row per vector per band.
 
-    The vector is materialized behind a Generate barrier
-    (``explode(array(v))``) before the per-plane sign math: the
-    N_BANDS·ROWS_PER_BAND·dim ``get`` calls must read a concrete
-    attribute — referencing the upstream cast-transform directly would
-    re-evaluate it per ``get``, and wrapping the banding in a ``bind``
-    lambda would force the whole 1024-term expression onto the
-    interpreted HOF path (measured ~ms/row). As a flat expression over
-    an attribute it whole-stage-codegens.
+    Keys come from the Arrow-batched kernel (one ArrowEvalPython node,
+    its own plan barrier — evaluated once per row); ``posexplode``
+    unrolls the per-band keys with the band index for free.
     """
-    vm = vectors_dv.select("id", F.explode(F.array("v")).alias("v"))
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                band_bucket(F.col("v"), b, dim).alias("key"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    return vm.select("id", "v", F.explode(entries).alias("e")).select(
-        "id", "v", F.col("e.band").alias("band"), F.col("e.key").alias("key")
-    )
+    keyed = vectors_dv.select("id", "v", _band_keys_udf()("v").alias("ks"))
+    return keyed.select(
+        "id", "v", F.posexplode("ks").alias("band", "key")
+    ).select("id", "v", F.col("band").cast("int").alias("band"), "key")
 
 
 def neardup_lsh(
@@ -207,7 +260,10 @@ def neardup_lsh(
     Shuffle discipline: the band self-join and the dedup run on (id,
     band, key) int rows only; the 8·dim-byte vectors are joined back
     onto the deduped pairs, so each vector crosses the wire once per
-    *surviving candidate*, not once per band collision.
+    *surviving candidate*, not once per band collision. Norms are
+    computed once per vector before the pair join (same doubles as a
+    per-pair norm, so the oracle's per-pair spelling still matches
+    bitwise), leaving only the dot product as per-candidate work.
     """
     v = vectors.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("v"))
     # repartition on the join key so BOTH sides of the self-join share
@@ -227,9 +283,12 @@ def neardup_lsh(
         .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .distinct()
     )
-    va = v.select(F.col("id").alias("a"), F.col("v").alias("va"))
-    vb = v.select(F.col("id").alias("b"), F.col("v").alias("vb"))
-    cos = F.round(cosine_fixed(F.col("va"), F.col("vb"), dim), 6)
+    vn = v.select("id", "v", _norm_fixed(F.col("v"), dim).alias("n"))
+    va = vn.select(F.col("id").alias("a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    vb = vn.select(F.col("id").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    cos = F.round(
+        _dot_fixed(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")), 6
+    )
     return (
         cand.join(va, "a")
         .join(vb, "b")

@@ -133,11 +133,23 @@ SELECT a, b, cos FROM (
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine near-dup pairs (baseline; O(n²) — the LSH
-    variant below is the scale path)."""
+    variant below is the scale path).
+
+    Norms are computed once per vector *before* the self-join so the
+    join stage's codegen only carries the dim-term dot product — the
+    full inline cosine (3·dim terms) blows janino's 64KB method limit
+    inside the BNLJ consume and silently drops the whole stage to the
+    interpreted path. Same doubles as a per-pair norm, so the oracle's
+    per-pair spelling still matches bitwise."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select(F.col("vec_id").alias("id"), SIM._dvec("embedding").alias("v"))
-    l, r = v.alias("l"), v.alias("r")
-    cos = F.round(SIM.cosine_fixed(F.col("l.v"), F.col("r.v"), EMB_DIM), 6)
+    vn = v.select("id", "v", SIM._norm_fixed(F.col("v"), EMB_DIM).alias("n"))
+    l, r = vn.alias("l"), vn.alias("r")
+    cos = F.round(
+        SIM._dot_fixed(F.col("l.v"), F.col("r.v"), EMB_DIM)
+        / (F.col("l.n") * F.col("r.n")),
+        6,
+    )
     return (
         l.join(r, F.col("l.id") < F.col("r.id"))
         .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"), cos.alias("cos"))
@@ -150,7 +162,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=SIM.neardup_lsh_sql(_V_CTE, EMB_DIM, COSINE_T),
 )
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded random-hyperplane LSH near-dup (4 bands x 4 planes):
+    """Banded random-hyperplane LSH near-dup (8 bands x 8 planes):
     candidates share a full band signature (equi-join on (band, key)),
     then cosine-verify — the 100 TB variant of embedding_neardup."""
     emb = load_table(spark, sf_dir, "embeddings")
