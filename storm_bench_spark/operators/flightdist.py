@@ -69,32 +69,75 @@ def _precompute_side(latest: DataFrame, suffix: str) -> DataFrame:
     )
 
 
-def _unit_vector(i: str):
-    """(x, y, z) of the dead-reckoned position of side ``i`` at time t.
+def _unit_vector_steps(df: DataFrame) -> DataFrame:
+    """Append unit-vector components (px_i, py_i, pz_i) for both sides.
 
-    All inputs are precomputed per-aircraft columns; only the angular
-    travel distance ``rel`` depends on the pair (through t).
+    Built as a CHAIN of named projections, not one composed Column
+    tree: every intermediate (``rel``, ``x``, ``n``, ``sd``/``cd``) is
+    referenced several times downstream, so a single expression tree
+    duplicates each subtree at every use — ``dist`` ends up inlining
+    ``rel`` hundreds of times, the Generate-consume method blows past
+    janino's 64KB limit (splitExpressions cannot split: consume()
+    passes local variables), and the whole stage silently runs
+    interpreted. As chained aliases, CollapseProject keeps non-cheap
+    multiply-referenced expressions in separate Projects, so each is
+    evaluated once and every codegen method stays small. Same
+    arithmetic, same doubles — the oracle still matches bitwise.
     """
-    rel = (
-        F.col(f"spd{i}")
-        * KNOT_TO_KM_PER_SEC
-        * (F.col("t") - F.col(f"pt{i}"))
-        / 1000.0
-        / EARTH_RADIUS_KM
-    )
-    sr, cr = F.sin(rel), F.cos(rel)
-    sl, cl = F.col(f"sl{i}"), F.col(f"cl{i}")
-    st, ct = F.col(f"st{i}"), F.col(f"ct{i}")
-    sg, cg = F.col(f"sg{i}"), F.col(f"cg{i}")
-    x = sl * cr + cl * sr * ct            # sin(lat')
-    clat2 = F.sqrt(1.0 - x * x)           # cos(lat')  (lat' ∈ [-90°, 90°])
-    a = st * sr * cl                      # numerator of tan(Δλ)
-    b = cr - sl * x                       # denominator of tan(Δλ)
-    n = F.sqrt(a * a + b * b)
-    sd, cd = a / n, b / n                 # sin/cos(Δλ) without atan2
-    slng2 = sg * cd + cg * sd             # sin(lng' )  (angle-sum identities)
-    clng2 = cg * cd - sg * sd             # cos(lng')
-    return clat2 * clng2, clat2 * slng2, x
+    steps = [
+        # angular travel distance of each side at probe time t
+        {
+            f"rel{i}": F.col(f"spd{i}")
+            * KNOT_TO_KM_PER_SEC
+            * (F.col("t") - F.col(f"pt{i}"))
+            / 1000.0
+            / EARTH_RADIUS_KM
+            for i in "12"
+        },
+        {f"sr{i}": F.sin(f"rel{i}") for i in "12"}
+        | {f"cr{i}": F.cos(f"rel{i}") for i in "12"},
+        # sin(lat') and tan(Δλ) numerator
+        {
+            f"x{i}": F.col(f"sl{i}") * F.col(f"cr{i}")
+            + F.col(f"cl{i}") * F.col(f"sr{i}") * F.col(f"ct{i}")
+            for i in "12"
+        }
+        | {
+            f"a{i}": F.col(f"st{i}") * F.col(f"sr{i}") * F.col(f"cl{i}")
+            for i in "12"
+        },
+        # cos(lat') (lat' ∈ [-90°, 90°]) and tan(Δλ) denominator
+        {f"clat2_{i}": F.sqrt(1.0 - F.col(f"x{i}") * F.col(f"x{i}")) for i in "12"}
+        | {
+            f"b{i}": F.col(f"cr{i}") - F.col(f"sl{i}") * F.col(f"x{i}")
+            for i in "12"
+        },
+        {
+            f"n{i}": F.sqrt(
+                F.col(f"a{i}") * F.col(f"a{i}") + F.col(f"b{i}") * F.col(f"b{i}")
+            )
+            for i in "12"
+        },
+        # sin/cos(Δλ) without atan2
+        {f"sd{i}": F.col(f"a{i}") / F.col(f"n{i}") for i in "12"}
+        | {f"cd{i}": F.col(f"b{i}") / F.col(f"n{i}") for i in "12"},
+        # sin/cos(lng') via angle-sum identities
+        {
+            f"slng2_{i}": F.col(f"sg{i}") * F.col(f"cd{i}")
+            + F.col(f"cg{i}") * F.col(f"sd{i}")
+            for i in "12"
+        }
+        | {
+            f"clng2_{i}": F.col(f"cg{i}") * F.col(f"cd{i}")
+            - F.col(f"sg{i}") * F.col(f"sd{i}")
+            for i in "12"
+        },
+        {f"px{i}": F.col(f"clat2_{i}") * F.col(f"clng2_{i}") for i in "12"}
+        | {f"py{i}": F.col(f"clat2_{i}") * F.col(f"slng2_{i}") for i in "12"},
+    ]
+    for cols in steps:
+        df = df.withColumns(cols)
+    return df  # pz_i is x{i} (sin(lat'))
 
 
 def flight_dist_pairs(
@@ -148,13 +191,18 @@ def flight_dist_from_latest(
         + F.col("step") * (speculative_comp_timestep_sec * 1000),
     )
 
-    x1, y1, z1 = _unit_vector("1")
-    x2, y2, z2 = _unit_vector("2")
-    half_chord_sq = (
-        (x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2) + (z1 - z2) * (z1 - z2)
-    ) / 4.0
+    uv = _unit_vector_steps(stepped)
+    dx = F.col("px1") - F.col("px2")
+    dy = F.col("py1") - F.col("py2")
+    dz = F.col("x1") - F.col("x2")
+    half_chord_sq = (dx * dx + dy * dy + dz * dz) / 4.0
     dist = 2.0 * EARTH_RADIUS_KM * F.asin(F.least(F.sqrt(half_chord_sq), F.lit(1.0)))
 
-    return stepped.select(
-        "icao1", "icao2", "step", dist.alias("dist_km")
+    # dist_km goes through a Generate barrier: a plain alias would let
+    # PushDownPredicates substitute the threshold filter below every
+    # intermediate Project, re-inlining the whole expression tree into
+    # one Filter condition (the exact blowup the chain above avoids).
+    # Predicates on a generator's output cannot push through Generate.
+    return uv.select(
+        "icao1", "icao2", "step", F.explode(F.array(dist)).alias("dist_km")
     ).where(F.col("dist_km") <= dist_threshold_km)
