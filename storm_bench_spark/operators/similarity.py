@@ -73,6 +73,24 @@ def cosine_fixed(a: Column, b: Column, dim: int) -> Column:
     return _dot_fixed(a, b, dim) / (_norm_fixed(a, dim) * _norm_fixed(b, dim))
 
 
+# Norm hoisting: every pairwise scorer precomputes per-vector norms in
+# a projection BELOW the join, so the join stage's codegen carries only
+# the dim-term dot product — a full inline cosine (3·dim terms) blows
+# janino's 64KB method limit inside BNLJ consume and the stage silently
+# runs interpreted. The hoisted norm is the same left-assoc double sum
+# as the per-pair spelling, so dot/(n1*n2) stays bitwise-equal to the
+# SQL oracle's per-pair cosine.
+
+def _with_norm(df: DataFrame, vec: str, out: str, dim: int | None) -> DataFrame:
+    n = _norm_fixed(F.col(vec), dim) if dim else _norm(F.col(vec))
+    return df.withColumn(out, n)
+
+
+def _pair_cos(a: str, b: str, na: str, nb: str, dim: int | None) -> Column:
+    dot = _dot_fixed(F.col(a), F.col(b), dim) if dim else _dot(F.col(a), F.col(b))
+    return dot / (F.col(na) * F.col(nb))
+
+
 DVEC_SQL = "CAST({col} AS DOUBLE[])"
 DOT_SQL = (
     "list_reduce(list_prepend(0e0, list_transform(range(1, len({a}) + 1), "
@@ -105,13 +123,19 @@ def ann_topk_bruteforce(
     """
     from pyspark.sql.window import Window
 
-    cos_fn = (lambda a, b: cosine_fixed(a, b, dim)) if dim else cosine
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("qid"), _dvec(vec_col).alias("qv"))
+        _with_norm(
+            queries.select(F.col(id_col).alias("qid"), _dvec(vec_col).alias("qv")),
+            "qv", "qn", dim,
+        )
     )
-    v = vectors.select(F.col(id_col).alias("nid"), _dvec(vec_col).alias("nv"))
+    v = _with_norm(
+        vectors.select(F.col(id_col).alias("nid"), _dvec(vec_col).alias("nv")),
+        "nv", "nn", dim,
+    )
     scored = q.join(v, F.col("qid") != F.col("nid")).select(
-        "qid", "nid", F.round(cos_fn(F.col("qv"), F.col("nv")), 6).alias("cos")
+        "qid", "nid",
+        F.round(_pair_cos("qv", "nv", "qn", "nn", dim), 6).alias("cos"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (
@@ -311,18 +335,24 @@ IVF_NPROBE = 4
 
 def ivf_assign(v: DataFrame, centroids: DataFrame, dim: int | None = None) -> DataFrame:
     """(id, v, cid): each vector keyed by its nearest centroid
-    (max cosine, ties broken by centroid id)."""
-    from pyspark.sql.window import Window
+    (max cosine, ties broken by centroid id).
 
-    cos_fn = (lambda a, b: cosine_fixed(a, b, dim)) if dim else cosine
-    scored = v.crossJoin(F.broadcast(centroids)).select(
-        "id", "v", "cid", cos_fn(F.col("v"), F.col("cv")).alias("ccos")
+    The argmax is ``groupBy(id).agg(max_by)`` rather than a
+    ``row_number`` window: the window would shuffle C copies of every
+    vector (C·N·8·dim bytes) just to sort them per id, while the
+    grouped max_by partially aggregates *map-side* — the broadcast
+    cross join emits a vector's C scores contiguously in one task, so
+    one row per vector reaches the exchange. Tie-break (max cosine,
+    then min cid) rides in the ordering struct; ``first(v)`` is
+    deterministic because v is functionally dependent on id."""
+    vn = _with_norm(v, "v", "n", dim)
+    cn = F.broadcast(_with_norm(centroids, "cv", "cn", dim))
+    scored = vn.crossJoin(cn).select(
+        "id", "v", "cid", _pair_cos("v", "cv", "n", "cn", dim).alias("ccos")
     )
-    w = Window.partitionBy("id").orderBy(F.desc("ccos"), F.asc("cid"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("id", "v", "cid")
+    return scored.groupBy("id").agg(
+        F.first("v").alias("v"),
+        F.max_by("cid", F.struct(F.col("ccos"), -F.col("cid"))).alias("cid"),
     )
 
 
@@ -343,30 +373,36 @@ def ann_topk_ivf(
     which is the standard IVF recall trade."""
     from pyspark.sql.window import Window
 
-    cos_fn = (lambda a, b: cosine_fixed(a, b, dim)) if dim else cosine
     v = vectors.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("v"))
-    centroids = F.broadcast(
-        vectors.where(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("cid"), _dvec(vec_col).alias("cv")
-        )
+    centroids = vectors.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), _dvec(vec_col).alias("cv")
     )
-    assigned = ivf_assign(v, centroids, dim)
+    assigned = _with_norm(ivf_assign(v, centroids, dim), "v", "n", dim)
 
-    q = queries.select(F.col(id_col).alias("qid"), _dvec(vec_col).alias("qv"))
-    qs = q.crossJoin(centroids).select(
-        "qid", "qv", "cid", cos_fn(F.col("qv"), F.col("cv")).alias("ccos")
+    q = _with_norm(
+        queries.select(F.col(id_col).alias("qid"), _dvec(vec_col).alias("qv")),
+        "qv", "qn", dim,
+    )
+    cq = F.broadcast(_with_norm(centroids, "cv", "cn", dim))
+    qs = q.crossJoin(cq).select(
+        "qid", "qv", "qn", "cid",
+        _pair_cos("qv", "cv", "qn", "cn", dim).alias("ccos"),
     )
     wq = Window.partitionBy("qid").orderBy(F.desc("ccos"), F.asc("cid"))
     probes = (
         qs.withColumn("rn", F.row_number().over(wq))
         .where(F.col("rn") <= n_probe)
-        .select("qid", "qv", "cid")
+        .select("qid", "qv", "qn", "cid")
     )
 
-    cand = probes.join(assigned, "cid").where(F.col("qid") != F.col("id"))
+    # probes is tiny (queries × n_probe) — broadcast it so the big
+    # assigned side never shuffles for candidate generation.
+    cand = F.broadcast(probes).join(assigned, "cid").where(
+        F.col("qid") != F.col("id")
+    )
     scored = cand.select(
         "qid", F.col("id").alias("nid"),
-        F.round(cos_fn(F.col("qv"), F.col("v")), 6).alias("cos"),
+        F.round(_pair_cos("qv", "v", "qn", "n", dim), 6).alias("cos"),
     )
     wk = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (
