@@ -30,8 +30,12 @@ from storm_bench_spark.functions.hashing import hash64_sql
 # --- shared double-precision vector expressions --------------------------
 
 def _dvec(col: str | Column) -> Column:
+    # cast, not transform(x -> cast(x)): Cast is a codegen-supported
+    # expression, while any higher-order function is CodegenFallback
+    # and knocks its whole Project out of whole-stage codegen. Same
+    # doubles (float->double widening is exact either way).
     c = F.col(col) if isinstance(col, str) else col
-    return F.transform(c, lambda x: x.cast("double"))
+    return c.cast("array<double>")
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -107,6 +111,63 @@ def cosine_sql(a: str, b: str) -> str:
     return f"({dot}) / ({NORM_SQL.format(a=a)} * {NORM_SQL.format(a=b)})"
 
 
+# --- reference-set NumPy scorer ------------------------------------------
+# For a SMALL reference set (the query batch, the centroid table), the
+# scalable spelling is: collect the references to the driver (k·dim
+# doubles — bytes), close over them in an Arrow-batched kernel, and
+# score every data vector against all references in one pass. No join
+# at all — the "broadcast" is the UDF closure, the per-vector cost is
+# a k×dim matrix product in NumPy.
+#
+# Why not JVM column expressions: an unrolled dim-term dot compiles
+# under janino's 64KB source limit, but past ~dim 16 the generated
+# processNext() exceeds HotSpot's DontCompileHugeMethods threshold
+# (8KB *bytecode*), C2 never JITs it, and the stage runs in the
+# bytecode interpreter at ~15µs/row — with no error logged anywhere.
+# (Third silent-slowness mechanism after janino-fail and HOF fallback.)
+#
+# FP discipline: dots and norms accumulate *sequentially in i*
+# (vectorized across rows and references), reproducing the
+# left-associated double sums of the unrolled/fold spellings and
+# DuckDB's ``list_reduce`` — cosines match the oracle bitwise.
+
+
+def _collect_ref(df: DataFrame, id_col: str, vec_col: str):
+    """(ids, matrix, norms) of a small reference table, sorted by id."""
+    import numpy as np
+
+    rows = df.select(id_col, vec_col).orderBy(id_col).collect()
+    ids = [int(r[0]) for r in rows]
+    m = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    n = np.zeros(m.shape[0])
+    for i in range(m.shape[1]):  # sequential: left-assoc sum
+        n += m[:, i] * m[:, i]
+    return ids, m, np.sqrt(n)
+
+
+def _ref_scores_udf(ref_m, ref_n):
+    """array<double>: cosine of the input vector to every reference."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def scores(vec: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(vec.to_numpy()).astype(np.float64)
+        acc = np.zeros((m.shape[0], ref_m.shape[0]))
+        n = np.zeros(m.shape[0])
+        for i in range(m.shape[1]):  # sequential in i: left-assoc sums
+            acc += np.outer(m[:, i], ref_m[:, i])
+            n += m[:, i] * m[:, i]
+        cos = acc / (np.sqrt(n)[:, None] * ref_n[None, :])
+        return pd.Series(list(cos))
+
+    return scores
+
+
 # --- brute-force top-k ---------------------------------------------------
 
 def ann_topk_bruteforce(
@@ -115,27 +176,28 @@ def ann_topk_bruteforce(
 ) -> DataFrame:
     """Top-k cosine neighbors of each query vector (self excluded).
 
-    The query side is broadcast; ranking uses min-heap semantics via a
-    window over (qid) — the per-query row count is N, but the shuffle
-    key is qid so the sort never sees more than one query's scores.
-    Pass ``dim`` for fixed-width vectors to get the unrolled (codegen)
-    cosine; ``None`` falls back to the fold for ragged arrays.
+    The query batch rides in the scorer's closure (driver-collected —
+    it is small by construction); every data vector is scored against
+    all queries in one Arrow pass, so no join and no copy of the
+    vector column ever crosses an exchange. Ranking shuffles only
+    (qid, nid, cos) rows, keyed by qid.
     """
     from pyspark.sql.window import Window
 
-    q = F.broadcast(
-        _with_norm(
-            queries.select(F.col(id_col).alias("qid"), _dvec(vec_col).alias("qv")),
-            "qv", "qn", dim,
+    qids, qm, qn = _collect_ref(
+        queries.select(F.col(id_col).alias("qid"), _dvec(vec_col).alias("qv")),
+        "qid", "qv",
+    )
+    qid_arr = F.array(*[F.lit(q) for q in qids])
+    v = vectors.select(F.col(id_col).alias("nid"), _dvec(vec_col).alias("nv"))
+    scored = (
+        v.select("nid", F.posexplode(_ref_scores_udf(qm, qn)("nv")).alias("qi", "c"))
+        .select(
+            F.element_at(qid_arr, F.col("qi") + 1).alias("qid"),
+            "nid",
+            F.round("c", 6).alias("cos"),
         )
-    )
-    v = _with_norm(
-        vectors.select(F.col(id_col).alias("nid"), _dvec(vec_col).alias("nv")),
-        "nv", "nn", dim,
-    )
-    scored = q.join(v, F.col("qid") != F.col("nid")).select(
-        "qid", "nid",
-        F.round(_pair_cos("qv", "nv", "qn", "nn", dim), 6).alias("cos"),
+        .where(F.col("qid") != F.col("nid"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (
@@ -337,23 +399,36 @@ def ivf_assign(v: DataFrame, centroids: DataFrame, dim: int | None = None) -> Da
     """(id, v, cid): each vector keyed by its nearest centroid
     (max cosine, ties broken by centroid id).
 
-    The argmax is ``groupBy(id).agg(max_by)`` rather than a
-    ``row_number`` window: the window would shuffle C copies of every
-    vector (C·N·8·dim bytes) just to sort them per id, while the
-    grouped max_by partially aggregates *map-side* — the broadcast
-    cross join emits a vector's C scores contiguously in one task, so
-    one row per vector reaches the exchange. Tie-break (max cosine,
-    then min cid) rides in the ordering struct; ``first(v)`` is
-    deterministic because v is functionally dependent on id."""
-    vn = _with_norm(v, "v", "n", dim)
-    cn = F.broadcast(_with_norm(centroids, "cv", "cn", dim))
-    scored = vn.crossJoin(cn).select(
-        "id", "v", "cid", _pair_cos("v", "cv", "n", "cn", dim).alias("ccos")
-    )
-    return scored.groupBy("id").agg(
-        F.first("v").alias("v"),
-        F.max_by("cid", F.struct(F.col("ccos"), -F.col("cid"))).alias("cid"),
-    )
+    One narrow pass: the centroid matrix rides in the scorer closure
+    (driver-collected — C·dim doubles), each vector's C cosines come
+    from one Arrow batch, and ``argmax`` picks the first maximum —
+    centroids are sorted by cid, so first-max IS the min-cid
+    tie-break. No cross join, no shuffle, nothing but the vector
+    table streaming through one ArrowEvalPython node. The previous
+    spellings (row_number window; groupBy max_by over a C-way cross
+    join) shuffled or materialized C rows per vector and kept the
+    dim-term dot in JVM codegen, where it exceeds HotSpot's
+    huge-method JIT limit and runs in the bytecode interpreter."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cids, cm, cn = _collect_ref(centroids, "cid", "cv")
+    cid_np = np.array(cids, dtype=np.int64)
+
+    @pandas_udf("bigint")
+    def nearest(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.stack(vec.to_numpy()).astype(np.float64)
+        acc = np.zeros((m.shape[0], cm.shape[0]))
+        n = np.zeros(m.shape[0])
+        for i in range(m.shape[1]):  # sequential in i: left-assoc sums
+            acc += np.outer(m[:, i], cm[:, i])
+            n += m[:, i] * m[:, i]
+        cos = acc / (np.sqrt(n)[:, None] * cn[None, :])
+        return pd.Series(cid_np[np.argmax(cos, axis=1)])
+
+    return v.withColumn("cid", nearest("v"))
 
 
 def ann_topk_ivf(

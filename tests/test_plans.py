@@ -46,9 +46,14 @@ def test_flight_dist_broadcasts_pair_side(spark):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_ann_topk_broadcasts_query_side(spark):
+def test_ann_topk_scores_without_a_join(spark):
+    # the query batch rides in the Arrow scorer's closure (driver-side
+    # collect of a small set) — the big vector table must stream through
+    # one ArrowEvalPython pass with NO join of any kind; the only
+    # exchange allowed is the slim (qid, nid, cos) ranking shuffle
     plan = _plan(spark, "ann_topk")
-    assert "BroadcastExchange" in plan
+    assert "ArrowEvalPython" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
 
 
 def test_dedup_candidates_are_equi_joins(spark):
