@@ -56,25 +56,32 @@ def cosine(a: Column, b: Column) -> Column:
 # the fold's ``(0.0 + x1) + x2 + ...`` equals the unrolled left-assoc
 # sum because 0.0 + x == x in IEEE for finite x, so the same DuckDB
 # ``list_reduce`` oracle verifies both.
+#
+# Built as ONE SQL string parsed by a single ``F.expr`` call, not a
+# Python loop of Column operators: every ``F.get``/``*``/``+`` is a
+# py4j round-trip, and a dim-term tree costs thousands of them —
+# measured ~2 s of pure plan-BUILD time per query at dim 64. The
+# parsed tree is the same left-associated sum ("a + b + c" parses
+# left-assoc), so results and oracles are unchanged. Arguments are
+# SQL column references (optionally alias-qualified, e.g. "l.v").
 
-def _dot_fixed(a: Column, b: Column, dim: int) -> Column:
-    acc = None
-    for i in range(dim):
-        t = F.get(a, i) * F.get(b, i)
-        acc = t if acc is None else acc + t
-    return acc
-
-
-def _norm_fixed(a: Column, dim: int) -> Column:
-    acc = None
-    for i in range(dim):
-        t = F.get(a, i) * F.get(a, i)
-        acc = t if acc is None else acc + t
-    return F.sqrt(acc)
+def _dot_terms(a: str, b: str, dim: int) -> str:
+    return " + ".join(f"({a}[{i}] * {b}[{i}])" for i in range(dim))
 
 
-def cosine_fixed(a: Column, b: Column, dim: int) -> Column:
-    return _dot_fixed(a, b, dim) / (_norm_fixed(a, dim) * _norm_fixed(b, dim))
+def _dot_fixed(a: str, b: str, dim: int) -> Column:
+    return F.expr(_dot_terms(a, b, dim))
+
+
+def _norm_fixed(a: str, dim: int) -> Column:
+    return F.expr(f"SQRT({_dot_terms(a, a, dim)})")
+
+
+def cosine_fixed(a: str, b: str, dim: int) -> Column:
+    return F.expr(
+        f"({_dot_terms(a, b, dim)})"
+        f" / (SQRT({_dot_terms(a, a, dim)}) * SQRT({_dot_terms(b, b, dim)}))"
+    )
 
 
 # Norm hoisting: every pairwise scorer precomputes per-vector norms in
@@ -86,13 +93,14 @@ def cosine_fixed(a: Column, b: Column, dim: int) -> Column:
 # SQL oracle's per-pair cosine.
 
 def _with_norm(df: DataFrame, vec: str, out: str, dim: int | None) -> DataFrame:
-    n = _norm_fixed(F.col(vec), dim) if dim else _norm(F.col(vec))
+    n = _norm_fixed(vec, dim) if dim else _norm(F.col(vec))
     return df.withColumn(out, n)
 
 
 def _pair_cos(a: str, b: str, na: str, nb: str, dim: int | None) -> Column:
-    dot = _dot_fixed(F.col(a), F.col(b), dim) if dim else _dot(F.col(a), F.col(b))
-    return dot / (F.col(na) * F.col(nb))
+    if dim:
+        return F.expr(f"({_dot_terms(a, b, dim)}) / ({na} * {nb})")
+    return _dot(F.col(a), F.col(b)) / (F.col(na) * F.col(nb))
 
 
 DVEC_SQL = "CAST({col} AS DOUBLE[])"
@@ -136,7 +144,9 @@ def _collect_ref(df: DataFrame, id_col: str, vec_col: str):
     """(ids, matrix, norms) of a small reference table, sorted by id."""
     import numpy as np
 
-    rows = df.select(id_col, vec_col).orderBy(id_col).collect()
+    # sort driver-side: an orderBy would add an exchange + AQE stage to
+    # what is otherwise a single-stage scan of a tiny table
+    rows = sorted(df.select(id_col, vec_col).collect(), key=lambda r: r[0])
     ids = [int(r[0]) for r in rows]
     m = np.array([list(r[1]) for r in rows], dtype=np.float64)
     n = np.zeros(m.shape[0])
@@ -227,34 +237,14 @@ N_BANDS = 8
 ROWS_PER_BAND = 8
 
 
-def hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
-    """Sign bit of <v, w_plane> where w_plane has deterministic ±1
-    weights per dimension (parity of the portable hash of 'plane:dim')."""
-    terms = None
-    for i in range(dim):
-        # parity of PERMS-free deterministic hash; computed at plan
-        # build time in Python so the weight is a literal ±1.
-        w = 1 if _weight_bit(plane, i) else -1
-        t = F.get(vec, i) * w
-        terms = t if terms is None else terms + t
-    return F.when(terms >= 0, F.lit(1)).otherwise(F.lit(0))
-
-
 def _weight_bit(plane: int, dim: int) -> int:
+    """Deterministic ±1 hyperplane weight bit (parity of the portable
+    hash of 'plane:dim') — shared by the Arrow kernel and the SQL
+    oracle so both see identical planes."""
     import hashlib
 
     h = hashlib.md5(f"{plane}:{dim}".encode()).hexdigest()
     return int(h[0], 16) & 1
-
-
-def band_bucket(vec: Column, band: int, dim: int) -> Column:
-    """Bucket key for one band: ROWS_PER_BAND sign bits packed into BIGINT."""
-    acc = None
-    for r in range(ROWS_PER_BAND):
-        plane = band * ROWS_PER_BAND + r
-        bit = hyperplane_sign(vec, plane, dim) * (1 << r)
-        acc = bit if acc is None else acc + bit
-    return acc.cast("bigint")
 
 
 def band_bucket_sql(vec: str, band: int, dim: int) -> str:
@@ -369,12 +359,10 @@ def neardup_lsh(
         .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .distinct()
     )
-    vn = v.select("id", "v", _norm_fixed(F.col("v"), dim).alias("n"))
+    vn = v.select("id", "v", _norm_fixed("v", dim).alias("n"))
     va = vn.select(F.col("id").alias("a"), F.col("v").alias("va"), F.col("n").alias("na"))
     vb = vn.select(F.col("id").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
-    cos = F.round(
-        _dot_fixed(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")), 6
-    )
+    cos = F.round(_pair_cos("va", "vb", "na", "nb", dim), 6)
     return (
         cand.join(va, "a")
         .join(vb, "b")

@@ -143,13 +143,9 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-pair spelling still matches bitwise."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select(F.col("vec_id").alias("id"), SIM._dvec("embedding").alias("v"))
-    vn = v.select("id", "v", SIM._norm_fixed(F.col("v"), EMB_DIM).alias("n"))
+    vn = v.select("id", "v", SIM._norm_fixed("v", EMB_DIM).alias("n"))
     l, r = vn.alias("l"), vn.alias("r")
-    cos = F.round(
-        SIM._dot_fixed(F.col("l.v"), F.col("r.v"), EMB_DIM)
-        / (F.col("l.n") * F.col("r.n")),
-        6,
-    )
+    cos = F.round(SIM._pair_cos("l.v", "r.v", "l.n", "r.n", EMB_DIM), 6)
     return (
         l.join(r, F.col("l.id") < F.col("r.id"))
         .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"), cos.alias("cos"))
