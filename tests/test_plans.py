@@ -46,6 +46,26 @@ def test_flight_dist_broadcasts_pair_side(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_ann_topk_ivf_assigns_without_a_join(spark):
+    # cell assignment is one ArrowEvalPython pass (centroids ride in
+    # the kernel closure); the only joins are the tiny broadcast probe
+    # join on cid — never a cartesian pair blowup over vectors
+    plan = _plan(spark, "ann_topk_ivf")
+    assert "ArrowEvalPython" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q1_aggregates_in_two_exact_phases(spark):
+    # phase 1 sums micro-unit longs per (group, input partition) — the
+    # per-row path must stay in long arithmetic, with the wide-decimal
+    # merge confined to the handful of partial rows
+    plan = _plan(spark, "tpch_q1")
+    assert "SPARK_PARTITION_ID" in plan.upper()
+    # partials shuffle once, final groups shuffle once
+    assert plan.count("Exchange") == 2
+
+
 def test_ann_topk_scores_without_a_join(spark):
     # the query batch rides in the Arrow scorer's closure (driver-side
     # collect of a small set) — the big vector table must stream through
