@@ -20,6 +20,8 @@ as the wide-vector alternative; the default stays JVM-side.
 
 from __future__ import annotations
 
+import functools
+
 import pandas as pd  # module-level: pandas_udf type hints resolve in module globals
 
 from pyspark.sql import Column, DataFrame
@@ -258,7 +260,11 @@ def band_bucket_sql(vec: str, band: int, dim: int) -> str:
     return f"CAST({' + '.join(parts)} AS BIGINT)"
 
 
+@functools.lru_cache(maxsize=8)
 def _plane_weights(n_planes: int, dim: int):
+    # cached per process: the kernel calls this once per Arrow BATCH on
+    # the executor; uncached that is n_planes·dim md5 hashes per batch
+    # (4096 at 64 dims) of pure recomputation
     import numpy as np
 
     return np.array(
