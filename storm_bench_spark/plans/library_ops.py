@@ -122,8 +122,16 @@ def adsb_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the *relational spec* of the same result computed
     without JSON, so Spark's render→parse round-trip is what's tested.
     Spd is excluded from the output (it is the injected-null field).
+
+    The repartition spreads the render→parse CPU across the cluster:
+    the fixture parquet is a single row group (unsplittable — one scan
+    task), and unlike the cheap column-arithmetic queries, ~10 µs/row
+    of JSON work dwarfs one small shuffle. Same pattern as reading a
+    few huge gzip files.
     """
-    fl = D.adsb_flights(spark, sf_dir)
+    fl = D.adsb_flights(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     spd_part = F.when(
         F.col("event_id") % _NOSPD_MOD != 0,
         F.concat(F.lit(',"Spd":'), F.col("spd").cast("string")),
