@@ -23,6 +23,11 @@ def _configure(spark: SparkSession) -> SparkSession:
     # The driver owns the session; apply the engine's runtime-settable
     # requirements (UTC determinism, nanos timestamps in the fixtures).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Arrow toPandas: besides speed, it makes array<double> columns
+    # arrive as numpy arrays — the same cell type DuckDB's fetchdf
+    # produces — so a cell-type-sensitive comparator sees identical
+    # frames from both engines.
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

@@ -19,6 +19,11 @@ def _canon_cell(v):
         return ("f", repr(round(v, 9)))
     if v is None:
         return ("none", "")
+    # sequences canonicalize element-wise so a Spark list and a DuckDB
+    # numpy array of the same values compare equal (cell type depends
+    # on whether Arrow is enabled, not on the query's result)
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return ("seq", tuple(_canon_cell(x) for x in v))
     return (type(v).__name__, str(v))
 
 
