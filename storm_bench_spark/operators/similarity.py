@@ -1,21 +1,25 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths, both engine extensions for training-data pipelines:
+Engine extensions for training-data pipelines. Three execution shapes,
+chosen by where the per-row work can run fastest:
 
-- Brute force: broadcast the (small) query set against the full vector
-  table — O(Q·N), scales with N because it's a broadcast nested loop
-  with no shuffle of the big side. The oracle-grade baseline.
-- LSH (random hyperplanes): deterministic ±1 hyperplanes derived from
-  the portable hash; vectors joining on their bucket signature. This is
-  the 100 TB path — candidate generation is an equi-join on the bucket
-  key, verification only touches bucket-mates.
+- Small-reference scoring (brute-force top-k, IVF cell assignment):
+  the reference set (query batch, centroid table) is collected to the
+  driver and rides in an Arrow kernel's closure — the big vector table
+  streams through ONE ArrowEvalPython pass with no join at all.
+- LSH banding (the 100 TB near-dup path): band keys from the same
+  Arrow kernel style; candidate generation is an equi-join on
+  (band, key) — never a cross join — with both self-join sides fed by
+  one reused exchange.
+- Per-candidate verification: JVM column expressions. Norms are
+  hoisted below the join so the join stage carries only the dim-term
+  dot product (codegen-method-size discipline — see _dot_terms).
 
-All vector math is double-precision, computed as an identical
-left-fold in Spark (``F.aggregate``) and DuckDB (``list_reduce``) so
-cosines agree bitwise before the rounding that outputs carry.
-
-A NumPy/Pandas-UDF variant of the brute-force scorer exists in tests
-as the wide-vector alternative; the default stays JVM-side.
+All vector math is double-precision with every sum accumulated in
+dimension order (unrolled left-assoc expressions JVM-side, sequential
+``for i`` loops over vectorized rows in the NumPy kernels), matching
+DuckDB's ``list_reduce`` fold bitwise, so cosines agree exactly before
+the rounding that outputs carry.
 """
 
 from __future__ import annotations
