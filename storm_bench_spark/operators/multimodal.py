@@ -53,7 +53,9 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
     width = n % 640 + 16
     height = (n * 7) % 480 + 16
     channels = 3
-    n_frames = n // 1024 + 1
+    # Ceiling frame count (min 1): a payload of exactly k·FRAME_SIZE
+    # bytes has k frames, not k+1 — a real decoder agrees with this.
+    n_frames = max(1, (n + FRAME_SIZE_BYTES - 1) // FRAME_SIZE_BYTES)
     return width, height, channels, n_frames
 
 
@@ -181,14 +183,15 @@ def sample_frames(
     """(doc_id, frame_index, frame) for every k-th frame — the
     one-row-in/many-rows-out UDF shape (video frame sampling). Frames
     are FRAME_SIZE_BYTES slices of the payload; count mirrors
-    ``decode_image_meta.n_frames`` (len // 1024 + 1)."""
+    ``decode_image_meta.n_frames`` (ceil(len / 1024), min 1)."""
 
     def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 payload = bytes(payload)
-                n_frames = len(payload) // FRAME_SIZE_BYTES + 1
+                n = len(payload)
+                n_frames = max(1, (n + FRAME_SIZE_BYTES - 1) // FRAME_SIZE_BYTES)
                 for i in range(0, n_frames, every_k):
                     frame = payload[i * FRAME_SIZE_BYTES : (i + 1) * FRAME_SIZE_BYTES]
                     rows.append((int(doc_id), i, frame))

@@ -211,7 +211,7 @@ SELECT doc_id,
        CAST(octet_length(encode(text)) % 640 + 16 AS BIGINT) AS width,
        CAST((octet_length(encode(text)) * 7) % 480 + 16 AS BIGINT) AS height,
        CAST(3 AS BIGINT) AS channels,
-       CAST(octet_length(encode(text)) // 1024 + 1 AS BIGINT) AS n_frames
+       CAST(greatest((octet_length(encode(text)) + 1023) // 1024, 1) AS BIGINT) AS n_frames
 FROM documents
 """,
 )
@@ -234,18 +234,29 @@ _RESIZE_TARGET = RESIZE_W * RESIZE_H * RESIZE_C
 @register(
     "multimodal_features",
     oracle=f"""
-SELECT doc_id,
-       list_transform(range(0, {FEATURE_DIM}),
-                      i -> CAST(({_BLOB_LEN} * (i + 1)) % 97 AS DOUBLE) / 97e0) AS features
-FROM documents
+SELECT doc_id, CAST(i AS BIGINT) AS i,
+       round(CAST(({_BLOB_LEN} * (i + 1)) % 97 AS DOUBLE) / 97e0, 6) AS value
+FROM (SELECT doc_id, text, unnest(range(0, {FEATURE_DIM})) AS i FROM documents)
 """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode→embed stage: binary payload → FEATURE_DIM double vector
     via Arrow-batched mapInPandas (STUB model, octet_length-derived, so
-    the oracle certifies the batching/schema path)."""
+    the oracle certifies the batching/schema path).
+
+    The raw operator returns ``features: array<double>``; the registered
+    query posexplodes it to scalar ``(doc_id, i, value)`` rows because
+    the driver's canonicalizer sorts cells with pandas and cannot hash
+    array cells."""
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(documents_as_binary(docs))
+    feats = extract_features(documents_as_binary(docs))
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("i", "value")
+    ).select(
+        "doc_id",
+        F.col("i").cast("long").alias("i"),
+        F.round("value", 6).alias("value"),
+    )
 
 
 # The resize/frame queries hex-encode their binary outputs: this DuckDB
@@ -277,7 +288,8 @@ SELECT doc_id,
        CAST(i AS BIGINT) AS frame_index,
        substring({_HEX}, CAST(i * {2 * FRAME_SIZE_BYTES} + 1 AS BIGINT),
                  {2 * FRAME_SIZE_BYTES}) AS frame
-FROM (SELECT doc_id, text, unnest(range(0, {_BLOB_LEN} // {FRAME_SIZE_BYTES} + 1, 2)) AS i
+FROM (SELECT doc_id, text,
+             unnest(range(0, greatest(({_BLOB_LEN} + {FRAME_SIZE_BYTES - 1}) // {FRAME_SIZE_BYTES}, 1), 2)) AS i
       FROM documents)
 """,
 )
