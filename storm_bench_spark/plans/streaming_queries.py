@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from storm_bench_spark.functions.text import word_split
 from storm_bench_spark.operators.windows import sliding_agg
+from storm_bench_spark.plans import topologies as T
 from storm_bench_spark.plans.registry import register
 from storm_bench_spark.sources.derived import DOC_EPOCH, DOC_TS_STEP_SEC
 from storm_bench_spark.streaming.stateful import running_count
@@ -49,9 +50,11 @@ def trident_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_rolling_count",
-    oracle=None,  # same result as rolling_count's oracle; registered
-    # rows-only to keep one canonical oracle per plan shape — the
-    # parity test asserts equality with the batch twin instead.
+    # The availableNow file stream processes the table in one epoch, so
+    # the complete-mode final state equals the batch result — the batch
+    # topology's oracle verifies the streaming path too (the pytest
+    # parity test asserts the same equality engine-side).
+    oracle=T.ROLLING_COUNT_ORACLE,
 )
 def streaming_rolling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rolling_count executed through the streaming engine (event-time
@@ -71,7 +74,7 @@ def streaming_rolling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_flight_dist",
     # identical final state ⇒ the batch topology's oracle verifies the
     # streaming path too
-    oracle=None,
+    oracle=T.FLIGHT_DIST_ORACLE,
     doc="streaming twin of rolling_flight_dist",
 )
 def streaming_flight_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -120,7 +123,9 @@ def streaming_flight_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_rolling_sort",
-    oracle=None,
+    # availableNow buffers the whole table into the single trigger, so
+    # the per-trigger sort equals the batch topology's global sort.
+    oracle=T.ROLLING_SORT_ORACLE,
     doc="per-trigger buffered sort + top-k (RollingSort through foreachBatch)",
 )
 def streaming_rolling_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,7 +159,7 @@ def streaming_rolling_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_sol",
-    oracle=None,
+    oracle=T.SOL_ORACLE,
     doc="identity shuffle chain through the streaming engine",
 )
 def streaming_sol(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,8 +173,9 @@ def streaming_sol(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sec", F.col("ts").cast("long")
     )
     df = messages_from_events(e).select("message")
+    n = spark.sparkContext.defaultParallelism
     for _ in range(2):
-        df = df.repartition(32)
+        df = df.repartition(n)
     return run_to_memory(df, output_mode="append")
 
 

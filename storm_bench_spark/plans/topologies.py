@@ -81,14 +81,13 @@ SELECT sec, word FROM (
 ) WHERE word <> ''
 """
 
-@register(
-    "rolling_count",
-    oracle=f"""
+ROLLING_COUNT_ORACLE = f"""
 SELECT ws, word, count(*) AS cnt
 FROM ({D.sliding_windows_sql(_RC_INNER, 60, 10)})
 GROUP BY ws, word
-""",
-)
+"""
+
+@register("rolling_count", oracle=ROLLING_COUNT_ORACLE)
 def rolling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window (60s/10s) count per word over the doc timeline."""
     d = D.documents_ts(spark, sf_dir)
@@ -159,14 +158,13 @@ def rolling_geo_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- 7. RollingSort (RollingSort.java:44-52) -----------------------------
 
-@register(
-    "rolling_sort",
-    oracle=f"""
+ROLLING_SORT_ORACLE = f"""
 SELECT event_id, message FROM ({D.MESSAGES_SQL})
 ORDER BY message, event_id
 LIMIT 100
-""",
-)
+"""
+
+@register("rolling_sort", oracle=ROLLING_SORT_ORACLE)
 def rolling_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Buffer → sort ascending → emit top rows (TakeOrderedAndProject).
 
@@ -180,10 +178,9 @@ def rolling_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- 8. SOL (SOL.java:39-52): shuffle-throughput chain -------------------
 
-@register(
-    "sol",
-    oracle=f"SELECT message FROM ({D.MESSAGES_SQL})",
-)
+SOL_ORACLE = f"SELECT message FROM ({D.MESSAGES_SQL})"
+
+@register("sol", oracle=SOL_ORACLE)
 def sol(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Identity bolt chain with a shuffle between each level.
 
@@ -193,8 +190,9 @@ def sol(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     level = 3
     df = D.messages(spark, sf_dir).select("message")
+    n = spark.sparkContext.defaultParallelism
     for _ in range(level - 1):
-        df = df.repartition(32)
+        df = df.repartition(n)
     return df
 
 
@@ -342,21 +340,23 @@ vec AS (
          x_2 AS vz2
   FROM dl
 )
-SELECT round(dist_km, 6) AS dist_km, step, icao1, icao2
+SELECT round(dist_km_raw, 6) AS dist_km, step, icao1, icao2
 FROM (
   SELECT icao1, icao2, step,
          (2e0 * {OF.R}) * asin(least(sqrt(
            (((vx1 - vx2) * (vx1 - vx2)) + ((vy1 - vy2) * (vy1 - vy2))
-            + ((vz1 - vz2) * (vz1 - vz2))) / 4e0), 1e0)) AS dist_km
+            + ((vz1 - vz2) * (vz1 - vz2))) / 4e0), 1e0)) AS dist_km_raw
   FROM vec
 )
-WHERE dist_km <= {FLIGHT_DIST_THRESHOLD_KM}
+WHERE dist_km_raw <= {FLIGHT_DIST_THRESHOLD_KM}
 ORDER BY dist_km, icao1, icao2, step
 LIMIT {FLIGHT_CHUNK}
 """
 
 
-@register("rolling_flight_dist", oracle=_flight_dist_oracle())
+FLIGHT_DIST_ORACLE = _flight_dist_oracle()
+
+@register("rolling_flight_dist", oracle=FLIGHT_DIST_ORACLE)
 def rolling_flight_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest position per aircraft → canonical pair self-join (broadcast)
     → dead-reckoned speculative distances → threshold → global top-k."""
