@@ -93,6 +93,48 @@ def sliding_agg_twophase(
     return expanded.groupBy("ws", *[F.col(k) for k in keys]).agg(*final_aggs)
 
 
+def sliding_distinct_count(
+    df: DataFrame,
+    window_sec: int,
+    slide_sec: int,
+    keys: Sequence[str],
+    distinct_col: str,
+    out_alias: str,
+    sec_col: str = "sec",
+) -> DataFrame:
+    """Exact per-window COUNT DISTINCT without replicating raw rows.
+
+    ``window()`` + ``countDistinct`` fans every input row out into its
+    W/S containing windows *before* the shuffle, so the exchange carries
+    W/S× the input. Distinctness is idempotent, so the fan-out can
+    instead consume the per-slide-bucket distinct set: phase 1 collapses
+    to one row per (bucket, keys, value) — map-side combine absorbs
+    duplicate hits inside a partition — and only those collapsed rows
+    explode into windows for the final exact ``count(DISTINCT)``. Same
+    epoch-aligned window set as ``sliding_agg`` (ws = bucket − k·S), so
+    the same oracle verifies both spellings. The sketch twin
+    (HLL, see unique_visitor_approx) drops the second distinct shuffle
+    too — this variant keeps exactness for oracle parity.
+    """
+    if window_sec % slide_sec != 0:
+        raise ValueError("window_sec must be a multiple of slide_sec")
+    n = window_sec // slide_sec
+    bucket = (F.col(sec_col) - (F.col(sec_col) % slide_sec)).cast("long")
+    pre = (
+        df.select(bucket.alias("_bucket"), *[F.col(k) for k in keys], F.col(distinct_col))
+        .distinct()
+    )
+    steps = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("_k")
+    expanded = pre.select("*", steps).select(
+        (F.col("_bucket") - F.col("_k") * slide_sec).alias("ws"),
+        *keys,
+        distinct_col,
+    )
+    return expanded.groupBy("ws", *[F.col(k) for k in keys]).agg(
+        F.countDistinct(distinct_col).alias(out_alias)
+    )
+
+
 def latest_by(df: DataFrame, key_cols: Sequence[str], order_key: Column, payload_cols: Sequence[str]) -> DataFrame:
     """Newest row per key: ``max_by(struct(payload), order_key)``.
 

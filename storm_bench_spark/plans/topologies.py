@@ -23,7 +23,10 @@ from storm_bench_spark.functions.geo import zone_index
 from storm_bench_spark.functions.parsers import parse_tweet_text
 from storm_bench_spark.functions.text import extract_hashtags, word_split
 from storm_bench_spark.operators.flightdist import flight_dist_pairs
-from storm_bench_spark.operators.windows import sliding_agg, sliding_agg_twophase
+from storm_bench_spark.operators.windows import (
+    sliding_agg_twophase,
+    sliding_distinct_count,
+)
 from storm_bench_spark.plans import oracle_fragments as OF
 from storm_bench_spark.plans.registry import register
 from storm_bench_spark.sources import derived as D
@@ -242,14 +245,14 @@ GROUP BY ws, url
 def unique_visitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-window COUNT DISTINCT users per url (SetReducer → countDistinct).
 
-    Exact distinct for oracle parity; the 100 TB-scale variant is
-    ``unique_visitor_approx`` (approx_count_distinct, no shuffle of the
-    full user set).
+    Exact distinct for oracle parity, two-phase: rows collapse to the
+    per-slide-bucket distinct (url, user) set BEFORE the window fan-out,
+    so the exchange never carries W/S× raw rows. The sketch-based
+    100 TB variant is ``unique_visitor_approx`` (HLL union per window).
     """
     pv = D.pageviews(spark, sf_dir)
-    return sliding_agg(
-        pv.select("sec", "url", "user_id"), 3600, 600, ["url"],
-        [F.countDistinct("user_id").alias("uniques")],
+    return sliding_distinct_count(
+        pv.select("sec", "url", "user_id"), 3600, 600, ["url"], "user_id", "uniques"
     )
 
 

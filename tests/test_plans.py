@@ -85,6 +85,20 @@ def test_dedup_candidates_are_equi_joins(spark):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, name
 
 
+def test_unique_visitor_dedups_before_window_fanout(spark):
+    # exact two-phase distinct: the per-bucket distinct aggregate must
+    # sit BELOW the window Generate, so the fan-out consumes collapsed
+    # (bucket, url, user) rows rather than W/S-replicated raw rows
+    plan = _plan(spark, "unique_visitor")
+    gen = plan.index("Generate explode")
+    # the bottom-most aggregate (pre-distinct) appears after the
+    # Generate in the top-down plan string
+    assert plan.rindex("HashAggregate") > gen, "pre-distinct must feed the fan-out"
+    # distinct-then-count keeps every exchange hash-partitioned; no raw
+    # row survives to the window shuffle unaggregated
+    assert "CartesianProduct" not in plan
+
+
 def test_two_phase_windows_aggregate_before_expanding(spark):
     # sliding_agg_twophase: the Generate (window fan-out) must sit ABOVE
     # the first aggregate, i.e. rows collapse before they replicate
