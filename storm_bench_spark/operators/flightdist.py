@@ -41,6 +41,8 @@ beyond hash ownership).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -145,11 +147,14 @@ def flight_dist_pairs(
     dist_threshold_km: float,
     speculative_comp_num: int = 3,
     speculative_comp_timestep_sec: int = 5,
+    bucketed: bool = False,
 ) -> DataFrame:
     """Colliding-pair rows (dist_km, step, icao1, icao2) from raw position reports.
 
     ``positions`` needs columns (event_id, icao, postime, lat, lng, spd, trak);
-    ``spd`` is in knots, ``postime`` epoch millis.
+    ``spd`` is in knots, ``postime`` epoch millis. ``bucketed=True``
+    routes pair generation through the grid-pruned equi-join
+    (:func:`flight_dist_from_latest_bucketed`) — identical results.
     """
     order_key = (F.col("postime") * 1_000_000 + F.col("event_id")).cast("bigint")
     latest = latest_by(
@@ -158,7 +163,8 @@ def flight_dist_pairs(
         order_key=order_key,
         payload_cols=["postime", "lat", "lng", "spd", "trak"],
     )
-    return flight_dist_from_latest(
+    impl = flight_dist_from_latest_bucketed if bucketed else flight_dist_from_latest
+    return impl(
         latest, dist_threshold_km, speculative_comp_num, speculative_comp_timestep_sec
     )
 
@@ -181,7 +187,18 @@ def flight_dist_from_latest(
     a = _precompute_side(latest, "1").repartition(parallelism)
     b = F.broadcast(_precompute_side(latest, "2"))
     pairs = a.join(b, F.col("icao1") < F.col("icao2"))
+    return _pairs_to_hits(
+        pairs, dist_threshold_km, speculative_comp_num, speculative_comp_timestep_sec
+    )
 
+
+def _pairs_to_hits(
+    pairs: DataFrame,
+    dist_threshold_km: float,
+    speculative_comp_num: int,
+    speculative_comp_timestep_sec: int,
+) -> DataFrame:
+    """Speculative steps + chord distance + threshold over candidate pairs."""
     step = F.explode(
         F.sequence(F.lit(0), F.lit(speculative_comp_num - 1))
     ).alias("step")
@@ -206,3 +223,148 @@ def flight_dist_from_latest(
     return uv.select(
         "icao1", "icao2", "step", F.explode(F.array(dist)).alias("dist_km")
     ).where(F.col("dist_km") <= dist_threshold_km)
+
+
+_KM_PER_DEG = EARTH_RADIUS_KM * math.pi / 180.0
+
+
+def _grid_spec(
+    latest: DataFrame,
+    dist_threshold_km: float,
+    speculative_comp_num: int,
+    speculative_comp_timestep_sec: int,
+) -> tuple[int, int] | None:
+    """Cell counts (n_lat, n_lon) for a provably lossless candidate grid.
+
+    A pair can come within ``threshold`` during the probe horizon only
+    if its *report* positions are within
+    ``required = threshold + 2·max_travel`` km, where ``max_travel``
+    bounds any aircraft's dead-reckoned displacement:
+    ``max_spd · ((max_pt − min_pt) + (n−1)·Δt)`` (the probe time t_k is
+    at most ``max_pt + (n−1)·Δt`` and every report is ≥ ``min_pt``).
+    Great-circle distance dominates both R·|Δφ| and R·cos(φmax)·|Δλ|,
+    so with lat cells ≥ required km and lon cells ≥ required km at the
+    data's max |lat|, any qualifying pair lands in the same or an
+    8-adjacent cell — the equi-join on cells misses nothing.
+
+    The one tiny driver-side action here is a 4-value aggregate (max
+    |lat|, max spd, min/max postime) over the already-reduced snapshot.
+    Returns None when the snapshot is empty. Stale snapshots (large
+    postime spread) degrade to one cell — still exact, no pruning,
+    which is the honest envelope.
+    """
+    stats = latest.agg(
+        F.max(F.abs(F.col("lat"))).alias("mal"),
+        F.max("spd").alias("ms"),
+        F.max("postime").alias("maxpt"),
+        F.min("postime").alias("minpt"),
+    ).first()
+    if stats is None or stats["mal"] is None:
+        return None
+    horizon_sec = (stats["maxpt"] - stats["minpt"]) / 1000.0 + (
+        (speculative_comp_num - 1) * speculative_comp_timestep_sec
+    )
+    max_travel_km = (stats["ms"] or 0.0) * KNOT_TO_KM_PER_SEC * horizon_sec
+    required_km = dist_threshold_km + 2.0 * max_travel_km
+    n_lat = max(1, int(180.0 * _KM_PER_DEG // required_km))
+    cos_cap = math.cos(math.radians(min(stats["mal"], 89.0)))
+    n_lon = max(1, int(360.0 * _KM_PER_DEG * max(cos_cap, 1e-6) // required_km))
+    return n_lat, n_lon
+
+
+def flight_dist_from_latest_bucketed(
+    latest: DataFrame,
+    dist_threshold_km: float,
+    speculative_comp_num: int = 3,
+    speculative_comp_timestep_sec: int = 5,
+) -> DataFrame:
+    """Grid-pruned twin of :func:`flight_dist_from_latest` — identical
+    output, candidate pairs generated by an equi-join on coarse grid
+    cells instead of the all-pairs theta join.
+
+    The reference probes ALL owned state per tuple with no spatial
+    pruning (RollingFlightDist.java:220-260); at bounded aircraft
+    counts the O(A²) broadcast join is fine, but for very large A this
+    variant is the 100 TB insurance: build side emits one row per cell
+    plus its distinct 8-neighbors (≤9×A rows, still broadcast-small),
+    probe side joins on its own cell — a BroadcastHashJoin on the cell
+    key, so the pair space shrinks to aircraft sharing a neighborhood.
+    Longitude cells wrap (±180 adjacency); latitude cells clamp at the
+    poles. Cell sizing (:func:`_grid_spec`) guarantees no qualifying
+    pair is pruned, so results equal the unbucketed operator exactly.
+    """
+    spec = _grid_spec(
+        latest, dist_threshold_km, speculative_comp_num, speculative_comp_timestep_sec
+    )
+    if spec is None or (spec[0] <= 3 and spec[1] <= 3):
+        # degenerate grid (≤3 cells per axis ⇒ every cell neighbors every
+        # other): the equi-join would be the all-pairs join with extra
+        # steps — use the direct formulation.
+        return flight_dist_from_latest(
+            latest, dist_threshold_km, speculative_comp_num, speculative_comp_timestep_sec
+        )
+    n_lat, n_lon = spec
+    lat_cell = F.least(
+        F.lit(n_lat - 1),
+        F.floor((F.col("lat") + 90.0) / F.lit(180.0 / n_lat)),
+    ).cast("int")
+    lon_cell = (
+        F.floor((F.col("lng") + 180.0) / F.lit(360.0 / n_lon)).cast("int") % n_lon
+    )
+    cells = latest.withColumn("_clat", lat_cell).withColumn("_clon", lon_cell)
+
+    parallelism = latest.sparkSession.sparkContext.defaultParallelism
+    a = _precompute_with_cols(
+        cells, "1", [F.col("_clat").alias("jlat"), F.col("_clon").alias("jlon")]
+    ).repartition(parallelism)
+
+    # Build side replicates each aircraft into its distinct ≤3×3 cell
+    # neighborhood (lat clamps at the poles, lon wraps at ±180), so the
+    # probe joins only on its OWN cell and each qualifying pair matches
+    # exactly once — a's cell appears at most once in b's distinct
+    # neighbor set.
+    neigh_lat = F.array_distinct(
+        F.array(
+            *[
+                F.greatest(F.lit(0), F.least(F.lit(n_lat - 1), F.col("_clat") + d))
+                for d in (-1, 0, 1)
+            ]
+        )
+    )
+    neigh_lon = F.array_distinct(
+        F.array(*[((F.col("_clon") + d) % n_lon + n_lon) % n_lon for d in (-1, 0, 1)])
+    )
+    b = _precompute_with_cols(
+        cells.withColumn("jlat", F.explode(neigh_lat)).withColumn(
+            "jlon", F.explode(neigh_lon)
+        ),
+        "2",
+        [F.col("jlat"), F.col("jlon")],
+    )
+    b = F.broadcast(b)
+
+    pairs = a.join(b, ["jlat", "jlon"]).where(F.col("icao1") < F.col("icao2")).drop(
+        "jlat", "jlon"
+    )
+    return _pairs_to_hits(
+        pairs, dist_threshold_km, speculative_comp_num, speculative_comp_timestep_sec
+    )
+
+
+def _precompute_with_cols(latest: DataFrame, suffix: str, extra) -> DataFrame:
+    """_precompute_side plus extra projected columns (grid keys)."""
+    rlat = F.radians("lat")
+    rlng = F.radians("lng")
+    rtrk = F.radians("trak")
+    return latest.select(
+        *extra,
+        F.col("icao").alias(f"icao{suffix}"),
+        F.col("postime").alias(f"pt{suffix}"),
+        F.col("spd").alias(f"spd{suffix}"),
+        F.sin(rlat).alias(f"sl{suffix}"),
+        F.cos(rlat).alias(f"cl{suffix}"),
+        F.sin(rtrk).alias(f"st{suffix}"),
+        F.cos(rtrk).alias(f"ct{suffix}"),
+        F.sin(rlng).alias(f"sg{suffix}"),
+        F.cos(rlng).alias(f"cg{suffix}"),
+    )

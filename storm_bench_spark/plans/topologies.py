@@ -283,7 +283,7 @@ def _flight_dist_side_sql(i: str) -> str:
   sin({rel}) AS sr{i}, cos({rel}) AS cr{i}"""
 
 
-def _flight_dist_oracle() -> str:
+def _flight_dist_oracle(fl_sql: str = D.ADSB_FLIGHTS_SQL) -> str:
     sides_pre = ", ".join(
         f"{fn}(radians({src})) AS {dst}"
         for src, d in (("lat", "l"), ("trak", "t"), ("lng", "g"))
@@ -299,7 +299,7 @@ def _flight_dist_oracle() -> str:
         f"(sl{i} * cr{i}) + ((cl{i} * sr{i}) * ct{i}) AS x_{i}" for i in ("1", "2")
     )
     return f"""
-WITH fl AS ({D.ADSB_FLIGHTS_SQL}),
+WITH fl AS ({fl_sql}),
 latest AS (
   SELECT f.* FROM fl f
   JOIN (SELECT icao, max(postime * 1000000 + event_id) AS mk FROM fl GROUP BY icao) m
@@ -369,6 +369,44 @@ def rolling_flight_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist_threshold_km=FLIGHT_DIST_THRESHOLD_KM,
         speculative_comp_num=FLIGHT_STEPS,
         speculative_comp_timestep_sec=FLIGHT_STEP_SEC,
+    )
+    ranked = hits.select(
+        F.round(F.col("dist_km"), 6).alias("dist_km"), "step", "icao1", "icao2"
+    )
+    return ranked.orderBy("dist_km", "icao1", "icao2", "step").limit(FLIGHT_CHUNK)
+
+
+# Fresh-snapshot window for the grid-pruned twin: a live collision
+# monitor probes recent state, not 30 days of history; freshness also
+# keeps the lossless grid envelope (threshold + 2·max dead-reckoned
+# travel) small enough that the cell join actually prunes.
+FLIGHT_FRESH_MS = 2 * 3600 * 1000
+
+FLIGHT_DIST_BUCKETED_ORACLE = _flight_dist_oracle(
+    f"""SELECT * FROM ({D.ADSB_FLIGHTS_SQL})
+WHERE postime >= (SELECT max(postime) FROM ({D.ADSB_FLIGHTS_SQL})) - {FLIGHT_FRESH_MS}"""
+)
+
+
+@register("rolling_flight_dist_bucketed", oracle=FLIGHT_DIST_BUCKETED_ORACLE)
+def rolling_flight_dist_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rolling_flight_dist over a fresh (2 h) snapshot with grid-pruned
+    pair generation: candidates come from a BroadcastHashJoin on coarse
+    lat/lon cells (8-neighbor replication on the build side) instead of
+    the all-pairs theta join — the 100 TB path for very large live
+    aircraft counts. Cell sizing is provably lossless
+    (operators/flightdist._grid_spec), so results equal the unbucketed
+    operator on the same snapshot; the reference itself probes all
+    state with no pruning (RollingFlightDist.java:220-260)."""
+    fl = D.adsb_flights(spark, sf_dir)
+    maxpt = fl.agg(F.max("postime").alias("m")).first()["m"]
+    fresh = fl.where(F.col("postime") >= F.lit(maxpt - FLIGHT_FRESH_MS))
+    hits = flight_dist_pairs(
+        fresh,
+        dist_threshold_km=FLIGHT_DIST_THRESHOLD_KM,
+        speculative_comp_num=FLIGHT_STEPS,
+        speculative_comp_timestep_sec=FLIGHT_STEP_SEC,
+        bucketed=True,
     )
     ranked = hits.select(
         F.round(F.col("dist_km"), 6).alias("dist_km"), "step", "icao1", "icao2"

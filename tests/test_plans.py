@@ -46,6 +46,17 @@ def test_flight_dist_broadcasts_pair_side(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_flight_dist_bucketed_joins_on_cells_not_pairs(spark):
+    # grid-pruned candidate generation must be a hash join on the cell
+    # key; the all-pairs theta join (BroadcastNestedLoopJoin) must be
+    # gone — that's the no-broadcast-side-blowup property at large A
+    plan = _plan(spark, "rolling_flight_dist_bucketed")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_ann_topk_ivf_assigns_without_a_join(spark):
     # cell assignment is one ArrowEvalPython pass (centroids ride in
     # the kernel closure); the only joins are the tiny broadcast probe

@@ -73,3 +73,98 @@ def test_bucketed_join_has_no_exchange(spark):
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
             spark.sql("DROP TABLE IF EXISTS pv_a")
             spark.sql("DROP TABLE IF EXISTS pv_b")
+
+
+def _synthetic_latest(spark, n_per_cluster=12):
+    """Fresh latest-position snapshot: two clusters ~2000 km apart, so a
+    lossless grid must separate them while keeping intra-cluster pairs."""
+    now_ms = 1_700_000_000_000
+    rows = []
+    for c, (lat0, lng0) in enumerate([(10.0, 10.0), (10.0, 30.0)]):
+        for i in range(n_per_cluster):
+            rows.append(
+                (
+                    f"{c}{i:05d}",
+                    now_ms - (i % 5) * 1000,
+                    lat0 + (i % 4) * 0.05,
+                    lng0 + (i // 4) * 0.05,
+                    100.0 + i,
+                    float((37 * i) % 360),
+                )
+            )
+    return spark.createDataFrame(
+        rows, schema="icao string, postime long, lat double, lng double, spd double, trak double"
+    )
+
+
+def test_bucketed_flight_dist_equals_unbucketed(spark):
+    from storm_bench_spark.operators.flightdist import (
+        _grid_spec,
+        flight_dist_from_latest,
+        flight_dist_from_latest_bucketed,
+    )
+
+    latest = _synthetic_latest(spark)
+    spec = _grid_spec(latest, 30.0, 3, 5)
+    assert spec is not None and (spec[0] > 3 or spec[1] > 3), (
+        "fixture must exercise the grid path, not the fallback"
+    )
+    plain = flight_dist_from_latest(latest, 30.0, 3, 5)
+    bucketed = flight_dist_from_latest_bucketed(latest, 30.0, 3, 5)
+    key = lambda r: (r["icao1"], r["icao2"], r["step"])
+    pr = sorted(plain.collect(), key=key)
+    br = sorted(bucketed.collect(), key=key)
+    assert len(pr) > 0, "threshold must keep intra-cluster pairs"
+    assert [key(r) for r in pr] == [key(r) for r in br]
+    for p, b in zip(pr, br):
+        assert abs(p["dist_km"] - b["dist_km"]) < 1e-9
+
+
+def test_bucketed_flight_dist_prunes_cross_cluster_pairs(spark):
+    """The grid join's candidate count must exclude far-apart pairs:
+    2000 km between clusters vs a ~required_km of a few hundred km."""
+    from pyspark.sql import functions as FF
+
+    from storm_bench_spark.operators.flightdist import (
+        _grid_spec,
+        _precompute_with_cols,
+    )
+
+    latest = _synthetic_latest(spark)
+    n = latest.count()
+    all_pairs = n * (n - 1) // 2
+    # reproduce the operator's candidate join and count it
+    from storm_bench_spark.operators import flightdist as FD
+
+    spec = _grid_spec(latest, 30.0, 3, 5)
+    n_lat, n_lon = spec
+    lat_cell = FF.least(
+        FF.lit(n_lat - 1), FF.floor((FF.col("lat") + 90.0) / FF.lit(180.0 / n_lat))
+    ).cast("int")
+    lon_cell = (
+        FF.floor((FF.col("lng") + 180.0) / FF.lit(360.0 / n_lon)).cast("int") % n_lon
+    )
+    cells = latest.withColumn("_clat", lat_cell).withColumn("_clon", lon_cell)
+    a = _precompute_with_cols(
+        cells, "1", [FF.col("_clat").alias("jlat"), FF.col("_clon").alias("jlon")]
+    )
+    neigh_lat = FF.array_distinct(
+        FF.array(
+            *[
+                FF.greatest(FF.lit(0), FF.least(FF.lit(n_lat - 1), FF.col("_clat") + d))
+                for d in (-1, 0, 1)
+            ]
+        )
+    )
+    neigh_lon = FF.array_distinct(
+        FF.array(*[((FF.col("_clon") + d) % n_lon + n_lon) % n_lon for d in (-1, 0, 1)])
+    )
+    b = _precompute_with_cols(
+        cells.withColumn("jlat", FF.explode(neigh_lat)).withColumn(
+            "jlon", FF.explode(neigh_lon)
+        ),
+        "2",
+        [FF.col("jlat"), FF.col("jlon")],
+    )
+    candidates = a.join(b, ["jlat", "jlon"]).where(FF.col("icao1") < FF.col("icao2"))
+    assert candidates.count() < all_pairs, "grid must prune cross-cluster pairs"
