@@ -393,9 +393,14 @@ IVF_CENTROIDS = 32
 IVF_NPROBE = 4
 
 
-def ivf_assign(v: DataFrame, centroids: DataFrame, dim: int | None = None) -> DataFrame:
+def ivf_assign(
+    v: DataFrame, centroids: DataFrame, dim: int | None = None, n_assign: int = 1
+) -> DataFrame:
     """(id, v, cid): each vector keyed by its nearest centroid
-    (max cosine, ties broken by centroid id).
+    (max cosine, ties broken by centroid id). ``n_assign > 1`` emits
+    one row per vector per nearest cell — multiple assignment, the
+    standard IVF boundary-replication recall lever (storage and probe
+    cost scale by the factor; candidates must be deduped downstream).
 
     One narrow pass: the centroid matrix rides in the scorer closure
     (driver-collected — C·dim doubles), each vector's C cosines come
@@ -413,10 +418,26 @@ def ivf_assign(v: DataFrame, centroids: DataFrame, dim: int | None = None) -> Da
     cids, cm, cn = _collect_ref(centroids, "cid", "cv")
     cid_np = np.array(cids, dtype=np.int64)
 
-    @pandas_udf("bigint")
-    def nearest(vec: pd.Series) -> pd.Series:
+    if n_assign == 1:
+        @pandas_udf("bigint")
+        def nearest(vec: pd.Series) -> pd.Series:
+            if len(vec) == 0:
+                return pd.Series([], dtype="int64")
+            m = np.stack(vec.to_numpy()).astype(np.float64)
+            acc = np.zeros((m.shape[0], cm.shape[0]))
+            n = np.zeros(m.shape[0])
+            for i in range(m.shape[1]):  # sequential in i: left-assoc sums
+                acc += np.outer(m[:, i], cm[:, i])
+                n += m[:, i] * m[:, i]
+            cos = acc / (np.sqrt(n)[:, None] * cn[None, :])
+            return pd.Series(cid_np[np.argmax(cos, axis=1)])
+
+        return v.withColumn("cid", nearest("v"))
+
+    @pandas_udf("array<bigint>")
+    def nearest_cells(vec: pd.Series) -> pd.Series:
         if len(vec) == 0:
-            return pd.Series([], dtype="int64")
+            return pd.Series([], dtype=object)
         m = np.stack(vec.to_numpy()).astype(np.float64)
         acc = np.zeros((m.shape[0], cm.shape[0]))
         n = np.zeros(m.shape[0])
@@ -424,9 +445,94 @@ def ivf_assign(v: DataFrame, centroids: DataFrame, dim: int | None = None) -> Da
             acc += np.outer(m[:, i], cm[:, i])
             n += m[:, i] * m[:, i]
         cos = acc / (np.sqrt(n)[:, None] * cn[None, :])
-        return pd.Series(cid_np[np.argmax(cos, axis=1)])
+        # stable top-r: argsort is ascending, kind='stable' keeps the
+        # min-cid tie-break deterministic
+        top = np.argsort(-cos, axis=1, kind="stable")[:, :n_assign]
+        return pd.Series(list(cid_np[top]))
 
-    return v.withColumn("cid", nearest("v"))
+    return v.select("id", "v", F.explode(nearest_cells("v")).alias("cid"))
+
+
+def kmeans_centroids(
+    v: DataFrame, n_centroids: int, n_iter: int = 2
+) -> DataFrame:
+    """Deterministic distributed Lloyd iterations (spherical k-means).
+
+    ``v`` must yield (id, v:array<double>). Init is the same
+    deterministic sample the oracle-checked IVF variant uses
+    (id < C, sorted); each iteration is ONE ``mapInPandas`` pass over
+    the vector table that assigns every vector to its max-cosine
+    centroid AND emits per-partition partial sums — ≤ C rows of
+    (cid, sum, count) per partition, the map-side-combine shape — so
+    no per-vector row ever shuffles. Partials are combined driver-side
+    in (partition, cid) order (deterministic doubles); empty cells keep
+    their previous centroid. Centroids are L2-normalized after each
+    mean so assignment cosine ≡ dot with the running mean direction —
+    standard spherical k-means.
+
+    Cost per iteration: one scan + C·P tiny rows to the driver. The
+    centroid matrix itself stays driver-side between iterations (it
+    rides in kernel closures either way).
+
+    Default n_iter=2: a couple of Lloyd rounds move centroids onto
+    local density; on weakly-clustered data further rounds tighten
+    cells and *cost* probe recall (measured on the fixtures) — the
+    recall lever is boundary replication (``n_assign`` in
+    :func:`ivf_assign`), not more iterations.
+    """
+    import numpy as np
+
+    spark = v.sparkSession
+    _, cm, cn = _collect_ref(
+        v.where(F.col("id") < n_centroids).select(
+            F.col("id").alias("cid"), F.col("v").alias("cv")
+        ),
+        "cid",
+        "cv",
+    )
+    cm = cm / cn[:, None]
+    n_c, dim = cm.shape
+
+    for _ in range(n_iter):
+        cm_bc = cm  # closure capture of the current centroid matrix
+
+        def part_sums(batches):
+            sums = np.zeros((n_c, dim))
+            cnts = np.zeros(n_c, dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                acc = np.zeros((m.shape[0], n_c))
+                nn = np.zeros(m.shape[0])
+                for i in range(dim):  # sequential: left-assoc sums
+                    acc += np.outer(m[:, i], cm_bc[:, i])
+                    nn += m[:, i] * m[:, i]
+                cos = acc / np.sqrt(nn)[:, None]  # centroids already unit
+                assign = np.argmax(cos, axis=1)
+                np.add.at(sums, assign, m)
+                np.add.at(cnts, assign, 1)
+            yield pd.DataFrame(
+                {"cid": range(n_c), "s": list(sums), "cnt": cnts}
+            )
+
+        parts = v.select("v").mapInPandas(
+            part_sums, schema="cid long, s array<double>, cnt long"
+        ).collect()
+        sums = np.zeros((n_c, dim))
+        cnts = np.zeros(n_c, dtype=np.int64)
+        for r in parts:  # collect() order is partition order: deterministic
+            sums[r["cid"]] += np.array(r["s"])
+            cnts[r["cid"]] += r["cnt"]
+        nonempty = cnts > 0
+        means = sums[nonempty] / cnts[nonempty, None]
+        norms = np.sqrt((means * means).sum(axis=1))
+        cm[nonempty] = means / np.maximum(norms, 1e-300)[:, None]
+
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in cm[i]]) for i in range(n_c)],
+        schema="cid long, cv array<double>",
+    )
 
 
 def ann_topk_ivf(
@@ -438,25 +544,40 @@ def ann_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    centroids: str = "sample",
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via IVF cell probing.
 
     Output shape matches ``ann_topk_bruteforce``; results are the exact
     top-k *within the probed cells* (deterministic, oracle-checkable),
-    which is the standard IVF recall trade."""
+    which is the standard IVF recall trade.
+
+    ``centroids="sample"`` (default) is the deterministic id<C sample
+    the DuckDB oracle replays, single assignment; ``centroids="kmeans"``
+    runs :func:`kmeans_centroids` with 2-nearest-cell multiple
+    assignment (boundary replication) for production-grade recall
+    (≥ the sampled variant — asserted in pytest; not SQL-replayable,
+    so the kmeans mode registers rows-only)."""
     from pyspark.sql.window import Window
 
     v = vectors.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("v"))
-    centroids = vectors.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), _dvec(vec_col).alias("cv")
-    )
-    assigned = _with_norm(ivf_assign(v, centroids, dim), "v", "n", dim)
+    n_assign = 1
+    if centroids == "kmeans":
+        cent_df = kmeans_centroids(v, n_centroids)
+        n_assign = 2
+    elif centroids == "sample":
+        cent_df = vectors.where(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cid"), _dvec(vec_col).alias("cv")
+        )
+    else:
+        raise ValueError(f"unknown centroids mode {centroids!r}")
+    assigned = _with_norm(ivf_assign(v, cent_df, dim, n_assign=n_assign), "v", "n", dim)
 
     q = _with_norm(
         queries.select(F.col(id_col).alias("qid"), _dvec(vec_col).alias("qv")),
         "qv", "qn", dim,
     )
-    cq = F.broadcast(_with_norm(centroids, "cv", "cn", dim))
+    cq = F.broadcast(_with_norm(cent_df, "cv", "cn", dim))
     qs = q.crossJoin(cq).select(
         "qid", "qv", "qn", "cid",
         _pair_cos("qv", "cv", "qn", "cn", dim).alias("ccos"),
@@ -477,6 +598,10 @@ def ann_topk_ivf(
         "qid", F.col("id").alias("nid"),
         F.round(_pair_cos("qv", "v", "qn", "n", dim), 6).alias("cos"),
     )
+    if n_assign > 1:
+        # a (query, vector) pair can meet through several replicated
+        # cells; dedupe the slim scored rows before ranking
+        scored = scored.distinct()
     wk = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (
         scored.withColumn("rank", F.row_number().over(wk))

@@ -202,6 +202,19 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ann_topk_ivf(emb, queries, ANN_K, dim=EMB_DIM)
 
 
+@register("ann_topk_ivf_kmeans", oracle=None)
+def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with k-means (spherical Lloyd) centroids instead of
+    the deterministic sample: better-balanced cells, recall ≥ the
+    sampled variant (asserted against the exact ``ann_topk`` baseline
+    in tests/test_dedup.py). Rows-only check — the iterative
+    clustering is not SQL-replayable; the sampled variant
+    ``ann_topk_ivf`` remains the oracle-checked twin of this plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < ANN_QUERIES)
+    return SIM.ann_topk_ivf(emb, queries, ANN_K, dim=EMB_DIM, centroids="kmeans")
+
+
 # --- multimodal ----------------------------------------------------------
 
 @register(

@@ -93,6 +93,25 @@ def test_ivf_recall_against_bruteforce(spark):
             assert abs(bf_cos[(r.qid, r.neighbor)] - r.cos) < 1e-9
 
 
+def test_kmeans_ivf_recall_at_least_sampled(spark):
+    """centroids='kmeans' must not lose recall vs the sampled-centroid
+    variant (the verdict's acceptance bar): better-balanced cells mean
+    the n_probe nearest cells cover at least as much of the true top-k."""
+    bf = QS["ann_topk"](spark, SF_DIR).toPandas()
+    sampled = QS["ann_topk_ivf"](spark, SF_DIR).toPandas()
+    kmeans = QS["ann_topk_ivf_kmeans"](spark, SF_DIR).toPandas()
+    bset = {(r.qid, r.neighbor) for r in bf.itertuples()}
+    r_sampled = len({(r.qid, r.neighbor) for r in sampled.itertuples()} & bset) / len(bset)
+    r_kmeans = len({(r.qid, r.neighbor) for r in kmeans.itertuples()} & bset) / len(bset)
+    assert r_kmeans >= r_sampled, (r_kmeans, r_sampled)
+    # determinism: two runs produce identical rows (Lloyd is seeded by
+    # the deterministic sample and combines partials in a fixed order)
+    again = QS["ann_topk_ivf_kmeans"](spark, SF_DIR).toPandas()
+    a = sorted(map(tuple, kmeans.to_records(index=False)))
+    b = sorted(map(tuple, again.to_records(index=False)))
+    assert a == b
+
+
 def test_multimodal_meta_is_deterministic_fake(spark):
     out = QS["multimodal_image_meta"](spark, SF_DIR).toPandas()
     assert len(out) == 500
