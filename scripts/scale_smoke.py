@@ -6,11 +6,19 @@ that no query hides a super-linear term (pair blowup, driver collect,
 per-key state explosion) that only shows up when the data grows. Fact
 tables (events, lineitem, orders) are replicated R× with key remapping
 so join/group semantics survive; dimensions stay fixed, as they would
-at a real scale-up. Dedup/similarity queries are excluded by design:
-replicating documents/embeddings creates exact clones whose pair count
-grows quadratically in R — a property of the cloned DATA, not of the
-plans (their pair discipline is asserted in tests/test_plans.py and
-measured in BASELINE.md instead).
+at a real scale-up.
+
+documents/embeddings replicate with PERTURBATION, not cloning: exact
+clones would pair with their sources and the near-dup pair count would
+grow quadratically in R — a property of cloned DATA, not of the plans.
+Instead each copy k rewrites ~half its words with a copy-salted suffix
+(shingle/token sets across copies become disjoint enough to stay under
+every similarity threshold) and sign-flips embedding dimensions by a
+copy-keyed ±1 mask (within-copy cosines are EXACTLY preserved —
+s_i² = 1 — while cross-copy cosines collapse toward 0). Planted
+near-dup structure therefore survives per copy, cross-copy pairs
+vanish, and the dedup/similarity queries get an honest linear scale
+point.
 
 Usage:
     python scripts/scale_smoke.py            # R=10 into /tmp
@@ -41,6 +49,8 @@ FACTS = {
     "events": ("event_id",),
     "orders": ("o_orderkey",),
     "lineitem": ("l_orderkey",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
 }
 
 QUERIES = [
@@ -48,7 +58,64 @@ QUERIES = [
     "rolling_geo_count", "rolling_sort", "sol", "pageview_count",
     "dataclean", "unique_visitor", "rolling_latlong", "rolling_flight_dist",
     "adsb_parse", "tpch_q1", "tpch_q3", "tpch_q5",
+    # dedup/similarity over perturbed replicas (linear by construction)
+    "dedup_exact", "minhash_lsh", "ngram_jaccard", "simhash_pairs",
+    "embedding_neardup_lsh", "ann_topk",
 ]
+
+EMB_DIM_SMOKE = 64
+
+
+def _perturb_documents(df, k: int):
+    """Copy k>0: rewrite ~half the words with a copy-salted suffix.
+
+    Deterministic per (word, k); the same rewrite applies to every doc
+    in the copy, so a planted near-dup pair stays a near-dup *within*
+    its copy (both sides lose/keep the same words) while cross-copy
+    shingle overlap drops below every pairing threshold."""
+    if k == 0:
+        return df
+    rewritten = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda w: F.when(
+                F.pmod(F.hash(w, F.lit(k)), 2) == 0, w
+            ).otherwise(F.concat(w, F.lit(f"~{k}"))),
+        ),
+        " ",
+    )
+    return df.withColumn("text", rewritten).withColumn(
+        "n_chars", F.length("text").cast("bigint")
+    )
+
+
+def _perturb_embeddings(df, k: int):
+    """Copy k>0: elementwise ±1 sign mask keyed by (dimension, k).
+
+    cos(s⊙a, s⊙b) = cos(a, b) exactly (s_i² = 1), so within-copy
+    geometry — planted near-dup clusters, top-k structure — is
+    preserved bit-for-bit in structure; cross-copy cosines become
+    pseudo-random sums that collapse toward 0 and never cross the
+    near-dup threshold."""
+    if k == 0:
+        return df
+    import hashlib
+
+    signs = [
+        1.0 if int(hashlib.md5(f"{i}:{k}".encode()).hexdigest()[0], 16) & 1 else -1.0
+        for i in range(EMB_DIM_SMOKE)
+    ]
+    mask = F.array(*[F.lit(s) for s in signs])
+    flipped = F.zip_with(
+        F.col("embedding").cast("array<double>"), mask, lambda x, s: x * s
+    ).cast("array<float>")
+    return df.withColumn("embedding", flipped)
+
+
+PERTURB = {
+    "documents": _perturb_documents,
+    "embeddings": _perturb_embeddings,
+}
 
 
 def replicate(spark, src: str, dst: str, r: int) -> None:
@@ -69,6 +136,8 @@ def replicate(spark, src: str, dst: str, r: int) -> None:
                 for key in FACTS[name]:
                     off = k * (stride if "orderkey" in key else _stride(spark, src, name, key))
                     c = c.withColumn(key, F.col(key) + F.lit(off))
+                if name in PERTURB:
+                    c = PERTURB[name](c, k)
                 copies.append(c)
             df = copies[0]
             for c in copies[1:]:

@@ -52,9 +52,24 @@ def shingles(docs: DataFrame) -> DataFrame:
     whitespace split re-runs for every ``get(w, i)`` in the shingle
     lambda, which is quadratic in document length.
     """
+    return shingle_arrays(docs).select("doc_id", F.explode("shs").alias("sh"))
+
+
+def shingle_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, shs): the distinct shingle SET of each doc as one array row.
+
+    This is the materialization unit for multi-consumer pipelines:
+    a near-dup query needs shingles for DF counting, both self-join
+    sides, and both verification sides — consumed lazily, Spark
+    re-derives the scan+tokenize+shingle subtree once PER CONSUMER
+    (measured 8 FileScans in the uncached ngram_jaccard plan). One
+    row per doc (vs one per shingle) makes this the cheap thing to
+    ``persist``: callers cache it, every consumer reads the
+    InMemoryRelation, and the text is tokenized exactly once.
+    """
     w = word_split("text")
     arr = bind(w, lambda wv: F.array_distinct(shingle_array(wv)))
-    return docs.where(F.size(w) >= 3).select("doc_id", F.explode(arr).alias("sh"))
+    return docs.where(F.size(w) >= 3).select("doc_id", arr.alias("shs"))
 
 
 # --- MinHash signatures + LSH banding ------------------------------------
@@ -168,6 +183,31 @@ def verify_jaccard(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFra
     return (
         inter.join(na, "a")
         .join(nb, "b")
+        .select("a", "b", F.round(j, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def verify_jaccard_arrays(
+    cands: DataFrame, arr: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over candidates from doc-level shingle ARRAYS.
+
+    Joins each (small) candidate pair to the two docs' shingle sets and
+    computes ``|A∩B|`` with ``array_intersect`` — no shingle-row
+    explosion, no per-shingle join, no re-derivation of the shingle
+    pipeline for the verify stage. ``arr`` should be the (persisted)
+    output of :func:`shingle_arrays`; sizes and intersection counts are
+    integers, so the quotient matches :func:`verify_jaccard` (and the
+    SQL oracle) bitwise.
+    """
+    aa = arr.select(F.col("doc_id").alias("a"), F.col("shs").alias("sa"))
+    bb = arr.select(F.col("doc_id").alias("b"), F.col("shs").alias("sb"))
+    ix = F.size(F.array_intersect("sa", "sb")).cast("double")
+    j = ix / (F.size("sa") + F.size("sb") - ix)
+    return (
+        cands.join(aa, "a")
+        .join(bb, "b")
         .select("a", "b", F.round(j, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
@@ -342,12 +382,21 @@ def inverted_index_candidates(
     Recall contract: misses only pairs whose shared shingles are all
     frequent, or that share a single rare shingle — both imply the
     overlap is either non-distinctive or tiny.
+
+    Shuffle shape: the DF count is a COUNT window over one sh-keyed
+    exchange, not a groupBy + join-back — the filtered rows keep their
+    sh partitioning, so both self-join sides consume the same exchange
+    (identical subtrees ⇒ ReuseExchange) and the whole candidate stage
+    costs ONE shuffle of the shingle rows plus the pair aggregation.
     """
-    # one sh-keyed exchange feeds the DF count, the rare filter join,
-    # and both self-join sides (ReuseExchange)
+    from pyspark.sql.window import Window
+
     sh = sh.repartition("sh")
-    df_counts = sh.groupBy("sh").agg(F.count("*").alias("df"))
-    rare = sh.join(df_counts.where(F.col("df") <= df_cap), "sh")
+    rare = (
+        sh.withColumn("df", F.count("*").over(Window.partitionBy("sh")))
+        .where(F.col("df") <= df_cap)
+        .drop("df")
+    )
     l = rare.select(F.col("doc_id").alias("a"), "sh")
     r = rare.select(F.col("doc_id").alias("b"), "sh")
     return (

@@ -54,12 +54,21 @@ cand AS (
 def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 perms) → 8×4 banding → candidate pairs → exact-Jaccard
     verify ≥ 0.5. Candidate generation is an equi-join on band digests —
-    the only pairs ever materialized are bucket collisions."""
+    the only pairs ever materialized are bucket collisions.
+
+    The doc-level shingle-set table is persisted (one row per doc):
+    signature building and both verify sides read the cache, so the
+    text is tokenized once instead of once per consumer. Spark evicts
+    cache entries LRU; at 100 TB MEMORY_AND_DISK spills instead of
+    recomputing the multi-consumer subtree."""
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
-    sh = DD.shingles(docs)
+    arr = DD.shingle_arrays(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = arr.select("doc_id", F.explode("shs").alias("sh"))
     sig = DD.minhash_signature(sh)
     cands = DD.lsh_candidates(DD.band_digests(sig))
-    return DD.verify_jaccard(cands, sh, JACCARD_T)
+    return DD.verify_jaccard_arrays(cands, arr, JACCARD_T)
 
 
 # --- exact similarity join (inverted index, DF-capped) -------------------
@@ -85,11 +94,20 @@ cand AS (
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity join: candidates from a
     document-frequency-capped inverted shingle index with a ≥2
-    shared-rare-shingle count filter, then full-set verification ≥ 0.5."""
+    shared-rare-shingle count filter, then full-set verification ≥ 0.5.
+
+    Plan discipline (the uncached spelling re-derived the shingle
+    pipeline 8× — one per consumer): the doc-level shingle-set table
+    is persisted, the DF filter is a COUNT window over one sh-keyed
+    exchange both self-join sides reuse, and verification intersects
+    the cached arrays directly (no per-shingle verify join)."""
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
-    sh = DD.shingles(docs)
+    arr = DD.shingle_arrays(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = arr.select("doc_id", F.explode("shs").alias("sh"))
     cands = DD.inverted_index_candidates(sh)
-    return DD.verify_jaccard(cands, sh, JACCARD_T)
+    return DD.verify_jaccard_arrays(cands, arr, JACCARD_T)
 
 
 # --- SimHash -------------------------------------------------------------

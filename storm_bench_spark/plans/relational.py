@@ -1,0 +1,199 @@
+"""Relational surface beyond the reference: temporal joins, set
+operations, TF-IDF ranking.
+
+The reference's only join is the flight-dist pair probe (SURVEY.md
+§2.5) and it has no set operators (§2.7); these queries are the
+engine's declared coverage of the rest of the relational surface a
+storm-bench user migrating real workloads would reach for, each with a
+DuckDB oracle replaying the identical algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from storm_bench_spark.functions.text import word_split
+from storm_bench_spark.operators.asof import asof_join, interval_join
+from storm_bench_spark.plans.registry import register
+from storm_bench_spark.sources import derived as D
+from storm_bench_spark.sources.tables import load_table
+
+INTERVAL_DELTA_SEC = 600
+
+
+# --- as-of join: point-in-time purchase lookup per click -----------------
+
+@register(
+    "asof_click_purchase",
+    oracle=f"""
+WITH es AS ({D.EVENTS_SEC_SQL}),
+bsrc AS (SELECT user_id, sec, value, event_id FROM es WHERE event_type = 'purchase'),
+b AS (
+  SELECT s.user_id, s.sec, s.value FROM bsrc s
+  JOIN (SELECT user_id, sec, max(event_id) AS me FROM bsrc GROUP BY user_id, sec) m
+    ON s.user_id = m.user_id AND s.sec = m.sec AND s.event_id = m.me
+),
+a AS (SELECT event_id, user_id, sec FROM es WHERE event_type = 'click')
+SELECT a.event_id, a.user_id, a.sec, b.value AS value_r, b.sec AS sec_r
+FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND b.sec <= a.sec
+""",
+)
+def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click annotated with the user's latest at-or-before
+    purchase (point-in-time feature lookup). The union-sort as-of join
+    (operators/asof.py) pays one key shuffle and zero row replication;
+    the right side is pre-reduced to one row per (user, sec) — max
+    event_id wins — so the match is deterministic. DuckDB's native
+    ASOF JOIN is the oracle."""
+    es = D.events_sec(spark, sf_dir)
+    purchases = es.where(F.col("event_type") == "purchase")
+    b = (
+        purchases.groupBy("user_id", "sec")
+        .agg(F.max(F.struct("event_id", "value")).alias("m"))
+        .select("user_id", "sec", F.col("m.value").alias("value"))
+    )
+    a = es.where(F.col("event_type") == "click").select("event_id", "user_id", "sec")
+    return asof_join(a, b, ["user_id"], "sec", ["value"])
+
+
+# --- interval join: errors within ±10 min of a click ---------------------
+
+@register(
+    "interval_click_error",
+    oracle=f"""
+WITH es AS ({D.EVENTS_SEC_SQL}),
+a AS (SELECT event_id AS a_id, user_id, sec AS a_sec FROM es WHERE event_type = 'click'),
+b AS (SELECT event_id AS b_id, user_id, sec AS b_sec FROM es WHERE event_type = 'error')
+SELECT a.user_id, a_id, b_id, a_sec, b_sec, abs(a_sec - b_sec) AS gap_sec
+FROM a JOIN b ON a.user_id = b.user_id AND abs(a_sec - b_sec) <= {INTERVAL_DELTA_SEC}
+""",
+)
+def interval_click_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(click, error) pairs of the same user within ±10 minutes —
+    the session-stitching range join. Candidates come from a hash
+    equi-join on (user, time bucket) with 3-cell neighbor replication
+    (operators/asof.py::interval_join), never a range cross product;
+    the oracle's plain inequality join verifies the bucketing is
+    lossless."""
+    es = D.events_sec(spark, sf_dir)
+    a = es.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("a_id"), "user_id", F.col("sec").alias("a_sec")
+    )
+    b = es.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("b_id"), "user_id", F.col("sec").alias("b_sec")
+    )
+    out = interval_join(a, b, ["user_id"], "a_sec", "b_sec", INTERVAL_DELTA_SEC)
+    return out.select(
+        "user_id", "a_id", "b_id", "a_sec", "b_sec",
+        F.abs(F.col("a_sec") - F.col("b_sec")).alias("gap_sec"),
+    )
+
+
+# --- set operations (SURVEY.md §2.7: none in reference; engine surface) --
+
+def _typed_users(spark: SparkSession, sf_dir: str, event_type: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == event_type)
+        .select("user_id")
+    )
+
+
+@register(
+    "users_intersect",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+)
+def users_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users who both clicked and purchased (distinct INTERSECT)."""
+    return _typed_users(spark, sf_dir, "click").intersect(
+        _typed_users(spark, sf_dir, "purchase")
+    )
+
+
+@register(
+    "users_except",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+)
+def users_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users who clicked but never purchased (distinct EXCEPT)."""
+    return _typed_users(spark, sf_dir, "click").subtract(
+        _typed_users(spark, sf_dir, "purchase")
+    )
+
+
+@register(
+    "users_union",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'click'
+UNION
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+)
+def users_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users who clicked or purchased (distinct UNION)."""
+    return (
+        _typed_users(spark, sf_dir, "click")
+        .union(_typed_users(spark, sf_dir, "purchase"))
+        .distinct()
+    )
+
+
+# --- TF-IDF top terms per document ---------------------------------------
+
+TOP_TERMS_K = 3
+
+
+@register(
+    "top_terms",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, rank FROM (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY round(tf.tf * ln((n.n_docs + 1e0) / (df.df + 1e0)), 6) DESC, tf.term
+         ) AS rank
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+) WHERE rank <= {TOP_TERMS_K}
+""",
+)
+def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} TF-IDF terms per document (idf = ln((N+1)/(df+1))).
+
+    tf and df are two key-partitioned aggregations; the doc count is a
+    broadcast 1-row side. Ranking rounds the score to 6 dp before
+    comparison with a term tie-break, so the ordering is identical in
+    both engines (ln agrees to ≤1 ulp; the round absorbs it)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(word_split("text")).alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    score = F.round(
+        F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+    )
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("term").asc())
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_TERMS_K)
+        .select("doc_id", "term", "tf", F.col("rank").cast("bigint").alias("rank"))
+    )
