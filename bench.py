@@ -35,10 +35,20 @@ HEADLINE = [
     "unique_visitor",
     "rolling_latlong",
     "rolling_flight_dist",
+    "rolling_flight_dist_bucketed",
     # SQL capability demos
     "tpch_q1",
     "tpch_q3",
+    "tpch_q4",
     "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q12",
+    # temporal joins + set ops + ranking
+    "asof_click_purchase",
+    "interval_click_error",
+    "users_intersect",
+    "top_terms",
     # training-data pipeline: text analysis
     "dedup_exact",
     "doc_fingerprint",

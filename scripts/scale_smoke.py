@@ -60,27 +60,29 @@ QUERIES = [
     "adsb_parse", "tpch_q1", "tpch_q3", "tpch_q5",
     # dedup/similarity over perturbed replicas (linear by construction)
     "dedup_exact", "minhash_lsh", "ngram_jaccard", "simhash_pairs",
-    "embedding_neardup_lsh", "ann_topk",
+    "embedding_neardup_lsh_scaled", "ann_topk",
 ]
 
 EMB_DIM_SMOKE = 64
 
 
 def _perturb_documents(df, k: int):
-    """Copy k>0: rewrite ~half the words with a copy-salted suffix.
+    """Copy k>0: rewrite EVERY word with a copy-salted suffix.
 
-    Deterministic per (word, k); the same rewrite applies to every doc
-    in the copy, so a planted near-dup pair stays a near-dup *within*
-    its copy (both sides lose/keep the same words) while cross-copy
-    shingle overlap drops below every pairing threshold."""
+    The rewrite is a bijection on the token vocabulary, so shingle
+    equality — and therefore every within-copy Jaccard — is preserved
+    EXACTLY (planted near-dup clusters survive per copy), while the
+    shingle spaces of different copies are fully disjoint: zero
+    cross-copy candidates, hence pair counts scale linearly in R.
+    (A half-rewrite leaves (1/2)³ of trigrams shared across copies,
+    which re-couples the copies and made candidates quadratic —
+    measured ratio 26 at R=10 before this.)"""
     if k == 0:
         return df
     rewritten = F.array_join(
         F.transform(
             F.split(F.col("text"), " "),
-            lambda w: F.when(
-                F.pmod(F.hash(w, F.lit(k)), 2) == 0, w
-            ).otherwise(F.concat(w, F.lit(f"~{k}"))),
+            lambda w: F.concat(w, F.lit(f"~{k}")),
         ),
         " ",
     )

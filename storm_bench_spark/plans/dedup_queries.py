@@ -183,6 +183,22 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.neardup_lsh(emb, COSINE_T, EMB_DIM)
 
 
+@register("embedding_neardup_lsh_scaled", oracle=None)
+def embedding_neardup_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ≥100k-corpus LSH configuration (16 planes × 32 bands):
+    2^16 buckets per band keep random collisions sparse where the 8×8
+    oracle configuration saturates (see the scale rule in
+    operators/similarity.py). Rows-only check — a 32×16×dim SQL replay
+    would be a ~33k-term oracle; correctness is pinned instead by
+    pytest (results ⊆ the exact brute-force pairs, planted high-cosine
+    pairs found)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.neardup_lsh(
+        emb, COSINE_T, EMB_DIM,
+        n_bands=SIM.SCALED_N_BANDS, rows_per_band=SIM.SCALED_ROWS_PER_BAND,
+    )
+
+
 @register(
     "ann_topk",
     oracle=f"""

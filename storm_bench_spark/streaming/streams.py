@@ -50,9 +50,18 @@ def run_to_memory(
     df: DataFrame,
     output_mode: str = "complete",
     query_name: str | None = None,
+    processing_time: str | None = None,
 ) -> DataFrame:
-    """Run a streaming DataFrame to completion (availableNow) into a
-    memory sink; returns the sink table as a batch DataFrame.
+    """Run a streaming DataFrame into a memory sink; returns the sink
+    table as a batch DataFrame.
+
+    Default trigger is ``availableNow`` (run to completion — the
+    deterministic, testable mode). ``processing_time`` (e.g.
+    ``"1 seconds"``) switches to the reference's wall-clock cadence —
+    Storm's tick tuples fire every ``emit_freq`` seconds regardless of
+    event time (RollingBolt.java:62-67) — processes everything
+    available, then stops; the final state is the same, the *emission
+    cadence* is what changes (benchmark-fidelity mode, SURVEY §4.3.2).
 
     A fresh checkpoint dir per call keeps reruns deterministic; the
     checkpoint + micro-batch epoch machinery is the exactly-once path
@@ -60,14 +69,30 @@ def run_to_memory(
     """
     name = query_name or f"sbs_mem_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="sbs_ckpt_")
-    q = (
+    w = (
         df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
-        .trigger(availableNow=True)
         .option("checkpointLocation", ckpt)
-        .start()
     )
-    q.awaitTermination()
     spark = df.sparkSession
+    if processing_time is not None:
+        q = w.trigger(processingTime=processing_time).start()
+        q.processAllAvailable()
+        q.stop()
+    else:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
     return spark.table(name)
+
+
+def with_processing_time(df: DataFrame, col: str = "proc_sec") -> DataFrame:
+    """Stamp arrival (processing) time as epoch seconds.
+
+    The reference has NO event time — its windows are wall-clock slots
+    fed by whatever arrived since the last tick (SURVEY §2.9). Windows
+    built over this column reproduce that semantics exactly: rows land
+    in the window of their ARRIVAL instant. Event-time windows (the
+    engine default) are strictly stronger and stay the tested path;
+    this stamp is the benchmark-fidelity switch."""
+    return df.withColumn(col, F.unix_timestamp(F.current_timestamp()).cast("bigint"))

@@ -93,6 +93,53 @@ def test_ivf_recall_against_bruteforce(spark):
             assert abs(bf_cos[(r.qid, r.neighbor)] - r.cos) < 1e-9
 
 
+def test_scaled_lsh_subset_of_exact(spark):
+    """16×32 banding: every emitted pair is cosine-verified, so the
+    result is a subset of the exact brute force at the same threshold.
+    (Recall at the fixture's loose cos≈0.5 planted pairs is ~5% by
+    design — the config targets the cos ≥ 0.9 near-dup regime; the
+    synthetic-cluster test below proves recall there.)"""
+    exact = QS["embedding_neardup"](spark, SF_DIR).toPandas()
+    scaled = QS["embedding_neardup_lsh_scaled"](spark, SF_DIR).toPandas()
+    eset = {(r.a, r.b) for r in exact.itertuples()}
+    sset = {(r.a, r.b) for r in scaled.itertuples()}
+    assert sset <= eset
+
+
+def test_scaled_lsh_finds_true_neardups(spark):
+    """Synthetic corpus with planted cos ≥ 0.95 clusters: the 16×32
+    configuration must find every planted pair (theoretical recall
+    0.998 at cos 0.95) while random-pair candidates stay sparse."""
+    import numpy as np
+
+    from storm_bench_spark.operators import similarity as SIM
+
+    rng = np.random.default_rng(7)
+    dim, n_bg, n_clusters = 64, 400, 10
+    rows = []
+    vid = 0
+    planted = set()
+    for _ in range(n_bg):
+        rows.append((vid, [float(x) for x in rng.standard_normal(dim)]))
+        vid += 1
+    for _ in range(n_clusters):
+        base = rng.standard_normal(dim)
+        a, b = vid, vid + 1
+        noisy = base + 0.15 * rng.standard_normal(dim)  # cos ≈ 0.99
+        rows.append((a, [float(x) for x in base]))
+        rows.append((b, [float(x) for x in noisy]))
+        planted.add((a, b))
+        vid += 2
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    out = SIM.neardup_lsh(
+        df, 0.9, dim,
+        n_bands=SIM.SCALED_N_BANDS, rows_per_band=SIM.SCALED_ROWS_PER_BAND,
+    ).toPandas()
+    found = {(r.a, r.b) for r in out.itertuples()}
+    assert planted <= found, f"missed {planted - found}"
+    assert (out["cos"] >= 0.9).all()
+
+
 def test_kmeans_ivf_recall_at_least_sampled(spark):
     """centroids='kmeans' must not lose recall vs the sampled-centroid
     variant (the verdict's acceptance bar): better-balanced cells mean

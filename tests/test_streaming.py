@@ -220,3 +220,35 @@ def test_pageview_stream_distributions(spark):
     assert set(out["url"]) <= {"foo.com", "foo.news.com", "foo.contact.com"}
     assert set(out["http_status"]) <= {200, 404}
     assert (out["page_view"].str.count("\t") == 3).all()
+
+
+def test_processing_time_mode_reaches_same_final_state(spark):
+    """SURVEY §4.3.2 benchmark-fidelity switch: a wall-clock
+    (processingTime) trigger must converge to the same final state the
+    availableNow run produces — cadence changes, results don't."""
+    from storm_bench_spark.functions.text import word_split
+    from storm_bench_spark.streaming.streams import stream_table
+
+    docs = stream_table(spark, SF_DIR, "documents")
+    words = docs.select(F.explode(word_split("text")).alias("word"))
+    counts = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    via_proc = run_to_memory(
+        counts, output_mode="complete", processing_time="1 seconds"
+    ).toPandas()
+    batch = all_queries()["wordcount"](spark, SF_DIR).toPandas()
+    assert_frames_match(via_proc, batch, "processing-time wordcount")
+
+
+def test_with_processing_time_stamps_arrival_seconds(spark):
+    from storm_bench_spark.streaming.streams import with_processing_time
+
+    df = with_processing_time(spark.range(5))
+    rows = df.collect()
+    assert all(r["proc_sec"] > 1_500_000_000 for r in rows)
+    # windows over the stamp put every row in the arrival bucket: one
+    # slide-bucket (or two across a boundary) holds the whole batch
+    from storm_bench_spark.operators.windows import sliding_agg
+
+    win = sliding_agg(df.select(F.col("proc_sec").alias("sec"), "id"), 60, 10, [], [F.count("*").alias("c")])
+    total = sum(r["c"] for r in win.collect())
+    assert total == 5 * (60 // 10)  # every row in all 6 overlapping windows
