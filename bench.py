@@ -44,11 +44,17 @@ HEADLINE = [
     "tpch_q6",
     "tpch_q10",
     "tpch_q12",
-    # temporal joins + set ops + ranking
+    # temporal joins + set ops + ranking + analytics
     "asof_click_purchase",
     "interval_click_error",
     "users_intersect",
     "top_terms",
+    "orders_rollup",
+    "user_running_value",
+    "value_percentiles",
+    # curation pipeline (iterative CC + composed keep-canonical)
+    "neardup_clusters",
+    "corpus_curate",
     # training-data pipeline: text analysis
     "dedup_exact",
     "doc_fingerprint",

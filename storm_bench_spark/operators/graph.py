@@ -1,0 +1,92 @@
+"""Iterative graph operators: connected components for dedup clusters.
+
+Near-dup PAIRS (minhash_lsh, simhash_pairs, …) are only half of a
+dedup pipeline — keeping one canonical document per duplicate CLUSTER
+requires grouping the pairs into components. Min-label propagation is
+the Spark-native formulation (the same loop GraphX/GraphFrames runs):
+every node repeatedly adopts the smallest label among itself and its
+neighbors; at fixpoint each component is labeled by its smallest
+member, which doubles as the canonical representative.
+
+Scale discipline:
+- each iteration is ONE key-partitioned join + groupBy(min) — no
+  driver-side graph, shuffles only on node ids;
+- ``localCheckpoint`` truncates lineage per iteration: without it the
+  plan doubles every round (Catalyst re-analyzes a 2^k-deep tree) and
+  executors re-run the whole history on any retry;
+- convergence is a driver-side count of changed labels (one scalar),
+  with an iteration cap as the runaway guard. Near-dup clusters have
+  tiny diameters (they are near-cliques), so 3-4 rounds typically
+  converge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 20, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """(node, comp) for every node appearing in ``edges`` (undirected
+    pairs); ``comp`` is the smallest node id in the component.
+
+    Deterministic for any edge ordering — min is commutative — so a
+    DuckDB recursive-CTE reachability oracle replays it exactly.
+    """
+    ea = F.col(a).alias("node")
+    eb = F.col(b).alias("node")
+    sym = edges.select(ea, F.col(b).alias("peer")).union(
+        edges.select(eb, F.col(a).alias("peer"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select("node").distinct().withColumn("comp", F.col("node"))
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        neigh_min = (
+            sym.join(
+                labels.select(F.col("node").alias("peer"), F.col("comp").alias("pcomp")),
+                "peer",
+            )
+            .groupBy("node")
+            .agg(F.min("pcomp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def cc_oracle_sql(edges_cte: str) -> str:
+    """DuckDB recursive-CTE twin: min reachable node per node.
+
+    ``edges_cte`` must yield columns (a, b). UNION (not UNION ALL)
+    dedupes the frontier so the recursion terminates on cyclic graphs.
+    """
+    return f"""
+WITH RECURSIVE e AS ({edges_cte}),
+sym AS (SELECT a AS node, b AS peer FROM e UNION SELECT b, a FROM e),
+reach(node, lab) AS (
+  SELECT node, node FROM (SELECT DISTINCT node FROM sym)
+  UNION
+  SELECT s.node, r.lab FROM sym s JOIN reach r ON s.peer = r.node
+)
+SELECT node, min(lab) AS comp FROM reach GROUP BY node
+"""

@@ -1,0 +1,80 @@
+"""Corpus-curation queries: near-dup cluster resolution and the
+composed keep-canonical pipeline.
+
+Pair lists (minhash_lsh) are only half of dedup — a 100 TB curation
+run must group pairs into clusters and keep ONE canonical document per
+cluster. ``operators/graph.connected_components`` is the iterative
+min-label propagation that does the grouping (per-iteration
+key-partitioned joins, localCheckpoint lineage truncation); the DuckDB
+oracle replays it as a recursive-CTE reachability closure, so even the
+iterative step is value-checked, not rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from storm_bench_spark.functions.text import word_split
+from storm_bench_spark.operators.graph import cc_oracle_sql, connected_components
+from storm_bench_spark.plans.dedup_queries import MINHASH_PAIRS_SQL, minhash_lsh
+from storm_bench_spark.plans.registry import register
+from storm_bench_spark.sources.tables import load_table
+
+MIN_TOKENS = 10
+
+_EDGES_SQL = f"SELECT a, b FROM ({MINHASH_PAIRS_SQL})"
+
+
+@register("neardup_clusters", oracle=cc_oracle_sql(_EDGES_SQL))
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, comp) for every doc in a near-dup pair: minhash_lsh
+    pairs grouped into connected components, labeled by the smallest
+    member (= the canonical keeper). The iterative Spark loop and the
+    oracle's recursive reachability closure provably agree — min-label
+    fixpoints are unique."""
+    pairs = minhash_lsh(spark, sf_dir).select("a", "b")
+    return connected_components(pairs).orderBy("node")
+
+
+@register(
+    "corpus_curate",
+    oracle=f"""
+WITH keepers AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+drops AS (
+  SELECT node FROM ({cc_oracle_sql(_EDGES_SQL)}) WHERE node <> comp
+)
+SELECT d.doc_id,
+       CAST(len(list_filter(string_split_regex(d.text, '\\s+'), w -> w <> '')) AS BIGINT) AS n_tokens
+FROM documents d
+JOIN keepers k ON d.doc_id = k.doc_id
+WHERE d.doc_id NOT IN (SELECT node FROM drops)
+  AND len(list_filter(string_split_regex(d.text, '\\s+'), w -> w <> '')) >= {MIN_TOKENS}
+""",
+)
+def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline, end to end:
+
+    1. exact dedup — keep min doc_id per md5(text) (semi join);
+    2. near-dup dedup — drop every cluster member except the
+       component label (anti join against the CC output);
+    3. length floor — ≥ {MIN_TOKENS} whitespace tokens.
+
+    Each stage is a key-partitioned join or scan filter — the whole
+    pipeline is shuffle-bounded by the dedup sketch itself, which is
+    the shape a 100 TB curation run needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    drops = (
+        connected_components(minhash_lsh(spark, sf_dir).select("a", "b"))
+        .where(F.col("node") != F.col("comp"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return (
+        docs.join(keepers, "doc_id", "left_semi")
+        .join(drops, "doc_id", "left_anti")
+        .select("doc_id", F.size(word_split("text")).cast("bigint").alias("n_tokens"))
+        .where(F.col("n_tokens") >= MIN_TOKENS)
+    )

@@ -37,9 +37,10 @@ ANN_K = 5
 
 # --- MinHash + LSH near-dup ---------------------------------------------
 
-@register(
-    "minhash_lsh",
-    oracle=f"""
+# Reusable: the FULL minhash pipeline as one SQL query yielding
+# (a, b, jaccard) — minhash_lsh's oracle, and the edge set for the
+# cluster-resolution / curation oracles.
+MINHASH_PAIRS_SQL = f"""
 WITH sh AS ({DD.SHINGLES_SQL}),
 sig AS ({DD.minhash_signature_sql()}),
 bands AS ({DD.band_digests_sql()}),
@@ -49,8 +50,10 @@ cand AS (
     ON l.band = r.band AND l.digest = r.digest AND l.doc_id < r.doc_id
 )
 {DD.verify_jaccard_sql('cand', JACCARD_T)}
-""",
-)
+"""
+
+
+@register("minhash_lsh", oracle=MINHASH_PAIRS_SQL)
 def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 perms) → 8×4 banding → candidate pairs → exact-Jaccard
     verify ≥ 0.5. Candidate generation is an equi-join on band digests —

@@ -50,6 +50,7 @@ def _ensure_loaded() -> None:
     import storm_bench_spark.plans.dedup_queries  # noqa: F401
     import storm_bench_spark.plans.library_ops  # noqa: F401
     import storm_bench_spark.plans.relational  # noqa: F401
+    import storm_bench_spark.plans.curation  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -147,6 +147,92 @@ def users_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- grouping sets: ROLLUP over order dimensions -------------------------
+
+@register(
+    "orders_rollup",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""",
+)
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals in one pass: (priority, status), per-priority
+    subtotals, and the grand total — Catalyst expands the grouping sets
+    into one Expand + single aggregation, not three scans. Decimal
+    two-phase discipline keeps the double sums oracle-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# --- analytic window functions over the event stream ----------------------
+
+@register(
+    "user_running_value",
+    oracle=f"""
+WITH es AS ({D.EVENTS_SEC_SQL})
+SELECT event_id, user_id, sec,
+       round(sum(value) OVER w, 6) AS running_value,
+       CAST(row_number() OVER w AS BIGINT) AS n_events,
+       lag(sec) OVER w AS prev_sec
+FROM es
+WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals / event index / previous-event gap —
+    the analytic-window surface (running sums accumulate in frame
+    order, so the same (sec, event_id) ordering makes Spark's and
+    DuckDB's left-associated double sums identical)."""
+    from pyspark.sql.window import Window
+
+    es = D.events_sec(spark, sf_dir)
+    order = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    frame = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return es.select(
+        "event_id", "user_id", "sec",
+        F.round(F.sum("value").over(frame), 6).alias("running_value"),
+        F.row_number().over(order).cast("bigint").alias("n_events"),
+        F.lag("sec").over(order).alias("prev_sec"),
+    )
+
+
+# --- exact grouped percentiles -------------------------------------------
+
+@register(
+    "value_percentiles",
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(max(value), 6) AS p_max
+FROM events
+GROUP BY event_type
+""",
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``: both sort and
+    interpolate v[lo] + frac·(v[hi]−v[lo])). The scale path is
+    ``approx_percentile`` (t-digest sketch, no per-group sort) — exact
+    stays here for the oracle."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.max("value"), 6).alias("p_max"),
+    )
+
+
 # --- TF-IDF top terms per document ---------------------------------------
 
 TOP_TERMS_K = 3
