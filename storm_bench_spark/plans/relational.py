@@ -147,6 +147,59 @@ def users_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- session windows: gap-based sessionization ---------------------------
+
+SESSION_GAP_SEC = 1800
+
+
+@register(
+    "user_sessions",
+    oracle=f"""
+WITH es AS ({D.EVENTS_SEC_SQL}),
+marked AS (
+  SELECT user_id, sec,
+         CASE WHEN lag(sec) OVER w IS NULL
+                OR sec - lag(sec) OVER w >= {SESSION_GAP_SEC}
+              THEN 1 ELSE 0 END AS new_session
+  FROM es
+  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+),
+sess AS (
+  SELECT user_id, sec,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY sec
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, min(sec) AS session_start, count(*) AS n_events,
+       max(sec) - min(sec) AS duration_sec
+FROM sess GROUP BY user_id, sid
+""",
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize each user's events with a 30-minute inactivity gap —
+    ``session_window`` (dynamic gap-merged windows in the aggregation
+    state, batch and streaming). Two events belong to one session iff
+    their gap is < {SESSION_GAP_SEC}s; the oracle replays that as the
+    classic gap-and-islands window SQL, so the engine's session
+    semantics (merge-on-overlap, end = last event + gap) is
+    value-checked against first principles."""
+    es = D.events_sec(spark, sf_dir)
+    sw = F.session_window(
+        F.timestamp_seconds(F.col("sec")), f"{SESSION_GAP_SEC} seconds"
+    )
+    g = es.groupBy(sw.alias("w"), F.col("user_id")).agg(
+        F.count("*").alias("n_events"),
+        F.max("sec").alias("_max_sec"),
+    )
+    start = F.col("w.start").cast("long")
+    return g.select(
+        "user_id",
+        start.alias("session_start"),
+        "n_events",
+        (F.col("_max_sec") - start).alias("duration_sec"),
+    )
+
+
 # --- grouping sets: ROLLUP over order dimensions -------------------------
 
 @register(

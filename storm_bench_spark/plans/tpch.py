@@ -276,6 +276,76 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q14: promotion effect (conditional ratio over a part join) ----------
+
+@register(
+    "tpch_q14",
+    oracle="""
+SELECT CAST(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+       AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate < TIMESTAMP '1997-04-01'
+""",
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share: one broadcast join to part, conditional
+    decimal sums, one output row (the fixture's p_type is a flat
+    category, so the spec's LIKE 'PROMO%' becomes equality)."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev.cast(DEC_ROW)).otherwise(
+        F.lit(0).cast(DEC_ROW)
+    )
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    return j.agg(
+        (
+            100.0 * F.sum(promo).cast("double") / F.sum(rev.cast(DEC_ROW)).cast("double")
+        ).alias("promo_revenue")
+    )
+
+
+# --- Q19: discounted revenue (OR-of-ANDs bracket predicates) --------------
+
+@register(
+    "tpch_q19",
+    oracle="""
+SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20 AND l_quantity <= 40)
+""",
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bracket query: three OR'd conjunctions spanning both join
+    sides. Catalyst pushes the per-side disjunction residuals below
+    the join (brand/size to the part scan, quantity to lineitem) and
+    keeps the cross-side OR as the join filter — the optimizer test
+    the spec designed this query to be."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    bracket = lambda brand, smax, qlo, qhi: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    cond = bracket("Brand#11", 15, 1, 20) | bracket("Brand#23", 25, 10, 30) | bracket(
+        "Brand#15", 35, 20, 40
+    )
+    return j.where(cond).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
 # --- Q10: returned-item reporting (top 20 customers) ----------------------
 
 @register(
