@@ -44,6 +44,8 @@ HEADLINE = [
     "tpch_q6",
     "tpch_q10",
     "tpch_q12",
+    "tpch_q14",
+    "tpch_q19",
     # temporal joins + set ops + ranking + analytics
     "asof_click_purchase",
     "interval_click_error",
@@ -52,6 +54,7 @@ HEADLINE = [
     "orders_rollup",
     "user_running_value",
     "value_percentiles",
+    "user_sessions",
     # curation pipeline (iterative CC + composed keep-canonical)
     "neardup_clusters",
     "corpus_curate",
