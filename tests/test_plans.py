@@ -110,6 +110,49 @@ def test_unique_visitor_dedups_before_window_fanout(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_tpch_q6_pushes_every_predicate(spark):
+    # the pushdown showcase: all four filters must reach the scan, and
+    # the plan is scan → filter → partial agg → one-row exchange → final
+    plan = _plan(spark, "tpch_q6")
+    assert "PushedFilters:" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({col})" in plan or col in plan.split("PushedFilters:")[1][:400]
+    assert "Join" not in plan
+
+
+def test_asof_join_is_sort_not_join(spark):
+    # the union-sort trick: NO join operator anywhere — keyed hash
+    # exchanges (right-side pre-reduce on (user, sec) + the window's
+    # user partition) and a window sort do the temporal matching
+    plan = _plan(spark, "asof_click_purchase")
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Exchange rangepartitioning" not in plan  # never a global sort
+
+
+def test_interval_join_is_hash_equi_join(spark):
+    # bucket replication makes the range join an equi-join: hash join
+    # on (user, bucket), never a nested-loop/cartesian range probe
+    plan = _plan(spark, "interval_click_error")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_rollup_is_one_expand_pass(spark):
+    # grouping sets expand rows once; no unioned re-scans
+    plan = _plan(spark, "orders_rollup")
+    assert plan.count("Expand") >= 1
+    assert plan.count("FileScan") == 1
+
+
+def test_corpus_curate_joins_stay_keyed(spark):
+    plan = _plan(spark, "corpus_curate")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_two_phase_windows_aggregate_before_expanding(spark):
     # sliding_agg_twophase: the Generate (window fan-out) must sit ABOVE
     # the first aggregate, i.e. rows collapse before they replicate
