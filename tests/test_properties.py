@@ -223,3 +223,104 @@ def test_verify_jaccard_matches_python_sets(spark, texts):
             else:
                 want = round(inter / len(sa | sb), 6)
                 assert math.isclose(got[(i, j)], want, abs_tol=1e-9), (i, j)
+
+
+# ---------------------------------------------------------------------------
+# asof_join / interval_join == brute-force Python references
+
+_events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # key
+        st.integers(min_value=0, max_value=100),    # sec
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_events_strategy, _events_strategy)
+def test_asof_join_matches_bruteforce(spark, left_rows, right_rows):
+    from storm_bench_spark.operators.asof import asof_join
+
+    # unique right rows per (key, sec) — the operator's precondition
+    right = {}
+    for i, (k, s) in enumerate(right_rows):
+        right[(k, s)] = float(i)
+    left = [(k, s, i) for i, (k, s) in enumerate(left_rows)]
+
+    ldf = spark.createDataFrame(left, schema="k long, sec long, lid long")
+    rdf = spark.createDataFrame(
+        [(k, s, v) for (k, s), v in right.items()], schema="k long, sec long, v double"
+    )
+    out = {
+        r["lid"]: (r["v_r"], r["sec_r"])
+        for r in asof_join(ldf, rdf, ["k"], "sec", ["v"]).collect()
+    }
+    for k, s, lid in left:
+        cands = [(rs, v) for (rk, rs), v in right.items() if rk == k and rs <= s]
+        expect = (None, None)
+        if cands:
+            rs, v = max(cands)
+            expect = (v, rs)
+        assert out[lid] == expect, (lid, out[lid], expect)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_events_strategy, _events_strategy, st.integers(min_value=1, max_value=30))
+def test_interval_join_matches_bruteforce(spark, a_rows, b_rows, delta):
+    from storm_bench_spark.operators.asof import interval_join
+
+    a = [(k, s, i) for i, (k, s) in enumerate(a_rows)]
+    b = [(k, s, i) for i, (k, s) in enumerate(b_rows)]
+    adf = spark.createDataFrame(a, schema="k long, a_sec long, a_id long")
+    bdf = spark.createDataFrame(b, schema="k long, b_sec long, b_id long")
+    out = {
+        (r["a_id"], r["b_id"])
+        for r in interval_join(adf, bdf, ["k"], "a_sec", "b_sec", delta).collect()
+    }
+    expect = {
+        (ai, bi)
+        for ak, asec, ai in a
+        for bk, bsec, bi in b
+        if ak == bk and abs(asec - bsec) <= delta
+    }
+    assert out == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_connected_components_matches_union_find(spark, raw_edges):
+    from storm_bench_spark.operators.graph import connected_components
+
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    if not edges:
+        return
+    # Python union-find reference
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, schema="a long, b long")
+    out = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+    assert out == expect
