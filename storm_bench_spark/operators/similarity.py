@@ -256,6 +256,29 @@ SCALED_ROWS_PER_BAND = 16
 SCALED_N_BANDS = 32
 
 
+def lsh_config_for(n_vectors: int, target_occupancy: int = 1, recall_bands: int = 32) -> tuple[int, int]:
+    """(n_bands, rows_per_band) for a corpus of ``n_vectors``.
+
+    rows R = log2(N / occupancy), clamped to [8, 24]: keeps expected
+    random bucket occupancy ~``target_occupancy`` so candidate counts
+    stay ~N·B·occupancy/2 (linear in N) instead of N²/2^(R+1).
+    Bands: ``recall_bands`` once R > 8, doubled per 2 extra rows past
+    16 so near-dup recall holds (cos 0.9: p^R·amplification gives 0.94
+    at 16×32 and 0.997 at 20×128 — each extra row halves per-band
+    match probability and B must compensate). Measured: at 500 k
+    vectors R=16 re-saturates (BASELINE.md 100× table) and this rule
+    returns (128, 19) there — the knob the measurement says to turn.
+    """
+    import math
+
+    r = int(math.log2(max(n_vectors, 1) / max(target_occupancy, 1)) + 0.5)
+    r = min(24, max(8, r))
+    if r <= 8:
+        return N_BANDS, r
+    b = recall_bands << max(0, (r - 15) // 2)
+    return b, r
+
+
 def _weight_bit(plane: int, dim: int) -> int:
     """Deterministic ±1 hyperplane weight bit (parity of the portable
     hash of 'plane:dim') — shared by the Arrow kernel and the SQL

@@ -59,16 +59,16 @@ def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- interval join: errors within ±10 min of a click ---------------------
 
-@register(
-    "interval_click_error",
-    oracle=f"""
+INTERVAL_CLICK_ERROR_ORACLE = f"""
 WITH es AS ({D.EVENTS_SEC_SQL}),
 a AS (SELECT event_id AS a_id, user_id, sec AS a_sec FROM es WHERE event_type = 'click'),
 b AS (SELECT event_id AS b_id, user_id, sec AS b_sec FROM es WHERE event_type = 'error')
 SELECT a.user_id, a_id, b_id, a_sec, b_sec, abs(a_sec - b_sec) AS gap_sec
 FROM a JOIN b ON a.user_id = b.user_id AND abs(a_sec - b_sec) <= {INTERVAL_DELTA_SEC}
-""",
-)
+"""
+
+
+@register("interval_click_error", oracle=INTERVAL_CLICK_ERROR_ORACLE)
 def interval_click_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(click, error) pairs of the same user within ±10 minutes —
     the session-stitching range join. Candidates come from a hash

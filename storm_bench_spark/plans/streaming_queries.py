@@ -179,6 +179,59 @@ def streaming_sol(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(df, output_mode="append")
 
 
+# --- stream-stream interval join (watermarked two-store join) ------------
+
+from storm_bench_spark.plans.relational import INTERVAL_CLICK_ERROR_ORACLE
+
+
+@register(
+    "streaming_interval_join",
+    # availableNow drains both sides fully, so the inner-join result
+    # equals the batch interval join — the same oracle verifies the
+    # watermarked two-state-store path.
+    oracle=INTERVAL_CLICK_ERROR_ORACLE,
+    doc="watermarked stream-stream interval join (twin of interval_click_error)",
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """interval_click_error through TWO streams: each side keeps a
+    watermark-bounded state store and the join condition carries the
+    time range, so Spark can evict state once the watermark passes —
+    the canonical stream-stream join shape (SURVEY §2.9 keyed state ×2).
+    Inner join + availableNow ⇒ final result equals the batch bucket
+    join, which the oracle checks."""
+    from storm_bench_spark.plans.relational import INTERVAL_DELTA_SEC
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        e = stream_table(spark, sf_dir, "events").where(
+            F.col("event_type") == event_type
+        )
+        return e.select(
+            F.col("event_id").alias(f"{prefix}_id"),
+            F.col("user_id").alias(f"{prefix}_user"),
+            F.col("ts").alias(f"{prefix}_ts"),
+        ).withWatermark(f"{prefix}_ts", "1 hour")
+
+    a = side("click", "a")
+    b = side("error", "b")
+    j = a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("a_ts") - F.expr(f"INTERVAL {INTERVAL_DELTA_SEC} SECONDS"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {INTERVAL_DELTA_SEC} SECONDS")),
+    )
+    out = run_to_memory(j, output_mode="append")
+    a_sec = F.col("a_ts").cast("long")
+    b_sec = F.col("b_ts").cast("long")
+    return out.select(
+        F.col("a_user").alias("user_id"),
+        "a_id",
+        "b_id",
+        a_sec.alias("a_sec"),
+        b_sec.alias("b_sec"),
+        F.abs(a_sec - b_sec).alias("gap_sec"),
+    )
+
+
 # --- custom stateful operator (applyInPandasWithState) -------------------
 
 @register(

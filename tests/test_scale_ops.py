@@ -168,3 +168,16 @@ def test_bucketed_flight_dist_prunes_cross_cluster_pairs(spark):
     )
     candidates = a.join(b, ["jlat", "jlon"]).where(FF.col("icao1") < FF.col("icao2"))
     assert candidates.count() < all_pairs, "grid must prune cross-cluster pairs"
+
+
+def test_lsh_config_rule():
+    from storm_bench_spark.operators.similarity import lsh_config_for
+
+    assert lsh_config_for(500) == (32, 9)
+    b16, r16 = lsh_config_for(60_000)
+    assert r16 == 16 and b16 == 32
+    b19, r19 = lsh_config_for(500_000)
+    assert r19 == 19 and b19 == 128
+    # clamps: tiny corpora never go below the 8x8 oracle config shape
+    assert lsh_config_for(1)[1] == 8
+    assert lsh_config_for(10**12)[1] == 24
