@@ -1,0 +1,53 @@
+"""Change-data-capture application: MERGE-style snapshot maintenance.
+
+A training-data corpus is not static — documents get re-crawled,
+re-licensed (deleted), or corrected. ``apply_changes`` maintains a
+snapshot from a base table plus a changelog without any MERGE DDL:
+latest-change-wins per key, deletes drop, untouched base rows survive.
+
+Spark-first shape: the changelog collapses to one row per key via the
+partial-aggregable ``max_by`` (``latest_by`` — map-side combine, one
+shuffle of one row per key per partition), then ONE left-anti join
+removes superseded/deleted base rows and the surviving upserts union
+in. No window functions over the full changelog, no row_number
+shuffle of every change — at 100 TB the changelog reduction is the
+whole cost, and it is a single combine-friendly aggregation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from storm_bench_spark.operators.windows import latest_by
+
+DELETE_OP = "delete"
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    order_key: Column,
+    payload_cols: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """New snapshot from ``base`` + ``changes``.
+
+    ``changes`` carries the key columns, an ``op_col`` (``'upsert'`` or
+    ``'delete'``), ``payload_cols`` (the replacement values — ignored
+    for deletes) and an ``order_key`` expression that totally orders
+    changes per key (ties would make the winner undefined — pass a
+    unique key, e.g. ``version*1e6 + change_id``).
+
+    Output schema = keys + payload_cols. Base rows must share it.
+    """
+    latest = latest_by(
+        changes, key_cols=keys, order_key=order_key,
+        payload_cols=[*payload_cols, op_col],
+    )
+    keep_base = base.join(latest.select(*keys), list(keys), "left_anti")
+    upserts = latest.where(F.col(op_col) != DELETE_OP).select(*keys, *payload_cols)
+    return keep_base.select(*keys, *payload_cols).unionByName(upserts)

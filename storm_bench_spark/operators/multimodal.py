@@ -177,6 +177,97 @@ FRAMES_SCHEMA = StructType(
 )
 
 
+# --- audio: metadata + time-based chunking --------------------------------
+
+AUDIO_SAMPLE_RATE = 16_000
+AUDIO_BYTES_PER_SAMPLE = 2  # 16-bit PCM
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("mean_abs", DoubleType()),
+    ]
+)
+
+
+def decode_audio_meta(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(doc_id, n_samples, duration_ms, mean_abs) per audio payload.
+
+    STUB codec (no audio library in this container): payloads are
+    treated as headerless 16 kHz 16-bit PCM, so sample count and
+    duration are pure length arithmetic, and ``mean_abs`` is the real
+    mean |byte| over the payload — actual per-byte math through the
+    Arrow batch (NumPy), reproducible in SQL over the hex rendering,
+    so the oracle checks genuine byte-level computation rather than
+    only length arithmetic."""
+    import numpy as np
+
+    def meta_batches(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                n_samples = len(payload) // AUDIO_BYTES_PER_SAMPLE
+                duration_ms = n_samples * 1000 // AUDIO_SAMPLE_RATE
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                # integer byte sum is exact in float64 (≤ 255·n ≪ 2^53),
+                # so sum/len is order-independent and oracle-identical;
+                # rounding is left to the caller (engine round == SQL
+                # round HALF_UP; Python's round() is banker's — avoid)
+                mean_abs = float(arr.sum()) / len(arr) if len(arr) else 0.0
+                rows.append((int(doc_id), n_samples, duration_ms, mean_abs))
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_META_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(meta_batches, AUDIO_META_SCHEMA)
+
+
+AUDIO_CHUNK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("chunk_index", LongType()),
+        StructField("start_ms", LongType()),
+        StructField("chunk", BinaryType()),
+    ]
+)
+
+
+def chunk_audio(
+    df: DataFrame,
+    chunk_ms: int = 250,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(doc_id, chunk_index, start_ms, chunk) — time-aligned chunking
+    (the audio twin of frame sampling): fixed-duration PCM windows for
+    downstream feature extraction, one-row-in/many-rows-out through
+    mapInPandas. The last partial chunk is kept (real pipelines pad or
+    keep; keeping is the honest stub)."""
+    chunk_bytes = AUDIO_SAMPLE_RATE * AUDIO_BYTES_PER_SAMPLE * chunk_ms // 1000
+
+    def chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                n_chunks = max(1, (len(payload) + chunk_bytes - 1) // chunk_bytes)
+                for i in range(n_chunks):
+                    rows.append(
+                        (
+                            int(doc_id),
+                            i,
+                            i * chunk_ms,
+                            payload[i * chunk_bytes : (i + 1) * chunk_bytes],
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_CHUNK_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(chunk_batches, AUDIO_CHUNK_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame, every_k: int = 2, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:

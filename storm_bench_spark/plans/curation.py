@@ -16,9 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from storm_bench_spark.functions.text import word_split
+from storm_bench_spark.operators.cdc import apply_changes
 from storm_bench_spark.operators.graph import cc_oracle_sql, connected_components
 from storm_bench_spark.plans.dedup_queries import MINHASH_PAIRS_SQL, minhash_lsh
 from storm_bench_spark.plans.registry import register
+from storm_bench_spark.sources import derived as D
 from storm_bench_spark.sources.tables import load_table
 
 MIN_TOKENS = 10
@@ -77,4 +79,51 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(drops, "doc_id", "left_anti")
         .select("doc_id", F.size(word_split("text")).cast("bigint").alias("n_tokens"))
         .where(F.col("n_tokens") >= MIN_TOKENS)
+    )
+
+
+# --- CDC / MERGE: snapshot maintenance -----------------------------------
+
+CDC_ORACLE = f"""
+WITH es AS ({D.EVENTS_SEC_SQL}),
+ch AS (
+  SELECT user_id AS c_custkey, sec, event_id,
+         CASE WHEN event_type = 'purchase' THEN 'delete' ELSE 'upsert' END AS op,
+         concat('u', CAST(event_id AS VARCHAR)) AS c_name
+  FROM es WHERE event_type IN ('signup', 'click', 'purchase')
+),
+latest AS (
+  SELECT c.c_custkey, c.op, c.c_name FROM ch c
+  JOIN (SELECT c_custkey, max(sec * 1000000 + event_id) AS mk
+        FROM ch GROUP BY c_custkey) m
+    ON c.c_custkey = m.c_custkey AND c.sec * 1000000 + c.event_id = m.mk
+)
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+UNION ALL
+SELECT c_custkey, c_name FROM latest WHERE op <> 'delete'
+"""
+
+
+@register("cdc_apply", oracle=CDC_ORACLE)
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style snapshot maintenance over the customer table with an
+    event-derived changelog (signup/click → upsert with a new name,
+    purchase → delete): latest change per key wins via the
+    partial-aggregable max_by reduction, superseded base rows leave
+    through one left-anti join, upserts union in
+    (operators/cdc.apply_changes). The oracle replays the same
+    latest-wins resolution in SQL."""
+    base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    es = D.events_sec(spark, sf_dir)
+    ch = es.where(F.col("event_type").isin("signup", "click", "purchase")).select(
+        F.col("user_id").alias("c_custkey"),
+        "sec",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", "delete").otherwise("upsert").alias("op"),
+        F.concat(F.lit("u"), F.col("event_id").cast("string")).alias("c_name"),
+    )
+    order_key = (F.col("sec") * 1_000_000 + F.col("event_id")).cast("bigint")
+    return apply_changes(
+        base, ch, keys=["c_custkey"], order_key=order_key, payload_cols=["c_name"]
     )

@@ -17,8 +17,12 @@ from pyspark.sql import functions as F
 from storm_bench_spark.operators import dedup as DD
 from storm_bench_spark.operators import similarity as SIM
 from storm_bench_spark.operators.multimodal import (
+    AUDIO_BYTES_PER_SAMPLE,
+    AUDIO_SAMPLE_RATE,
     FEATURE_DIM,
     FRAME_SIZE_BYTES,
+    chunk_audio,
+    decode_audio_meta,
     decode_image_meta,
     documents_as_binary,
     extract_features,
@@ -350,3 +354,60 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = sample_frames(documents_as_binary(docs), every_k=2)
     return out.select("doc_id", "frame_index", F.hex("frame").alias("frame"))
+
+
+AUDIO_CHUNK_MS = 10
+_CHUNK_BYTES = AUDIO_SAMPLE_RATE * AUDIO_BYTES_PER_SAMPLE * AUDIO_CHUNK_MS // 1000
+
+# mean byte value, computed byte-for-byte from the hex rendering — the
+# oracle checks the kernel's actual per-byte arithmetic, not length math
+_MEAN_BYTE = (
+    f"list_avg(list_transform(range(1, {_BLOB_LEN} + 1), "
+    f"i -> CAST(concat('0x', substring({_HEX}, (i - 1) * 2 + 1, 2)) AS INTEGER)))"
+)
+
+
+@register(
+    "multimodal_audio_meta",
+    oracle=f"""
+SELECT doc_id,
+       CAST({_BLOB_LEN} // {AUDIO_BYTES_PER_SAMPLE} AS BIGINT) AS n_samples,
+       CAST(({_BLOB_LEN} // {AUDIO_BYTES_PER_SAMPLE}) * 1000 // {AUDIO_SAMPLE_RATE} AS BIGINT) AS duration_ms,
+       round({_MEAN_BYTE}, 6) AS mean_abs
+FROM documents
+""",
+)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio metadata per payload (headerless 16 kHz 16-bit PCM stub):
+    sample count / duration are length arithmetic, and mean_abs is the
+    REAL mean byte value computed in the Arrow kernel — integer byte
+    sums are exact in float64, so the SQL replay over hex pairs matches
+    bitwise before the shared 6 dp round."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = decode_audio_meta(documents_as_binary(docs))
+    return out.select(
+        "doc_id", "n_samples", "duration_ms", F.round("mean_abs", 6).alias("mean_abs")
+    )
+
+
+@register(
+    "multimodal_audio_chunks",
+    oracle=f"""
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_index,
+       CAST(i * {AUDIO_CHUNK_MS} AS BIGINT) AS start_ms,
+       substring({_HEX}, CAST(i * {2 * _CHUNK_BYTES} + 1 AS BIGINT), {2 * _CHUNK_BYTES}) AS chunk
+FROM (SELECT doc_id, text,
+             unnest(range(0, greatest(({_BLOB_LEN} + {_CHUNK_BYTES - 1}) // {_CHUNK_BYTES}, 1))) AS i
+      FROM documents)
+""",
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-aligned PCM chunking ({AUDIO_CHUNK_MS} ms windows) — the
+    audio twin of frame sampling: one payload → many (chunk_index,
+    start_ms, chunk) rows; chunks hex-encoded for the comparator."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = chunk_audio(documents_as_binary(docs), chunk_ms=AUDIO_CHUNK_MS)
+    return out.select(
+        "doc_id", "chunk_index", "start_ms", F.hex("chunk").alias("chunk")
+    )

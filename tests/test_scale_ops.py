@@ -181,3 +181,29 @@ def test_lsh_config_rule():
     # clamps: tiny corpora never go below the 8x8 oracle config shape
     assert lsh_config_for(1)[1] == 8
     assert lsh_config_for(10**12)[1] == 24
+
+
+def test_apply_changes_merge_semantics(spark):
+    from pyspark.sql import functions as FF
+
+    from storm_bench_spark.operators.cdc import apply_changes
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], schema="k long, name string"
+    )
+    # key 1: upserted twice (v2 wins); key 2: deleted; key 3: untouched;
+    # key 4: inserted; key 5: delete of a nonexistent key (no-op)
+    changes = spark.createDataFrame(
+        [
+            (1, 1, "upsert", "a1"),
+            (1, 2, "upsert", "a2"),
+            (2, 1, "delete", None),
+            (4, 1, "upsert", "d"),
+            (5, 1, "delete", None),
+        ],
+        schema="k long, v long, op string, name string",
+    )
+    out = apply_changes(
+        base, changes, keys=["k"], order_key=FF.col("v"), payload_cols=["name"]
+    )
+    assert sorted(map(tuple, out.collect())) == [(1, "a2"), (3, "c"), (4, "d")]
