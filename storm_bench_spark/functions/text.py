@@ -96,6 +96,16 @@ STOPWORDS: tuple[str, ...] = (
     "the", "a", "of", "and", "to", "in", "is", "it", "for", "on", "with", "as",
 )
 
+# Every char the Java regex classes \w and \s match (default, non-Unicode
+# flavor): [0-9A-Za-z_] plus [ \t\n\x0b\f\r]. Deleting exactly this set
+# leaves exactly the chars [^\w\s] matches — including non-ASCII letters,
+# which neither spelling treats as word chars.
+import string as _string
+
+_WORD_AND_SPACE_CHARS = (
+    _string.ascii_letters + _string.digits + "_" + " \t\n\x0b\f\r"
+)
+
 
 def quality_features(text: Column | str) -> Column:
     """Struct of deterministic quality-scoring features for a document
@@ -113,7 +123,12 @@ def quality_features(text: Column | str) -> Column:
         total_wlen = F.aggregate(wv, F.lit(0), lambda acc, w: acc + F.length(w))
         stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
         n_stop = F.size(F.filter(wv, lambda w: F.array_contains(stop_arr, F.lower(w))))
-        n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+        # punct = chars outside \w (=[0-9A-Za-z_]) and \s (=[ \t\n\x0b\f\r]).
+        # Both sets are finite, so "delete word+space chars, count what's
+        # left" via translate is exactly the regex count at a fraction of
+        # the cost (single table-lookup pass vs an NFA over every char —
+        # the regexp_replace spelling was 2.8× the whole query's oracle).
+        n_punct = F.length(F.translate(c, _WORD_AND_SPACE_CHARS, ""))
         return F.struct(
             n_tokens.alias("n_tokens"),
             F.when(n_tokens > 0, total_wlen.cast("double") / n_tokens)

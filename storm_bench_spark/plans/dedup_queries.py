@@ -100,8 +100,9 @@ cand AS (
 )
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity join: candidates from a
-    document-frequency-capped inverted shingle index with a ≥2
-    shared-rare-shingle count filter, then full-set verification ≥ 0.5.
+    document-frequency-capped inverted shingle index with a
+    ≥ ``DD.MIN_SHARED`` shared-rare-shingle count filter, then full-set
+    verification ≥ 0.5.
 
     Plan discipline (the uncached spelling re-derived the shingle
     pipeline 8× — one per consumer): the doc-level shingle-set table

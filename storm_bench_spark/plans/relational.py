@@ -115,19 +115,29 @@ def users_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIGH_VALUE = 90.0
+
+
 @register(
     "users_except",
-    oracle="""
+    oracle=f"""
 SELECT user_id FROM events WHERE event_type = 'click'
 EXCEPT
-SELECT user_id FROM events WHERE event_type = 'purchase'
+SELECT user_id FROM events WHERE event_type = 'purchase' AND value > {HIGH_VALUE}
 """,
 )
 def users_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Users who clicked but never purchased (distinct EXCEPT)."""
-    return _typed_users(spark, sf_dir, "click").subtract(
-        _typed_users(spark, sf_dir, "purchase")
+    """Users who clicked but never made a high-value (> {HIGH_VALUE})
+    purchase — distinct EXCEPT. The value predicate keeps the result
+    non-empty at every fixture SF (every user has every event type, so
+    a plain click-minus-purchase EXCEPT is vacuously empty and its
+    green cell would certify nothing)."""
+    high_purchasers = (
+        load_table(spark, sf_dir, "events")
+        .where((F.col("event_type") == "purchase") & (F.col("value") > HIGH_VALUE))
+        .select("user_id")
     )
+    return _typed_users(spark, sf_dir, "click").subtract(high_purchasers)
 
 
 @register(
@@ -157,7 +167,7 @@ SESSION_GAP_SEC = 1800
     oracle=f"""
 WITH es AS ({D.EVENTS_SEC_SQL}),
 marked AS (
-  SELECT user_id, sec,
+  SELECT user_id, sec, event_id,
          CASE WHEN lag(sec) OVER w IS NULL
                 OR sec - lag(sec) OVER w >= {SESSION_GAP_SEC}
               THEN 1 ELSE 0 END AS new_session
@@ -166,7 +176,7 @@ marked AS (
 ),
 sess AS (
   SELECT user_id, sec,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY sec
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
                                 ROWS UNBOUNDED PRECEDING) AS sid
   FROM marked
 )
