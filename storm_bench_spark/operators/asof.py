@@ -47,6 +47,14 @@ def asof_join(
     ``latest_by``) if it is not; with duplicates the winner would be
     sort-order-dependent. The matched right timestamp is emitted as
     ``sec_col + suffix`` (NULL when nothing precedes).
+
+    The right row's values travel as ONE struct through a single
+    ``last(ignorenulls=True)``: the struct is non-null whenever the
+    right ROW exists, even if every value inside it is NULL, so a NULL
+    in one right column can never borrow that column from an older
+    right row while taking the rest from the newer one (per-column
+    ``last`` does exactly that — DuckDB's native ASOF JOIN semantics
+    is whole-row). One window, one shuffle, same O(n log n) shape.
     """
     from pyspark.sql.window import Window
 
@@ -55,10 +63,11 @@ def asof_join(
     rt = right.select(
         *on,
         F.col(sec_col),
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
-    ).select("*", F.col(sec_col).alias(f"{sec_col}{suffix}")).withColumn(
-        "_tag", F.lit(0)
-    )
+        F.struct(
+            *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+            F.col(sec_col).alias(f"{sec_col}{suffix}"),
+        ).alias("_rv"),
+    ).withColumn("_tag", F.lit(0))
     u = lt.unionByName(rt, allowMissingColumns=True)
     # right rows (tag 0) sort before left rows at equal sec ⇒ inclusive
     w = (
@@ -66,9 +75,11 @@ def asof_join(
         .orderBy(F.col(sec_col).asc(), F.col("_tag").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    for c in out_cols:
-        u = u.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
-    return u.where(F.col("_tag") == 1).drop("_tag")
+    u = u.withColumn("_rv", F.last("_rv", ignorenulls=True).over(w))
+    return u.where(F.col("_tag") == 1).select(
+        *left.columns,
+        *[F.col(f"_rv.{c}").alias(c) for c in out_cols],
+    )
 
 
 def interval_join(

@@ -228,6 +228,15 @@ def _pairs_to_hits(
 _KM_PER_DEG = EARTH_RADIUS_KM * math.pi / 180.0
 
 
+# Above this |lat| the longitude grid stops paying: cos(φ) shrinks the
+# usable cell count toward the degenerate fallback anyway, and meridian
+# convergence makes lon adjacency a poor proxy for proximity. The
+# all-pairs join is the honest (and still exact) plan for such
+# snapshots — great-circle math has no polar exemption
+# (RollingFlightDist.java:157-187), so neither does the operator.
+_POLAR_FALLBACK_DEG = 85.0
+
+
 def _grid_spec(
     latest: DataFrame,
     dist_threshold_km: float,
@@ -242,10 +251,28 @@ def _grid_spec(
     bounds any aircraft's dead-reckoned displacement:
     ``max_spd · ((max_pt − min_pt) + (n−1)·Δt)`` (the probe time t_k is
     at most ``max_pt + (n−1)·Δt`` and every report is ≥ ``min_pt``).
-    Great-circle distance dominates both R·|Δφ| and R·cos(φmax)·|Δλ|,
-    so with lat cells ≥ required km and lon cells ≥ required km at the
-    data's max |lat|, any qualifying pair lands in the same or an
-    8-adjacent cell — the equi-join on cells misses nothing.
+
+    Latitude: great-circle distance dominates R·|Δφ| (the meridian is a
+    great circle), so lat cells of ≥ required km are lossless.
+
+    Longitude: for any pair with |lat| ≤ φmax, the central angle σ
+    satisfies ``sin(σ/2) ≥ cos(φmax)·sin(Δλ/2)`` (cos σ =
+    sinφ₁sinφ₂ + cosφ₁cosφ₂cosΔλ is maximized over the |φ|≤φmax box at
+    φ₁=φ₂=±φmax, where it reduces to that identity). Hence a
+    qualifying pair has ``Δλ ≤ Δλmax = 2·asin(s/cos φmax)`` with
+    ``s = sin(required/2R)`` — the EXACT envelope. The linear spelling
+    ``required/(R·cosφmax)`` under-sizes Δλmax (asin curvature) and
+    breaks outright near the poles / at antipodal longitudes, so it is
+    not used. Two regimes get no grid at all (return None → caller
+    falls back to the exact all-pairs join):
+
+    - ``φmax > _POLAR_FALLBACK_DEG``: near-polar snapshot;
+    - ``s ≥ cos(φmax)``: the envelope reaches over the pole, every
+      longitude qualifies.
+
+    With cells sized ≥ Δλmax (lon, wrap-adjacent) and ≥ required km
+    (lat), any qualifying pair lands in the same or an 8-adjacent cell
+    — the equi-join on cells misses nothing.
 
     The one tiny driver-side action here is a 4-value aggregate (max
     |lat|, max spd, min/max postime) over the already-reduced snapshot.
@@ -261,14 +288,22 @@ def _grid_spec(
     ).first()
     if stats is None or stats["mal"] is None:
         return None
+    if stats["mal"] > _POLAR_FALLBACK_DEG:
+        return None
     horizon_sec = (stats["maxpt"] - stats["minpt"]) / 1000.0 + (
         (speculative_comp_num - 1) * speculative_comp_timestep_sec
     )
     max_travel_km = (stats["ms"] or 0.0) * KNOT_TO_KM_PER_SEC * horizon_sec
     required_km = dist_threshold_km + 2.0 * max_travel_km
     n_lat = max(1, int(180.0 * _KM_PER_DEG // required_km))
-    cos_cap = math.cos(math.radians(min(stats["mal"], 89.0)))
-    n_lon = max(1, int(360.0 * _KM_PER_DEG * max(cos_cap, 1e-6) // required_km))
+    # sin clamps at π/2: required ≥ half the circumference ⇒ s = 1 ⇒
+    # s ≥ cos(φmax) ⇒ fallback, which is right (nothing is prunable).
+    s = math.sin(min(required_km / (2.0 * EARTH_RADIUS_KM), math.pi / 2.0))
+    cos_cap = math.cos(math.radians(stats["mal"]))
+    if s >= cos_cap:
+        return None
+    dlam_max = 2.0 * math.asin(s / cos_cap)
+    n_lon = max(1, int((2.0 * math.pi) // dlam_max))
     return n_lat, n_lon
 
 

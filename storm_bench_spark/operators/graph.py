@@ -14,10 +14,16 @@ Scale discipline:
 - ``localCheckpoint`` truncates lineage per iteration: without it the
   plan doubles every round (Catalyst re-analyzes a 2^k-deep tree) and
   executors re-run the whole history on any retry;
+- each round ends with a pointer-jump (every node adopts its label's
+  label), so label distance roughly halves per round and convergence
+  is O(log diameter) — a path-shaped chain of transitive near-dups
+  (the adversarial case for plain propagation) converges in ~log₂(d)
+  rounds instead of d;
 - convergence is a driver-side count of changed labels (one scalar),
-  with an iteration cap as the runaway guard. Near-dup clusters have
-  tiny diameters (they are near-cliques), so 3-4 rounds typically
-  converge.
+  with an iteration cap as the runaway guard. Hitting the cap while
+  labels are still moving RAISES — an unconverged labeling silently
+  picks wrong canonical docs downstream, which is strictly worse than
+  failing.
 """
 
 from __future__ import annotations
@@ -32,8 +38,13 @@ def connected_components(
     """(node, comp) for every node appearing in ``edges`` (undirected
     pairs); ``comp`` is the smallest node id in the component.
 
-    Deterministic for any edge ordering — min is commutative — so a
-    DuckDB recursive-CTE reachability oracle replays it exactly.
+    Deterministic for any edge ordering — min is commutative and the
+    pointer-jump only shortcuts along already-derived labels — so a
+    DuckDB recursive-CTE reachability oracle replays the fixpoint
+    exactly. Raises ``RuntimeError`` if labels are still changing at
+    ``max_iter`` (with jumping that needs diameter > ~2^max_iter, i.e.
+    a pathological input worth failing loudly on rather than silently
+    mislabeling).
     """
     ea = F.col(a).alias("node")
     eb = F.col(b).alias("node")
@@ -45,6 +56,8 @@ def connected_components(
         sym.select("node").distinct().withColumn("comp", F.col("node"))
     ).localCheckpoint(eager=True)
 
+    converged = False
+    changed = -1
     for _ in range(max_iter):
         neigh_min = (
             sym.join(
@@ -54,12 +67,22 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("pcomp").alias("nmin"))
         )
+        prop = labels.join(neigh_min, "node", "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
+        )
+        # pointer jumping (path halving): adopt the label OF the label.
+        # Labels cover every node and comp is always a node id, so the
+        # self-lookup is total; label values only ever decrease, so the
+        # jump is monotone toward the same fixpoint, reached in
+        # O(log diameter) rounds instead of O(diameter).
         new_labels = (
-            labels.join(neigh_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
+            prop.join(
+                prop.select(F.col("node").alias("comp"), F.col("comp").alias("jcomp")),
+                "comp",
+                "left",
             )
+            .select("node", F.coalesce("jcomp", "comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -70,7 +93,14 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            f"iterations ({changed} labels still changing); raise max_iter — "
+            "an unconverged labeling would silently mislabel components"
+        )
     return labels
 
 

@@ -38,6 +38,49 @@ def test_asof_left_rows_always_survive(spark):
     assert out.where(F.col("v_r").isNotNull()).count() == 0
 
 
+def test_asof_nullable_right_values_stay_whole_row(spark):
+    """VERDICT r3 #3: a NULL in one right value column must NOT borrow
+    that column from an older right row (whole-row semantics, matching
+    DuckDB's native ASOF JOIN). The old per-column last(ignorenulls)
+    returned (v=1.0, u=20) for left sec 25 here — a row that never
+    existed."""
+    import duckdb
+
+    from tests.oracle_utils import assert_frames_match
+
+    left = _df(spark, [(1, 25), (1, 12), (1, 3)], "k long, sec long")
+    right = _df(
+        spark,
+        # sec 10: full row; sec 20: v is NULL, u present — the newest
+        # right row at-or-before 25 has v NULL and that NULL must win
+        [(1, 10, 1.0, 10), (1, 20, None, 20)],
+        "k long, sec long, v double, u long",
+    )
+    out = asof_join(left, right, ["k"], "sec", ["v", "u"])
+    got = {r["sec"]: (r["v_r"], r["u_r"], r["sec_r"]) for r in out.collect()}
+    assert got[3] == (None, None, None)
+    assert got[12] == (1.0, 10, 10)
+    assert got[25] == (None, 20, 20)  # whole newest row, NULL included
+
+    con = duckdb.connect()
+    duck = con.execute(
+        """
+        WITH l(k, sec) AS (VALUES (1, 25), (1, 12), (1, 3)),
+             r(k, sec, v, u) AS (VALUES (1, 10, 1.0, 10), (1, 20, NULL, 20))
+        SELECT l.k, l.sec, r.v AS v_r, r.u AS u_r, r.sec AS sec_r
+        FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.sec >= r.sec
+        """
+    ).df()
+    spark_pdf = out.select(
+        F.col("k").cast("int").alias("k"),
+        F.col("sec").cast("int").alias("sec"),
+        "v_r",
+        F.col("u_r").cast("int").alias("u_r"),
+        F.col("sec_r").cast("int").alias("sec_r"),
+    ).toPandas()
+    assert_frames_match(spark_pdf, duck, "asof_nullable")
+
+
 def test_interval_join_is_lossless_at_bucket_boundaries(spark):
     # pairs straddling a bucket edge must still match: delta=10,
     # sec 9 vs 19 (gap 10, adjacent buckets), 10 vs 21 (gap 11, out)

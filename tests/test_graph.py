@@ -26,3 +26,21 @@ def test_multiple_components_and_unsorted_edges(spark):
 def test_cycle_terminates(spark):
     out = _cc(spark, [(1, 2), (2, 3), (3, 1)])
     assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_long_path_converges_within_default_cap(spark):
+    """VERDICT r3 #4: diameter 64 > max_iter 20 — plain propagation
+    returned silently-wrong labels here; pointer jumping converges in
+    O(log d) rounds and must produce the exact labeling."""
+    out = _cc(spark, [(i, i + 1) for i in range(64)])
+    assert out == {i: 0 for i in range(65)}
+
+
+def test_unconverged_raises_instead_of_mislabeling(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(80)], schema="a long, b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2)

@@ -120,6 +120,99 @@ def test_bucketed_flight_dist_equals_unbucketed(spark):
         assert abs(p["dist_km"] - b["dist_km"]) < 1e-9
 
 
+def _assert_bucketed_equals_plain(spark, rows, threshold_km):
+    from storm_bench_spark.operators.flightdist import (
+        flight_dist_from_latest,
+        flight_dist_from_latest_bucketed,
+    )
+
+    latest = spark.createDataFrame(
+        rows, schema="icao string, postime long, lat double, lng double, spd double, trak double"
+    )
+    plain = flight_dist_from_latest(latest, threshold_km, 3, 5)
+    bucketed = flight_dist_from_latest_bucketed(latest, threshold_km, 3, 5)
+    key = lambda r: (r["icao1"], r["icao2"], r["step"])
+    pr = sorted(plain.collect(), key=key)
+    br = sorted(bucketed.collect(), key=key)
+    assert [key(r) for r in pr] == [key(r) for r in br]
+    for p, b in zip(pr, br):
+        assert abs(p["dist_km"] - b["dist_km"]) < 1e-9
+    return pr
+
+
+def test_bucketed_flight_dist_near_polar_antipodal(spark):
+    """VERDICT r3 #1: near-polar snapshots (|lat| > 85°) must fall back
+    to the all-pairs join — at lat 89.5° two aircraft at antipodal
+    longitudes are ~111 km apart (over the pole) while any longitude
+    grid puts them in far-apart cells. The grid spec must refuse."""
+    from storm_bench_spark.operators.flightdist import _grid_spec
+
+    now_ms = 1_700_000_000_000
+    rows = [
+        ("AAA001", now_ms, 89.5, 0.0, 100.0, 0.0),
+        ("AAA002", now_ms, 89.5, 179.5, 100.0, 180.0),
+        ("AAA003", now_ms, 89.3, -90.0, 120.0, 45.0),
+        ("AAA004", now_ms - 2000, -89.5, 10.0, 100.0, 0.0),
+        ("AAA005", now_ms - 1000, -89.4, -170.0, 150.0, 90.0),
+        ("BBB001", now_ms, 50.0, 20.0, 200.0, 10.0),
+    ]
+    latest = spark.createDataFrame(
+        rows, schema="icao string, postime long, lat double, lng double, spd double, trak double"
+    )
+    assert _grid_spec(latest, 200.0, 3, 5) is None, "must fall back above 85°"
+    hits = _assert_bucketed_equals_plain(spark, rows, 200.0)
+    found = {(r["icao1"], r["icao2"]) for r in hits}
+    # the over-the-pole antipodal pair is ~111 km apart and MUST be found
+    assert ("AAA001", "AAA002") in found
+
+
+def test_bucketed_flight_dist_high_lat_wide_envelope(spark):
+    """s ≥ cos(φmax) regime: at lat 80° a ~2000 km envelope reaches
+    over the pole — every longitude qualifies and the grid must refuse
+    rather than prune by lon cell."""
+    from storm_bench_spark.operators.flightdist import _grid_spec
+
+    now_ms = 1_700_000_000_000
+    rows = [
+        ("CCC001", now_ms, 80.0, 0.0, 100.0, 0.0),
+        ("CCC002", now_ms, 80.0, 180.0, 100.0, 180.0),  # over-pole: ~2224 km
+        ("CCC003", now_ms, 79.0, 90.0, 100.0, 90.0),
+    ]
+    latest = spark.createDataFrame(
+        rows, schema="icao string, postime long, lat double, lng double, spd double, trak double"
+    )
+    assert _grid_spec(latest, 2300.0, 3, 5) is None, (
+        "envelope reaches over the pole: no lon cell count is lossless"
+    )
+    hits = _assert_bucketed_equals_plain(spark, rows, 2300.0)
+    assert ("CCC001", "CCC002") in {(r["icao1"], r["icao2"]) for r in hits}
+
+
+def test_bucketed_flight_dist_asin_sizing_at_midlat(spark):
+    """Exact-asin lon sizing at moderate latitude with a large envelope
+    (the regime where the old linear spelling under-sized Δλmax by the
+    asin curvature): grid path taken, results equal all-pairs, and a
+    pair straddling a wide longitude gap survives."""
+    from storm_bench_spark.operators.flightdist import _grid_spec
+
+    now_ms = 1_700_000_000_000
+    rows = [
+        ("DDD001", now_ms, 60.0, 0.0, 400.0, 90.0),
+        ("DDD002", now_ms - 9_000_000, 60.0, 11.0, 400.0, 270.0),
+        ("DDD003", now_ms, 60.1, 5.5, 400.0, 0.0),
+        ("DDD004", now_ms - 5_000_000, -60.0, 100.0, 400.0, 180.0),
+        ("DDD005", now_ms, 0.0, -120.0, 400.0, 0.0),
+    ]
+    latest = spark.createDataFrame(
+        rows, schema="icao string, postime long, lat double, lng double, spd double, trak double"
+    )
+    # 9000 s postime spread at 400 kn ⇒ required ≈ 500 + 2·1852 km:
+    # big enough that asin(s/cosφ) visibly exceeds s/cosφ
+    spec = _grid_spec(latest, 500.0, 3, 5)
+    assert spec is not None and spec[1] >= 1
+    _assert_bucketed_equals_plain(spark, rows, 500.0)
+
+
 def test_bucketed_flight_dist_prunes_cross_cluster_pairs(spark):
     """The grid join's candidate count must exclude far-apart pairs:
     2000 km between clusters vs a ~required_km of a few hundred km."""
