@@ -504,6 +504,16 @@ def ivf_assign(
     return v.select("id", "v", F.explode(nearest_cells("v")).alias("cid"))
 
 
+# Fixed-point scale for k-means partial sums: a power of two, so the
+# scaling multiply is EXACT on float32-origin doubles and the only
+# quantization is the floor itself (~2^-21 per element — noise far
+# below clustering resolution). Integer sums are associative and
+# commutative, so the accumulated per-centroid sums are identical for
+# ANY partition count and combine order — the property that makes the
+# whole iteration SQL-replayable.
+KMEANS_QUANT_SCALE = float(1 << 20)
+
+
 def kmeans_centroids(
     v: DataFrame, n_centroids: int, n_iter: int = 2
 ) -> DataFrame:
@@ -511,15 +521,23 @@ def kmeans_centroids(
 
     ``v`` must yield (id, v:array<double>). Init is the same
     deterministic sample the oracle-checked IVF variant uses
-    (id < C, sorted); each iteration is ONE ``mapInPandas`` pass over
-    the vector table that assigns every vector to its max-cosine
-    centroid AND emits per-partition partial sums — ≤ C rows of
-    (cid, sum, count) per partition, the map-side-combine shape — so
-    no per-vector row ever shuffles. Partials are combined driver-side
-    in (partition, cid) order (deterministic doubles); empty cells keep
-    their previous centroid. Centroids are L2-normalized after each
-    mean so assignment cosine ≡ dot with the running mean direction —
-    standard spherical k-means.
+    (id < C, sorted, L2-normalized); each iteration is ONE
+    ``mapInPandas`` pass over the vector table that assigns every
+    vector to its max-cosine centroid AND emits per-partition partial
+    sums — ≤ C rows of (cid, sum, count) per partition, the
+    map-side-combine shape — so no per-vector row ever shuffles.
+
+    The partial sums are 2^20 fixed-point INTEGERS
+    (``floor(x·2^20 + 0.5)``), not doubles: integer addition is exact
+    and order-free, so the combined per-centroid sums are
+    bit-identical for any partitioning and any combine order — which
+    is what lets DuckDB replay the whole iteration as plain SQL
+    (``ann_topk_ivf_kmeans_sql``). Means divide back out
+    ``(Σq/2^20)/n``; the mean-norm accumulates sequentially in
+    dimension order (left-assoc, same as the unrolled SQL sum); empty
+    cells keep their previous centroid; centroids are L2-normalized
+    after each mean so assignment cosine ≡ dot with the running mean
+    direction — standard spherical k-means.
 
     Cost per iteration: one scan + C·P tiny rows to the driver. The
     centroid matrix itself stays driver-side between iterations (it
@@ -548,7 +566,7 @@ def kmeans_centroids(
         cm_bc = cm  # closure capture of the current centroid matrix
 
         def part_sums(batches):
-            sums = np.zeros((n_c, dim))
+            sums = np.zeros((n_c, dim), dtype=np.int64)
             cnts = np.zeros(n_c, dtype=np.int64)
             for pdf in batches:
                 if len(pdf) == 0:
@@ -561,23 +579,29 @@ def kmeans_centroids(
                     nn += m[:, i] * m[:, i]
                 cos = acc / np.sqrt(nn)[:, None]  # centroids already unit
                 assign = np.argmax(cos, axis=1)
-                np.add.at(sums, assign, m)
+                q = np.floor(m * KMEANS_QUANT_SCALE + 0.5).astype(np.int64)
+                np.add.at(sums, assign, q)
                 np.add.at(cnts, assign, 1)
             yield pd.DataFrame(
                 {"cid": range(n_c), "s": list(sums), "cnt": cnts}
             )
 
         parts = v.select("v").mapInPandas(
-            part_sums, schema="cid long, s array<double>, cnt long"
+            part_sums, schema="cid long, s array<bigint>, cnt long"
         ).collect()
-        sums = np.zeros((n_c, dim))
+        sums = np.zeros((n_c, dim), dtype=np.int64)
         cnts = np.zeros(n_c, dtype=np.int64)
-        for r in parts:  # collect() order is partition order: deterministic
-            sums[r["cid"]] += np.array(r["s"])
+        for r in parts:  # integer partials: any combine order, same bits
+            sums[r["cid"]] += np.array(r["s"], dtype=np.int64)
             cnts[r["cid"]] += r["cnt"]
         nonempty = cnts > 0
-        means = sums[nonempty] / cnts[nonempty, None]
-        norms = np.sqrt((means * means).sum(axis=1))
+        means = (
+            sums[nonempty].astype(np.float64) / KMEANS_QUANT_SCALE
+        ) / cnts[nonempty, None]
+        nsq = np.zeros(means.shape[0])
+        for i in range(dim):  # sequential: matches the SQL's unrolled sum
+            nsq += means[:, i] * means[:, i]
+        norms = np.sqrt(nsq)
         cm[nonempty] = means / np.maximum(norms, 1e-300)[:, None]
 
     return spark.createDataFrame(
@@ -705,8 +729,115 @@ SELECT qid, neighbor, cos, rank FROM (
 """
 
 
+def ann_topk_ivf_kmeans_sql(
+    v_cte: str,
+    n_queries: int,
+    k: int,
+    dim: int,
+    n_probe: int = IVF_NPROBE,
+    n_centroids: int = IVF_CENTROIDS,
+    n_iter: int = 2,
+    n_assign: int = 2,
+) -> str:
+    """DuckDB replay of ``ann_topk_ivf(..., centroids='kmeans')``.
+
+    The Lloyd loop is replayable because every FP-order-sensitive step
+    was made order-free or order-pinned (see ``kmeans_centroids``):
+    per-centroid sums are exact integers (any order), every dot/norm
+    is the left-assoc dimension-order sum (spelled here as unrolled
+    1-based-index term chains), the mean is ``(Σq/2^20)/n`` with the
+    identical division order, and ties break by ascending cid
+    (= numpy's first-max / stable argsort). The ``n_iter`` iterations
+    unroll into chained CTEs; empty cells COALESCE to the previous
+    centroid."""
+    S = f"{int(KMEANS_QUANT_SCALE)}e0"
+
+    def dot(a: str, b: str) -> str:
+        return " + ".join(f"({a}[{i}] * {b}[{i}])" for i in range(1, dim + 1))
+
+    def sumsq(a: str) -> str:
+        return dot(a, a)
+
+    qsums = ", ".join(
+        f"SUM(CAST(floor(v[{i}] * {S} + 5e-1) AS BIGINT)) AS s{i}"
+        for i in range(1, dim + 1)
+    )
+    mean_list = ", ".join(
+        f"(CAST(s{i} AS DOUBLE) / {S}) / CAST(cnt AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    ctes = [
+        f"v AS ({v_cte})",
+        # init: the deterministic id<C sample, L2-normalized
+        f"""c0 AS (
+  SELECT id AS cid, list_transform(v, x -> x / sqrt({sumsq('v')})) AS cv
+  FROM v WHERE id < {n_centroids}
+)""",
+    ]
+    for t in range(1, n_iter + 1):
+        p = f"c{t - 1}"
+        ctes.append(f"""a{t} AS (
+  SELECT id, v, cid FROM (
+    SELECT v.id, v.v, c.cid,
+           row_number() OVER (
+             PARTITION BY v.id
+             ORDER BY ({dot('v.v', 'c.cv')}) / sqrt({sumsq('v.v')}) DESC, c.cid
+           ) AS rn
+    FROM v CROSS JOIN {p} c
+  ) WHERE rn = 1
+)""")
+        ctes.append(f"s{t} AS (SELECT cid, count(*) AS cnt, {qsums} FROM a{t} GROUP BY cid)")
+        ctes.append(f"m{t} AS (SELECT cid, [{mean_list}] AS mv FROM s{t})")
+        ctes.append(f"""c{t} AS (
+  SELECT p.cid,
+         CASE WHEN m.cid IS NULL THEN p.cv
+              ELSE list_transform(m.mv, x -> x / greatest(sqrt({sumsq('m.mv')}), 1e-300))
+         END AS cv
+  FROM {p} p LEFT JOIN m{t} m USING (cid)
+)""")
+    cf = f"c{n_iter}"
+    ctes.append(f"""assigned AS (
+  SELECT id, v, cid FROM (
+    SELECT v.id, v.v, c.cid,
+           row_number() OVER (
+             PARTITION BY v.id
+             ORDER BY ({dot('v.v', 'c.cv')}) / (sqrt({sumsq('v.v')}) * sqrt({sumsq('c.cv')})) DESC, c.cid
+           ) AS rn
+    FROM v CROSS JOIN {cf} c
+  ) WHERE rn <= {n_assign}
+)""")
+    ctes.append(f"q AS (SELECT id AS qid, v AS qv FROM v WHERE id < {n_queries})")
+    ctes.append(f"""probes AS (
+  SELECT qid, qv, cid FROM (
+    SELECT q.qid, q.qv, c.cid,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY ({dot('q.qv', 'c.cv')}) / (sqrt({sumsq('q.qv')}) * sqrt({sumsq('c.cv')})) DESC, c.cid
+           ) AS rn
+    FROM q CROSS JOIN {cf} c
+  ) WHERE rn <= {n_probe}
+)""")
+    ctes.append(f"""scored AS (
+  SELECT DISTINCT qid, a.id AS nid,
+         round(({dot('qv', 'a.v')}) / (sqrt({sumsq('qv')}) * sqrt({sumsq('a.v')})), 6) AS cos
+  FROM probes p JOIN assigned a USING (cid)
+  WHERE p.qid <> a.id
+)""")
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT qid, nid AS neighbor, cos, rank FROM (
+  SELECT qid, nid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def neardup_lsh_sql(v_cte: str, dim: int, threshold: float) -> str:
-    """DuckDB twin of ``neardup_lsh``; ``v_cte`` must yield (id, v)."""
+    """DuckDB twin of ``neardup_lsh`` (8×8 config); ``v_cte`` must
+    yield (id, v). Unrolled per-band key expressions — cheap to parse
+    at 8×8 (4k terms)."""
     band_selects = " UNION ALL ".join(
         f"SELECT id, v, {b} AS band, {band_bucket_sql('v', b, dim)} AS key FROM v"
         for b in range(N_BANDS)
@@ -714,6 +845,61 @@ def neardup_lsh_sql(v_cte: str, dim: int, threshold: float) -> str:
     return f"""
 WITH v AS ({v_cte}),
 banded AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT l.id AS a, r.id AS b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.key = r.key AND l.id < r.id
+)
+SELECT a, b, cos FROM (
+  SELECT c.a, c.b, round({cosine_sql('va.v', 'vb.v')}, 6) AS cos
+  FROM cand c JOIN v va ON va.id = c.a JOIN v vb ON vb.id = c.b
+) WHERE cos >= {threshold}
+"""
+
+
+def neardup_lsh_grouped_sql(
+    v_cte: str,
+    dim: int,
+    threshold: float,
+    n_bands: int,
+    rows_per_band: int,
+) -> str:
+    """DuckDB twin of ``neardup_lsh`` for LARGE banding configurations.
+
+    The unrolled per-band spelling costs O(bands·rows·dim) expression
+    NODES — at 16×32 that is a ~33k-term tree DuckDB spends ~20 s just
+    *planning* (and an ordered list_reduce fold re-spelling costs
+    ~70 s of per-element lambda interpretation). This formulation
+    moves the plane dimension into DATA and keeps the dim dimension as
+    ONE unrolled 64-term expression: plane weights come from the same
+    md5-parity rule as the Arrow kernel (``_weight_bit`` — DuckDB's
+    ``md5()`` matches hashlib's), pivoted to a list per plane; each
+    (vector, plane) row of the cross join evaluates the dot as the
+    left-assoc dim-term sum (the kernel's accumulation order —
+    ``0e0 + x == x`` in IEEE, so sign bits match bitwise); band keys
+    are an integer SUM of per-plane bits (exact, order-free).
+    Constant-size plan, vectorized execution, same keys, same pairs."""
+    n_planes = n_bands * rows_per_band
+    dot_terms = " + ".join(f"(v.v[{i + 1}] * wl.wl[{i + 1}])" for i in range(dim))
+    return f"""
+WITH v AS ({v_cte}),
+w AS (
+  SELECT p.p AS plane, d.i AS i,
+         CASE WHEN (CAST(concat('0x', substring(md5(concat(CAST(p.p AS VARCHAR), ':', CAST(d.i AS VARCHAR))), 1, 1)) AS INTEGER) % 2) = 1
+              THEN 1e0 ELSE -1e0 END AS wgt
+  FROM (SELECT unnest(range(0, {n_planes})) AS p) p,
+       (SELECT unnest(range(0, {dim})) AS i) d
+),
+wl AS (SELECT plane, list(wgt ORDER BY i) AS wl FROM w GROUP BY plane),
+dots AS (
+  SELECT v.id, wl.plane, {dot_terms} AS dot
+  FROM v CROSS JOIN wl
+),
+banded AS (
+  SELECT id, plane // {rows_per_band} AS band,
+         CAST(SUM(CASE WHEN dot >= 0e0 THEN 1 << (plane % {rows_per_band}) ELSE 0 END) AS BIGINT) AS key
+  FROM dots GROUP BY id, plane // {rows_per_band}
+),
 cand AS (
   SELECT DISTINCT l.id AS a, r.id AS b
   FROM banded l JOIN banded r

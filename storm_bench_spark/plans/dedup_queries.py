@@ -191,18 +191,60 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.neardup_lsh(emb, COSINE_T, EMB_DIM)
 
 
-@register("embedding_neardup_lsh_scaled", oracle=None)
+# The 16×32 config targets the NEAR-DUP regime (cos ≥ ~0.9): at the
+# fixture's planted cos ≈ 0.5 its per-pair recall is ~0.05 by design,
+# so running it on the raw table certifies nothing (it returns 0 rows).
+# Instead the query derives a corpus with genuine near-dups: base
+# vectors unioned with deterministically perturbed copies
+# (elementwise ×(1 + 0.001·((7i mod 5) − 2)), cos ≈ 0.999999) — the
+# same derivation in Spark and the oracle, bitwise (exact literals,
+# identical IEEE op order), so band keys and cosines agree exactly.
+_SCALED_N_BASE = 300
+_SCALED_COPY_OFFSET = 1_000_000
+# DuckDB list indexes are 1-based (hence i−1); 1e0/1e-3 literals keep
+# DuckDB in DOUBLE (bare decimals type as DECIMAL there — a silent
+# divergence), matching Spark's double literals.
+_SCALED_V_CTE = f"""
+SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+FROM embeddings WHERE vec_id < {_SCALED_N_BASE}
+UNION ALL
+SELECT vec_id + {_SCALED_COPY_OFFSET} AS id,
+       list_transform(range(1, len(v) + 1),
+                      i -> v[i] * (1e0 + 1e-3 * CAST(((i - 1) * 7) % 5 - 2 AS DOUBLE))) AS v
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < {_SCALED_N_BASE})
+"""
+
+
+@register(
+    "embedding_neardup_lsh_scaled",
+    oracle=SIM.neardup_lsh_grouped_sql(
+        _SCALED_V_CTE, EMB_DIM, COSINE_T,
+        n_bands=SIM.SCALED_N_BANDS, rows_per_band=SIM.SCALED_ROWS_PER_BAND,
+    ),
+)
 def embedding_neardup_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ≥100k-corpus LSH configuration (16 planes × 32 bands):
     2^16 buckets per band keep random collisions sparse where the 8×8
     oracle configuration saturates (see the scale rule in
-    operators/similarity.py). Rows-only check — a 32×16×dim SQL replay
-    would be a ~33k-term oracle; correctness is pinned instead by
-    pytest (results ⊆ the exact brute-force pairs, planted high-cosine
-    pairs found)."""
+    operators/similarity.py). Runs on a derived corpus of base vectors
+    plus perturbed near-copies (cos ≈ 0.999999 — the regime this
+    config is sized for), so the result is non-empty and the full
+    32-band pipeline (banding → candidates → verify) is replayed by
+    the generated SQL oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") < _SCALED_N_BASE).select(
+        F.col("vec_id").alias("id"), SIM._dvec("embedding").alias("v")
+    )
+    pert = base.select(
+        (F.col("id") + _SCALED_COPY_OFFSET).alias("id"),
+        F.expr(
+            "transform(v, (x, i) -> x * (1.0D + 0.001D * CAST((i * 7) % 5 - 2 AS DOUBLE)))"
+        ).alias("v"),
+    )
+    corpus = base.unionByName(pert)
     return SIM.neardup_lsh(
-        emb, COSINE_T, EMB_DIM,
+        corpus, COSINE_T, EMB_DIM, id_col="id", vec_col="v",
         n_bands=SIM.SCALED_N_BANDS, rows_per_band=SIM.SCALED_ROWS_PER_BAND,
     )
 
@@ -244,14 +286,19 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ann_topk_ivf(emb, queries, ANN_K, dim=EMB_DIM)
 
 
-@register("ann_topk_ivf_kmeans", oracle=None)
+@register(
+    "ann_topk_ivf_kmeans",
+    oracle=SIM.ann_topk_ivf_kmeans_sql(_V_CTE, ANN_QUERIES, ANN_K, dim=EMB_DIM),
+)
 def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k with k-means (spherical Lloyd) centroids instead of
     the deterministic sample: better-balanced cells, recall ≥ the
     sampled variant (asserted against the exact ``ann_topk`` baseline
-    in tests/test_dedup.py). Rows-only check — the iterative
-    clustering is not SQL-replayable; the sampled variant
-    ``ann_topk_ivf`` remains the oracle-checked twin of this plan."""
+    in tests/test_dedup.py). Fully oracle-checked: the Lloyd loop's
+    partial sums are exact 2^20 fixed-point integers (order-free) and
+    every dot/norm is the left-assoc dimension-order sum, so DuckDB
+    replays the whole 2-iteration clustering plus the probe/rank stage
+    bitwise (``ann_topk_ivf_kmeans_sql``)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < ANN_QUERIES)
     return SIM.ann_topk_ivf(emb, queries, ANN_K, dim=EMB_DIM, centroids="kmeans")

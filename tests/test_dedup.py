@@ -94,16 +94,29 @@ def test_ivf_recall_against_bruteforce(spark):
 
 
 def test_scaled_lsh_subset_of_exact(spark):
-    """16×32 banding: every emitted pair is cosine-verified, so the
-    result is a subset of the exact brute force at the same threshold.
-    (Recall at the fixture's loose cos≈0.5 planted pairs is ~5% by
-    design — the config targets the cos ≥ 0.9 near-dup regime; the
-    synthetic-cluster test below proves recall there.)"""
+    """16×32 banding over the derived corpus (base vectors + perturbed
+    near-copies): every (base, copy) planted pair sits at cos ≈
+    0.999999 — the regime the config is sized for — and must ALL be
+    found; any base-base pair it emits must be a subset of the exact
+    brute force at the same threshold. (Recall at the fixture's loose
+    cos≈0.5 planted pairs is ~5% by design; the synthetic-cluster test
+    below proves recall at cos ≥ 0.9.)"""
+    from storm_bench_spark.plans.dedup_queries import (
+        _SCALED_COPY_OFFSET,
+        _SCALED_N_BASE,
+    )
+
     exact = QS["embedding_neardup"](spark, SF_DIR).toPandas()
     scaled = QS["embedding_neardup_lsh_scaled"](spark, SF_DIR).toPandas()
-    eset = {(r.a, r.b) for r in exact.itertuples()}
     sset = {(r.a, r.b) for r in scaled.itertuples()}
-    assert sset <= eset
+    planted = {(i, i + _SCALED_COPY_OFFSET) for i in range(_SCALED_N_BASE)}
+    assert planted <= sset, "every base↔copy near-dup must be recalled"
+    assert (scaled["cos"] >= 0.45).all()
+    eset = {(r.a, r.b) for r in exact.itertuples()}
+    base_pairs = {
+        (a, b) for a, b in sset if a < _SCALED_N_BASE and b < _SCALED_N_BASE
+    }
+    assert base_pairs <= eset
 
 
 def test_scaled_lsh_finds_true_neardups(spark):
