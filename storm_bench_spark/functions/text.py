@@ -123,11 +123,14 @@ def quality_features(text: Column | str) -> Column:
         total_wlen = F.aggregate(wv, F.lit(0), lambda acc, w: acc + F.length(w))
         stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
         n_stop = F.size(F.filter(wv, lambda w: F.array_contains(stop_arr, F.lower(w))))
-        # punct = chars outside \w (=[0-9A-Za-z_]) and \s (=[ \t\n\x0b\f\r]).
-        # Both sets are finite, so "delete word+space chars, count what's
-        # left" via translate is exactly the regex count at a fraction of
-        # the cost (single table-lookup pass vs an NFA over every char —
-        # the regexp_replace spelling was 2.8× the whole query's oracle).
+        # punct = chars outside [0-9A-Za-z_] and [ \t\n\x0b\f\r] (Java
+        # regex \w and \s). Both sets are finite, so "delete word+space
+        # chars, count what's left" via translate is exactly that count
+        # at a fraction of the cost (single table-lookup pass vs an NFA
+        # over every char — the regexp_replace spelling was 2.8× the
+        # whole query's oracle). The DuckDB oracle spells the same set
+        # as an explicit char class, NOT RE2's \s (which excludes \x0b)
+        # — both engines agree by construction, \x0b included.
         n_punct = F.length(F.translate(c, _WORD_AND_SPACE_CHARS, ""))
         return F.struct(
             n_tokens.alias("n_tokens"),

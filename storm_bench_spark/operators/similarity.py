@@ -400,14 +400,24 @@ def neardup_lsh(
     per-pair norm, so the oracle's per-pair spelling still matches
     bitwise), leaving only the dot product as per-candidate work.
     """
+    from pyspark import StorageLevel
+
     v = vectors.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("v"))
-    # repartition on the join key so BOTH sides of the self-join share
-    # one exchange (ReuseExchange): the banding pipeline runs once, not
-    # twice, and the join needs no further shuffle.
-    banded = (
-        lsh_banded(v, dim, n_bands, rows_per_band)
-        .select("id", "band", "key")
-        .repartition("band", "key")
+    # Persist the per-vector key arrays BEFORE the explode: the
+    # repartition-for-ReuseExchange spelling evaluated the Arrow kernel
+    # FOUR times — ``posexplode(udf(...))`` makes Catalyst emit a
+    # ``Filter(size(udf) > 0)`` that re-runs the UDF ahead of the
+    # Generate (2× per side), and AQE replaces the reused exchange
+    # with a broadcast of one banded side, so each side derived the
+    # pipeline independently. The (id, ks) cache is B·8 bytes/vector
+    # (tiny next to the vectors); both self-join sides and the explode
+    # read it, so the kernel runs exactly once per vector. At 100 TB
+    # MEMORY_AND_DISK spills rather than recomputing.
+    keyed = v.select(
+        "id", _band_keys_udf(n_bands, rows_per_band)("v").alias("ks")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    banded = keyed.select("id", F.posexplode("ks").alias("band", "key")).select(
+        "id", F.col("band").cast("int").alias("band"), "key"
     )
     l, r = banded.alias("l"), banded.alias("r")
     cand = (

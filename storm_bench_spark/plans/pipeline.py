@@ -148,7 +148,7 @@ FROM (
          len({_WORDS_SQL}) AS n_tokens,
          CAST(coalesce(list_sum(list_transform({_WORDS_SQL}, w -> length(w))), 0) AS BIGINT) AS total_wlen,
          len(list_filter({_WORDS_SQL}, w -> list_contains([{_STOP_LIST}], lower(w)))) AS n_stop,
-         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+         length(text) - length(regexp_replace(text, '[^0-9A-Za-z_ \\t\\n\\x0b\\f\\r]', '', 'g')) AS n_punct
   FROM documents
 )
 """,

@@ -55,30 +55,42 @@ def _ensure_loaded() -> None:
 
 # Explicit gate order. The driver's correctness gate checks the FIRST 50
 # registered queries only (verified: CORRECTNESS_r02 = registry positions
-# 0-49 exactly), so position is signal: queries needing a (re-)gate go
-# first, long-stable rows absorb the tail. Three tiers:
-#   1. never/once driver-gated (embedding/ANN, multimodal, CDC, clusters,
-#      curation, library ops, adsb) — round-2's invisible 20;
-#   2. queries whose code or oracle changed recently (this round: asof,
-#      users_except, user_sessions, quality_score, flight dist, simhash,
-#      LSH) plus the rest of the dedup/streaming/relational families;
-#   3. long-stable topology/tpch rows (green since round 1, untouched).
+# 0-49 exactly), so position is signal. THE RULE (adopted round 4, per
+# VERDICT r3 #8): any query whose code, shared helper, or oracle changed
+# in the current round MUST sit in the first 50 positions — rotate
+# long-stable rows out to make room and record the rotation in the
+# commit message. Three tiers:
+#   1. touched THIS round (round 4: asof struct-pack; flightdist grid
+#      respec; connected-components pointer-jumping → clusters/curation;
+#      neardup_lsh persist + the scaled-config rework; kmeans integer
+#      partials + new oracle; quality_score oracle char-class align;
+#      users_except docstring);
+#   2. green in r3 and untouched since, kept inside the window;
+#   3. long-stable rows (green since r1/r2, untouched), absorbing the
+#      20-position overflow beyond the gate window.
 # Names not listed here (future additions) sort FIRST — new queries are
 # by definition ungated. Within a tier, registration order is kept.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # tier 1 — close round 2's gate-window hole
+    # tier 1 — touched in round 4, must re-gate
+    "asof_click_purchase",
+    "rolling_flight_dist",
+    "rolling_flight_dist_bucketed",
+    "streaming_flight_dist",
+    "neardup_clusters",
+    "corpus_curate",
+    "embedding_neardup_lsh",
+    "embedding_neardup_lsh_scaled",
+    "ann_topk_ivf_kmeans",
+    "quality_score",
+    "users_except",
+    # tier 2 — r3-green, untouched, still inside the 50-row window
     "multimodal_features",
     "multimodal_audio_meta",
     "multimodal_audio_chunks",
     "cdc_apply",
-    "neardup_clusters",
-    "corpus_curate",
     "embedding_neardup",
-    "embedding_neardup_lsh",
-    "embedding_neardup_lsh_scaled",
     "ann_topk",
     "ann_topk_ivf",
-    "ann_topk_ivf_kmeans",
     "multimodal_image_meta",
     "multimodal_resize",
     "multimodal_frames",
@@ -87,11 +99,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "one_per_key",
     "print_passthrough",
     "adsb_parse",
-    # tier 2 — touched this round or high-churn families
-    "asof_click_purchase",
     "interval_click_error",
     "users_intersect",
-    "users_except",
     "users_union",
     "user_sessions",
     "orders_rollup",
@@ -101,18 +110,14 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "token_count",
     "dedup_exact",
     "lang_id",
-    "quality_score",
     "doc_fingerprint",
     "minhash_lsh",
     "ngram_jaccard",
     "simhash",
     "simhash_pairs",
-    "rolling_flight_dist",
-    "rolling_flight_dist_bucketed",
     "unique_visitor",
     "trident_wordcount",
     "streaming_rolling_count",
-    "streaming_flight_dist",
     "streaming_rolling_sort",
     "streaming_sol",
     "streaming_interval_join",

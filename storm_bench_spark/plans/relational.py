@@ -127,7 +127,7 @@ SELECT user_id FROM events WHERE event_type = 'purchase' AND value > {HIGH_VALUE
 """,
 )
 def users_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Users who clicked but never made a high-value (> {HIGH_VALUE})
+    """Users who clicked but never made a high-value (> 90.0)
     purchase — distinct EXCEPT. The value predicate keeps the result
     non-empty at every fixture SF (every user has every event type, so
     a plain click-minus-purchase EXCEPT is vacuously empty and its
