@@ -179,7 +179,24 @@ def main() -> None:
         replicate(spark, src, dst, r)
         open(os.path.join(dst, "_DONE"), "w").write("ok")
 
-    queries = all_queries()
+    queries = dict(all_queries())
+
+    # The REGISTERED scaled-LSH query runs on a fixed 300-vector derived
+    # corpus (sized so the driver's DuckDB oracle can replay the 16×32
+    # banding) — constant work at any R, useless as a scale probe. The
+    # smoke measures the operator itself over the FULL replicated table,
+    # which is the actual ≥100k-corpus deployment shape.
+    from storm_bench_spark.operators import similarity as SIM
+
+    def _scaled_lsh_full(spark_, sf_dir_):
+        emb = load_table(spark_, sf_dir_, "embeddings")
+        return SIM.neardup_lsh(
+            emb, 0.45, EMB_DIM_SMOKE,
+            n_bands=SIM.SCALED_N_BANDS, rows_per_band=SIM.SCALED_ROWS_PER_BAND,
+        )
+
+    queries["embedding_neardup_lsh_scaled"] = _scaled_lsh_full
+
     # warmup (JVM/codegen) on the small side
     spark.range(100_000).selectExpr("sum(id * 2)").collect()
     base = run(spark, queries, src)
