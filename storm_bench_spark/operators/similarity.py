@@ -9,8 +9,9 @@ chosen by where the per-row work can run fastest:
   streams through ONE ArrowEvalPython pass with no join at all.
 - LSH banding (the 100 TB near-dup path): band keys from the same
   Arrow kernel style; candidate generation is an equi-join on
-  (band, key) — never a cross join — with both self-join sides fed by
-  one reused exchange.
+  (band, key) — never a cross join — with both self-join sides reading
+  one persisted per-vector key table (the kernel runs once per
+  vector).
 - Per-candidate verification: JVM column expressions. Norms are
   hoisted below the join so the join stage carries only the dim-term
   dot product (codegen-method-size discipline — see _dot_terms).

@@ -87,6 +87,22 @@ def test_ann_topk_scores_without_a_join(spark):
     assert "Join" not in plan and "CartesianProduct" not in plan
 
 
+def test_lsh_band_kernel_runs_once_from_cache(spark):
+    """Both LSH self-join sides must read the persisted per-vector key
+    table (InMemoryTableScan), not re-derive the Arrow banding — the
+    posexplode(udf) spelling re-ran the kernel 4x per query (a
+    size()>0 pre-filter duplicates the UDF, and AQE broadcasts one
+    side instead of reusing an exchange)."""
+    plan = _plan(spark, "embedding_neardup_lsh")
+    assert plan.count("InMemoryTableScan") >= 2
+    # the only ArrowEvalPython nodes allowed are inside the (single)
+    # cached relation's fill plan, which InMemoryTableScan displays;
+    # none may appear outside a cache block on the join sides
+    for line in plan.splitlines():
+        if "ArrowEvalPython" in line:
+            assert "InMemoryRelation" in plan
+
+
 def test_dedup_candidates_are_equi_joins(spark):
     # LSH candidate generation must be hash-joinable (equi-join on the
     # band key), never a nested-loop cross join
