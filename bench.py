@@ -58,12 +58,15 @@ HEADLINE = [
     # curation pipeline (iterative CC + composed keep-canonical)
     "neardup_clusters",
     "corpus_curate",
-    # training-data pipeline: text analysis
+    # training-data pipeline: text analysis & cleaning
     "dedup_exact",
     "doc_fingerprint",
     "token_count",
     "quality_score",
     "lang_id",
+    "text_normalize",
+    "pii_mask",
+    "stratified_sample",
     # training-data pipeline: dedup / similarity / multimodal
     "minhash_lsh",
     "ngram_jaccard",

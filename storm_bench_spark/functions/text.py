@@ -146,3 +146,41 @@ def quality_features(text: Column | str) -> Column:
         )
 
     return bind(word_split(c), feats)
+
+
+# --- normalization & PII masking (corpus-cleaning stage) ------------------
+# Patterns live in the Java-regex ∩ RE2 common subset (char classes,
+# alternation, bounded repetition — no backrefs, no lookaround, no \s/\w
+# shorthands whose dialects disagree on \x0b), so the DuckDB oracle runs
+# the LITERAL same pattern strings.
+
+# whitespace runs (explicit class — Java \s and RE2 \s disagree on \x0b)
+WS_RUN_PATTERN = "[ \t\n\x0b\f\r]+"
+
+# masking order matters: URLs first (an email-shaped token inside a URL
+# path must mask as part of the URL), then emails, then phone-like runs.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("https?://[^ ]+", "<URL>"),
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\+?[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical text form: whitespace runs → single space, trimmed,
+    lowercased. The first pass of every corpus-cleaning pipeline (it
+    makes exact dedup catch whitespace/case variants); pure JVM column
+    expressions, one linear scan per row."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.lower(F.trim(F.regexp_replace(c, WS_RUN_PATTERN, " ")))
+
+
+def mask_pii(text: Column | str) -> Column:
+    """Replace URL / email / phone-shaped spans with typed placeholder
+    tokens — the standard scrubbing pass before training-data release.
+    Patterns apply in fixed order (see ``PII_PATTERNS``); each is a
+    single vectorized ``regexp_replace`` with no Python in the loop."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c

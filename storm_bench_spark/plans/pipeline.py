@@ -204,3 +204,148 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(hash64("text")),
     )
     return docs.select("doc_id", fp.alias("fp"))
+
+
+# --- normalization / PII masking / stratified sampling --------------------
+# Corpus-cleaning ops (round 4). The fixture text is already clean, so
+# the normalize/mask queries synthesize adversarial input IN the query
+# (same derivation in Spark and the oracle): messy whitespace + case for
+# normalize, planted URL/email/phone spans for masking — every row then
+# exercises the real transformation instead of a no-op.
+
+from storm_bench_spark.functions.text import (  # noqa: E402
+    PII_PATTERNS,
+    WS_RUN_PATTERN,
+    mask_pii,
+    normalize_text,
+)
+
+_MESSY_SQL = "concat('  ', upper(substr(text, 1, 20)), ' ', chr(9), ' ', text, '  ')"
+
+
+@register(
+    "text_normalize",
+    oracle=f"""
+SELECT doc_id, norm_text,
+       CAST(length(messy) - length(norm_text) AS BIGINT) AS n_chars_removed
+FROM (
+  SELECT doc_id, messy,
+         lower(trim(regexp_replace(messy, '{WS_RUN_PATTERN}', ' ', 'g'))) AS norm_text
+  FROM (SELECT doc_id, {_MESSY_SQL} AS messy FROM documents)
+)
+""",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/case normalization over a synthesized messy variant of
+    every document (leading/trailing pads, an upper-cased prefix echo, a
+    literal tab): runs → single space, trim, lowercase. One linear scan,
+    no shuffle — the cheapest pass of a cleaning pipeline and the one
+    that makes exact dedup catch whitespace/case variants."""
+    docs = load_table(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("  "),
+        F.upper(F.substring("text", 1, 20)),
+        F.lit(" \t "),
+        F.col("text"),
+        F.lit("  "),
+    )
+    out = docs.select("doc_id", messy.alias("messy"))
+    norm = normalize_text("messy")
+    return out.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (F.length("messy") - F.length(norm)).cast("bigint").alias("n_chars_removed"),
+    )
+
+
+_PII_SUFFIX_SQL = (
+    "concat(text, ' contact user', CAST(doc_id AS VARCHAR), '@example.com via "
+    "https://ex.example/p/', CAST(doc_id AS VARCHAR), ' or +1 555 010 ', "
+    "CAST(doc_id % 10000 AS VARCHAR))"
+)
+
+
+def _pii_mask_oracle() -> str:
+    masked = "pii_text"
+    for pat, repl in PII_PATTERNS:
+        masked = f"regexp_replace({masked}, '{pat}', '{repl}', 'g')"
+    return f"""
+SELECT doc_id, masked,
+       CAST(len(string_split(masked, '<URL>')) - 1 AS BIGINT) AS n_url,
+       CAST(len(string_split(masked, '<EMAIL>')) - 1 AS BIGINT) AS n_email,
+       CAST(len(string_split(masked, '<PHONE>')) - 1 AS BIGINT) AS n_phone
+FROM (
+  SELECT doc_id, {masked} AS masked
+  FROM (SELECT doc_id, {_PII_SUFFIX_SQL} AS pii_text FROM documents)
+)
+"""
+
+
+@register("pii_mask", oracle=_pii_mask_oracle())
+def pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents with planted URL/email/phone spans
+    (appended deterministically per doc_id so every row exercises all
+    three patterns): spans → <URL>/<EMAIL>/<PHONE> placeholders via
+    three ordered vectorized regexp_replace passes — patterns from the
+    Java-regex ∩ RE2 common subset, so the oracle runs the literal same
+    strings. Linear scan, no shuffle, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via https://ex.example/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" or +1 555 010 "),
+        (F.col("doc_id") % 10000).cast("string"),
+    )
+    masked = mask_pii(pii_text)
+    counts = [
+        (F.size(F.split(F.col("masked"), repl, -1)) - 1)
+        .cast("bigint")
+        .alias(f"n_{repl[1:-1].lower()}")
+        for _, repl in PII_PATTERNS
+    ]
+    return docs.select("doc_id", masked.alias("masked")).select(
+        "doc_id", "masked", *counts
+    )
+
+
+# Per-stratum deterministic sampling rates (percent): rare/valuable
+# strata keep more. Training-data mixing in one scan — membership is a
+# pure function of the row key, so the sample is reproducible across
+# runs, engines, and cluster sizes (no RNG, no seed plumbing).
+SAMPLE_RATES: tuple[tuple[str, int], ...] = (
+    ("view", 5),
+    ("click", 10),
+    ("signup", 25),
+    ("error", 50),
+    ("purchase", 100),
+)
+
+
+def _stratified_sample_oracle() -> str:
+    case = " ".join(f"WHEN '{t}' THEN {r}" for t, r in SAMPLE_RATES)
+    h = hash64_sql("concat('smp:', CAST(event_id AS VARCHAR))")
+    return f"""
+SELECT event_id, event_type, user_id
+FROM events
+WHERE ({h}) % 100 < CASE event_type {case} ELSE 0 END
+"""
+
+
+@register("stratified_sample", oracle=_stratified_sample_oracle())
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff
+    ``hash64('smp:' || event_id) % 100 < rate(event_type)`` — the
+    data-mixing primitive of a training pipeline. Hash-gated membership
+    beats ``rand()``-based sampling at scale: reproducible under
+    retries/speculative execution, stable across engines (the oracle
+    replays it exactly), and it pushes down as a plain filter — one
+    scan, no shuffle, no state."""
+    events = load_table(spark, sf_dir, "events")
+    rate = F.lit(0)
+    for t, r in reversed(SAMPLE_RATES):
+        rate = F.when(F.col("event_type") == t, r).otherwise(rate)
+    bucket = hash64(F.concat(F.lit("smp:"), F.col("event_id").cast("string"))) % 100
+    return events.where(bucket < rate).select("event_id", "event_type", "user_id")

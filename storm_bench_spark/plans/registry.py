@@ -71,7 +71,10 @@ def _ensure_loaded() -> None:
 # Names not listed here (future additions) sort FIRST — new queries are
 # by definition ungated. Within a tier, registration order is kept.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # tier 1 — touched in round 4, must re-gate
+    # tier 1 — NEW in round 4 (never gated) or touched in round 4
+    "text_normalize",
+    "pii_mask",
+    "stratified_sample",
     "asof_click_purchase",
     "rolling_flight_dist",
     "rolling_flight_dist_bucketed",

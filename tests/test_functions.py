@@ -106,3 +106,53 @@ def test_hash64_matches_duckdb(spark, duck):
             "SELECT CAST(concat('0x', substr(md5(?), 1, 15)) AS BIGINT)", [s]
         ).fetchone()[0]
         assert sp[s] == dk, s
+
+
+def test_normalize_text_whitespace_and_case(spark):
+    from storm_bench_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "  Hello\t\tWorld \x0b X\n\nY  "), (2, "already clean"), (3, "")],
+        "id long, text string",
+    )
+    out = {r["id"]: r["n"] for r in df.select("id", normalize_text("text").alias("n")).collect()}
+    assert out[1] == "hello world x y"  # runs collapse, VT included, trimmed, lowered
+    assert out[2] == "already clean"
+    assert out[3] == ""
+
+
+def test_mask_pii_order_and_boundaries(spark):
+    from storm_bench_spark.functions.text import mask_pii
+
+    rows = [
+        # email-shaped token inside a URL must mask as part of the URL
+        (1, "visit https://a.example/u/bob@c.de now"),
+        (2, "mail bob.smith+x@sub.example.org please"),
+        (3, "call +1 (555) 010-1234 today"),
+        # short digit runs (< 8 chars total) must NOT phone-mask
+        (4, "room 12 34 floor 5"),
+        (5, "no pii here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r["m"] for r in df.select("id", mask_pii("text").alias("m")).collect()}
+    assert out[1] == "visit <URL> now"
+    assert out[2] == "mail <EMAIL> please"
+    assert out[3] == "call <PHONE> today"
+    assert out[4] == "room 12 34 floor 5"
+    assert out[5] == "no pii here"
+
+
+def test_stratified_sample_deterministic_and_rate_shaped(spark):
+    from storm_bench_spark.plans.registry import get_spec
+    from tests.conftest import SF_DIR
+
+    fn = get_spec("stratified_sample").fn
+    a = sorted(r["event_id"] for r in fn(spark, SF_DIR).collect())
+    b = sorted(r["event_id"] for r in fn(spark, SF_DIR).collect())
+    assert a == b and len(a) > 0  # pure function of the key: identical reruns
+    by_type = {
+        r["event_type"]: r["cnt"]
+        for r in fn(spark, SF_DIR).groupBy("event_type").count().withColumnRenamed("count", "cnt").collect()
+    }
+    # purchase keeps 100%: must dominate view's 5% on the fixture
+    assert by_type.get("purchase", 0) > by_type.get("view", 0)
