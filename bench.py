@@ -66,6 +66,7 @@ HEADLINE = [
     "lang_id",
     "text_normalize",
     "pii_mask",
+    "repetition_score",
     "stratified_sample",
     # training-data pipeline: dedup / similarity / multimodal
     "minhash_lsh",

@@ -349,3 +349,58 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate = F.when(F.col("event_type") == t, r).otherwise(rate)
     bucket = hash64(F.concat(F.lit("smp:"), F.col("event_id").cast("string"))) % 100
     return events.where(bucket < rate).select("event_id", "event_type", "user_id")
+
+
+# --- repetition score (Gopher-style duplicate-bigram fraction) ------------
+
+@register(
+    "repetition_score",
+    oracle=f"""
+WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+bi AS (
+  SELECT doc_id, concat_ws(' ', w[i], w[i + 1]) AS bg
+  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w), 1))) AS i FROM words)
+),
+cnt AS (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY doc_id, bg),
+agg AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM cnt GROUP BY doc_id)
+SELECT w.doc_id,
+       round(coalesce(CAST(mx AS DOUBLE) / tot, 0e0), 6) AS top_bigram_frac,
+       CAST(coalesce(tot, 0) AS BIGINT) AS n_bigrams
+FROM words w LEFT JOIN agg ON w.doc_id = agg.doc_id
+""",
+)
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal (the Gopher/C4 filter family): the
+    fraction of a document's word bigrams taken by its single most
+    frequent bigram — high values flag boilerplate/spam for removal.
+
+    Shape at scale: explode to (doc_id, bigram) rows, one hash
+    aggregation to per-(doc, bigram) counts, one to per-doc max/total —
+    both partial-aggregated map-side and keyed by doc_id, so the
+    shuffle carries counts, not text. Docs under two words score 0.0
+    over 0 bigrams (LEFT JOIN + coalesce, same in the oracle)."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select("doc_id", word_split("text").alias("w"))
+    bigrams = F.expr(
+        "CASE WHEN size(w) >= 2 THEN "
+        "  transform(sequence(1, size(w) - 1), i -> concat_ws(' ', w[i - 1], w[i])) "
+        "ELSE CAST(array() AS array<string>) END"
+    )
+    bi = words.select("doc_id", F.explode(bigrams).alias("bg"))
+    agg = (
+        bi.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+    )
+    return (
+        words.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.col("mx").cast("double") / F.col("tot"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+            F.coalesce("tot", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        )
+    )

@@ -75,6 +75,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "text_normalize",
     "pii_mask",
     "stratified_sample",
+    "streaming_dedup",
+    "repetition_score",
     "asof_click_purchase",
     "rolling_flight_dist",
     "rolling_flight_dist_bucketed",

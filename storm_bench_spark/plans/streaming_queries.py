@@ -251,3 +251,33 @@ def stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = stream_table(spark, sf_dir, "events")
     emitted = run_to_memory(running_count(events, "event_type"), output_mode="append")
     return emitted.groupBy("key").agg(F.max("cnt").alias("cnt"))
+
+
+# --- streaming dedup (stateful dropDuplicates through the engine) --------
+
+@register(
+    "streaming_dedup",
+    # duplicate-injected stream deduped on the key == plain DISTINCT of
+    # the source (event_id is the events PK; both copies are identical
+    # rows, so "which copy wins" is unobservable)
+    oracle="""
+SELECT DISTINCT event_id, event_type, user_id FROM events
+""",
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming deduplication: the events stream is unioned
+    with a second read of itself (every row arrives twice — the
+    at-least-once-delivery shape a Kafka replay produces), then
+    ``dropDuplicates`` on the key holds one state row per event_id and
+    emits each key exactly once. At 100 TB the state is one compact row
+    per distinct key in the state store, partitioned by key hash; with
+    event-time bounds, ``dropDuplicatesWithinWatermark`` caps it — the
+    unbounded variant here matches the oracle's global DISTINCT."""
+    a = stream_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    b = stream_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    deduped = a.unionByName(b).dropDuplicates(["event_id"])
+    return run_to_memory(deduped, output_mode="append")
