@@ -76,6 +76,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "pii_mask",
     "stratified_sample",
     "streaming_dedup",
+    "streaming_dedup_watermarked",
     "repetition_score",
     "asof_click_purchase",
     "rolling_flight_dist",

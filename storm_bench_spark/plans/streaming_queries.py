@@ -281,3 +281,30 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = a.unionByName(b).dropDuplicates(["event_id"])
     return run_to_memory(deduped, output_mode="append")
+
+
+@register(
+    "streaming_dedup_watermarked",
+    oracle="""
+SELECT DISTINCT event_id, event_type, user_id FROM events
+""",
+)
+def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state twin of ``streaming_dedup``:
+    ``dropDuplicatesWithinWatermark`` holds a key only until the
+    watermark passes its event time, so state is sized by the lateness
+    bound instead of the key universe — the production configuration
+    for unbounded streams (the unbounded variant's state grows with
+    distinct keys forever). The duplicate-injected copies arrive within
+    the same availableNow epoch — well inside any watermark — so the
+    final sink equals the global DISTINCT and the same oracle applies."""
+    cols = ["event_id", "event_type", "user_id", "ts"]
+    a = stream_table(spark, sf_dir, "events").select(*cols)
+    b = stream_table(spark, sf_dir, "events").select(*cols)
+    deduped = (
+        a.unionByName(b)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .drop("ts")
+    )
+    return run_to_memory(deduped, output_mode="append")
