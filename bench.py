@@ -36,16 +36,31 @@ HEADLINE = [
     "rolling_latlong",
     "rolling_flight_dist",
     "rolling_flight_dist_bucketed",
-    # SQL capability demos
+    # SQL capability demos — the full TPC-H 22 (q2..q22 adapted to the
+    # fixture schema where it lacks partsupp/comment/phone columns; see
+    # plans/tpch_ext.py docstring)
     "tpch_q1",
+    "tpch_q2",
     "tpch_q3",
     "tpch_q4",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
     "tpch_q10",
+    "tpch_q11",
     "tpch_q12",
+    "tpch_q13",
     "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
     "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
     # temporal joins + set ops + ranking + analytics
     "asof_click_purchase",
     "interval_click_error",

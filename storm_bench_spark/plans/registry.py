@@ -45,6 +45,7 @@ def _ensure_loaded() -> None:
     # Import side-effect modules once, on first registry access.
     import storm_bench_spark.plans.topologies  # noqa: F401
     import storm_bench_spark.plans.tpch  # noqa: F401
+    import storm_bench_spark.plans.tpch_ext  # noqa: F401
     import storm_bench_spark.plans.pipeline  # noqa: F401
     import storm_bench_spark.plans.streaming_queries  # noqa: F401
     import storm_bench_spark.plans.dedup_queries  # noqa: F401

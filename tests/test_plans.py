@@ -178,3 +178,50 @@ def test_two_phase_windows_aggregate_before_expanding(spark):
     # bottom-up string) than the Generate
     first_agg = plan.rindex("partial_count")
     assert gen < first_agg, "window fan-out must consume aggregated buckets"
+
+
+def test_tpch_ext_star_joins_broadcast_dims(spark):
+    # q8's 8-way star: every dim side must arrive by broadcast — the
+    # only allowed shuffles are fact⋈fact and the final tiny groupBy
+    plan = _plan(spark, "tpch_q8")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastExchange") >= 5
+
+
+def test_tpch_q2_min_cost_is_window_not_rescan(spark):
+    # the correlated min-cost subquery must run as ONE window pass over
+    # the eligible set, not a second scan+join of the cost table
+    plan = _plan(spark, "tpch_q2")
+    assert "Window" in plan
+    assert plan.count("FileScan parquet") <= 6  # 5 tables + no rescan of lineitem
+
+
+def test_tpch_q18_semi_join_broadcasts_having_set(spark):
+    # the IN-over-HAVING orderkey set is aggregated (small) and must
+    # broadcast into a LeftSemi hash join, never shuffle the fact side
+    plan = _plan(spark, "tpch_q18")
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q16_not_in_is_anti_join(spark):
+    plan = _plan(spark, "tpch_q16")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q13_keeps_outer_join(spark):
+    # zero-order customers must survive: the optimizer must not have
+    # rewritten the LEFT OUTER into an inner join despite the count agg
+    plan = _plan(spark, "tpch_q13")
+    assert "LeftOuter" in plan
+
+
+def test_tpch_q21_aggregates_sibling_scan_once(spark):
+    # the EXISTS/NOT-EXISTS pair must collapse into per-order stats:
+    # lineitem appears at most twice (late lines + stats), never the
+    # spec's 3 correlated scans
+    plan = _plan(spark, "tpch_q21")
+    assert plan.count("FileScan parquet lineitem") <= 2
+    assert "CartesianProduct" not in plan
