@@ -83,6 +83,9 @@ HEADLINE = [
     "pii_mask",
     "repetition_score",
     "stratified_sample",
+    "decontaminate",
+    "pack_sequences",
+    "quality_quantile_filter",
     # training-data pipeline: dedup / similarity / multimodal
     "minhash_lsh",
     "ngram_jaccard",

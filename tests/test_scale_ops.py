@@ -300,3 +300,57 @@ def test_apply_changes_merge_semantics(spark):
         base, changes, keys=["k"], order_key=FF.col("v"), payload_cols=["name"]
     )
     assert sorted(map(tuple, out.collect())) == [(1, "a2"), (3, "c"), (4, "d")]
+
+
+# --- distributed prefix sum (operators/prefix.py) ------------------------
+
+def test_prefix_sum_matches_brute_force(spark):
+    from storm_bench_spark.operators.prefix import exclusive_prefix_sum
+
+    # sparse, gapped, unordered ids — the block split must not assume
+    # density; n_blocks=3 forces multiple blocks with uneven fill
+    rows = [(900, 7), (3, 2), (50, 10), (51, 1), (877, 5), (4, 0), (600, 3)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(4)
+    got = {
+        r["id"]: r["ps"]
+        for r in exclusive_prefix_sum(df, "id", "v", out_col="ps", n_blocks=3).collect()
+    }
+    acc, want = 0, {}
+    for i, v in sorted(rows):
+        want[i] = acc
+        acc += v
+    assert got == want
+
+
+def test_prefix_sum_single_row_and_empty(spark):
+    from storm_bench_spark.operators.prefix import exclusive_prefix_sum
+
+    one = spark.createDataFrame([(5, 42)], "id long, v long")
+    assert exclusive_prefix_sum(one, "id", "v", out_col="ps").collect()[0]["ps"] == 0
+    empty = spark.createDataFrame([], "id long, v long")
+    assert exclusive_prefix_sum(empty, "id", "v", out_col="ps").count() == 0
+
+
+def test_pack_sequences_never_single_partition_window(spark):
+    # the whole point of the distributed prefix sum: the corpus must
+    # not funnel through Exchange SinglePartition for the running total
+    from storm_bench_spark.plans.registry import all_queries
+
+    plan = (
+        all_queries()["pack_sequences"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan  # block offsets arrive by broadcast
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    from storm_bench_spark.plans.registry import all_queries
+
+    plan = (
+        all_queries()["decontaminate"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # train grams never shuffle for the probe
