@@ -91,6 +91,7 @@ HEADLINE = [
     "ngram_jaccard",
     "simhash_pairs",
     "embedding_neardup_lsh",
+    "semdedup",
     "ann_topk",
     "ann_topk_ivf",
     "multimodal_image_meta",

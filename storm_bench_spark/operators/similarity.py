@@ -740,34 +740,36 @@ SELECT qid, neighbor, cos, rank FROM (
 """
 
 
-def ann_topk_ivf_kmeans_sql(
-    v_cte: str,
-    n_queries: int,
-    k: int,
-    dim: int,
-    n_probe: int = IVF_NPROBE,
-    n_centroids: int = IVF_CENTROIDS,
-    n_iter: int = 2,
-    n_assign: int = 2,
-) -> str:
-    """DuckDB replay of ``ann_topk_ivf(..., centroids='kmeans')``.
-
-    The Lloyd loop is replayable because every FP-order-sensitive step
-    was made order-free or order-pinned (see ``kmeans_centroids``):
-    per-centroid sums are exact integers (any order), every dot/norm
-    is the left-assoc dimension-order sum (spelled here as unrolled
-    1-based-index term chains), the mean is ``(Σq/2^20)/n`` with the
-    identical division order, and ties break by ascending cid
-    (= numpy's first-max / stable argsort). The ``n_iter`` iterations
-    unroll into chained CTEs; empty cells COALESCE to the previous
-    centroid."""
-    S = f"{int(KMEANS_QUANT_SCALE)}e0"
+def _dot_sql_builders(dim: int):
+    """(dot, sumsq) unrolled-term SQL builders shared by the k-means
+    replay oracles — 1-based-index left-assoc chains matching the
+    kernel's sequential dimension-order sums."""
 
     def dot(a: str, b: str) -> str:
         return " + ".join(f"({a}[{i}] * {b}[{i}])" for i in range(1, dim + 1))
 
     def sumsq(a: str) -> str:
         return dot(a, a)
+
+    return dot, sumsq
+
+
+def _lloyd_ctes(
+    v_cte: str, dim: int, n_centroids: int, n_iter: int
+) -> tuple[list[str], str]:
+    """The deterministic Lloyd loop as chained DuckDB CTEs.
+
+    Returns (ctes, final_centroid_cte_name). The loop is replayable
+    because every FP-order-sensitive step was made order-free or
+    order-pinned (see ``kmeans_centroids``): per-centroid sums are
+    exact integers (any order), every dot/norm is the left-assoc
+    dimension-order sum (spelled here as unrolled 1-based-index term
+    chains), the mean is ``(Σq/2^20)/n`` with the identical division
+    order, and ties break by ascending cid (= numpy's first-max /
+    stable argsort). Iterations unroll into chained CTEs; empty cells
+    COALESCE to the previous centroid."""
+    S = f"{int(KMEANS_QUANT_SCALE)}e0"
+    dot, sumsq = _dot_sql_builders(dim)
 
     qsums = ", ".join(
         f"SUM(CAST(floor(v[{i}] * {S} + 5e-1) AS BIGINT)) AS s{i}"
@@ -806,7 +808,24 @@ def ann_topk_ivf_kmeans_sql(
          END AS cv
   FROM {p} p LEFT JOIN m{t} m USING (cid)
 )""")
-    cf = f"c{n_iter}"
+    return ctes, f"c{n_iter}"
+
+
+def ann_topk_ivf_kmeans_sql(
+    v_cte: str,
+    n_queries: int,
+    k: int,
+    dim: int,
+    n_probe: int = IVF_NPROBE,
+    n_centroids: int = IVF_CENTROIDS,
+    n_iter: int = 2,
+    n_assign: int = 2,
+) -> str:
+    """DuckDB replay of ``ann_topk_ivf(..., centroids='kmeans')`` —
+    the Lloyd loop CTEs (see ``_lloyd_ctes`` for why it replays
+    bitwise) plus the probe/rank stage."""
+    dot, sumsq = _dot_sql_builders(dim)
+    ctes, cf = _lloyd_ctes(v_cte, dim, n_centroids, n_iter)
     ctes.append(f"""assigned AS (
   SELECT id, v, cid FROM (
     SELECT v.id, v.v, c.cid,
@@ -842,6 +861,78 @@ SELECT qid, nid AS neighbor, cos, rank FROM (
          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
   FROM scored
 ) WHERE rank <= {k}
+"""
+
+
+def semdedup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    dim: int,
+    n_centroids: int = IVF_CENTROIDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: k-means-cluster
+    the embeddings, then cosine-compare ONLY within each cluster —
+    (a, b, cos) pairs with cos ≥ threshold and a < b.
+
+    This is the SemDeDup decomposition (Abbas et al. 2023, public):
+    clustering turns the O(N²) all-pairs comparison into Σ|cell|² —
+    with N/C-sized cells, a C-fold reduction, and each cell's pair
+    join is an equi-join on cid, so candidates co-locate in one
+    shuffle and no cross-cell pair is ever materialized. Skewed cells
+    degrade toward local quadratic cost; the lever is raising
+    ``n_centroids`` (cell count), the same knob as IVF.
+
+    The k-means is the deterministic Lloyd loop of
+    :func:`kmeans_centroids` and the single-nearest assignment of
+    :func:`ivf_assign`, so the whole pipeline — clustering included —
+    replays in DuckDB (:func:`semdedup_sql`). Dropping duplicates =
+    keeping min(a) per connected pair group; composing with
+    ``connected_components`` gives canonical keepers (the
+    neardup_clusters pattern).
+    """
+    v = vectors.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("v"))
+    cent = kmeans_centroids(v, n_centroids)
+    assigned = _with_norm(ivf_assign(v, cent, dim, n_assign=1), "v", "n", dim)
+    l, r = assigned.alias("l"), assigned.alias("r")
+    cos = F.round(_pair_cos("l.v", "r.v", "l.n", "r.n", dim), 6)
+    return (
+        l.join(r, (F.col("l.cid") == F.col("r.cid")) & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"), cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def semdedup_sql(
+    v_cte: str,
+    dim: int,
+    threshold: float,
+    n_centroids: int = IVF_CENTROIDS,
+    n_iter: int = 2,
+) -> str:
+    """DuckDB replay of :func:`semdedup_pairs`: the Lloyd CTEs plus a
+    single-nearest assignment and the within-cell pair join."""
+    dot, sumsq = _dot_sql_builders(dim)
+    ctes, cf = _lloyd_ctes(v_cte, dim, n_centroids, n_iter)
+    ctes.append(f"""assigned AS (
+  SELECT id, v, cid FROM (
+    SELECT v.id, v.v, c.cid,
+           row_number() OVER (
+             PARTITION BY v.id
+             ORDER BY ({dot('v.v', 'c.cv')}) / (sqrt({sumsq('v.v')}) * sqrt({sumsq('c.cv')})) DESC, c.cid
+           ) AS rn
+    FROM v CROSS JOIN {cf} c
+  ) WHERE rn = 1
+)""")
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT a, b, cos FROM (
+  SELECT l.id AS a, r.id AS b,
+         round(({dot('l.v', 'r.v')}) / (sqrt({sumsq('l.v')}) * sqrt({sumsq('r.v')})), 6) AS cos
+  FROM assigned l JOIN assigned r ON l.cid = r.cid AND l.id < r.id
+) WHERE cos >= {threshold}
 """
 
 

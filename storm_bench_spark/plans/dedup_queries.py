@@ -250,6 +250,23 @@ def embedding_neardup_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semdedup",
+    oracle=SIM.semdedup_sql(_V_CTE, EMB_DIM, COSINE_T),
+)
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: deterministic k-means
+    clustering, then cosine-verify ONLY within each cluster — the
+    Σ|cell|² decomposition that makes embedding dedup tractable at
+    corpus scale (vs the O(N²) embedding_neardup baseline; the LSH
+    variant prunes by hyperplane signature, this one by cluster
+    geometry). Fully oracle-checked including the clustering: the
+    Lloyd loop replays in DuckDB (semdedup_sql), so the driver
+    certifies the cluster assignments, not just the final cosines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.semdedup_pairs(emb, COSINE_T, EMB_DIM)
+
+
+@register(
     "ann_topk",
     oracle=f"""
 WITH v AS ({_V_CTE}), q AS (SELECT * FROM v WHERE id < {ANN_QUERIES})
