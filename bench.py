@@ -86,6 +86,13 @@ HEADLINE = [
     "decontaminate",
     "pack_sequences",
     "quality_quantile_filter",
+    # training-data pipeline: corpus/IR ops (round 4)
+    "bigram_lm_score",
+    "chunk_documents",
+    "chunk_dedup",
+    "domain_mix_sample",
+    "inverted_index",
+    "bm25_rank",
     # training-data pipeline: dedup / similarity / multimodal
     "minhash_lsh",
     "ngram_jaccard",
@@ -94,6 +101,8 @@ HEADLINE = [
     "semdedup",
     "ann_topk",
     "ann_topk_ivf",
+    "ann_topk_quantized",
+    "embedding_quantize",
     "multimodal_image_meta",
     "adsb_parse",
 ]

@@ -1,0 +1,649 @@
+"""Corpus/IR operators (round 4): language-model scoring, chunking,
+span-level dedup, domain mixing, quantization, and ranked retrieval.
+
+These close the remaining gaps between "cleaned corpus" (plans/
+pipeline.py, plans/curation.py, plans/training_prep.py) and what a
+pretraining data platform actually serves:
+
+- ``bigram_lm_score``  — self-trained corpus bigram LM, per-doc mean
+  bigram probability (the KenLM-style fluency filter, log-free).
+- ``chunk_documents``  — overlapping fixed-token-window chunking (the
+  retrieval/embedding ingestion shape).
+- ``chunk_dedup``      — C4-style cross-corpus span dedup: global
+  first-occurrence-wins removal of duplicated word blocks, documents
+  reassembled from their surviving blocks.
+- ``domain_mix_sample``— temperature-based (T=2, p∝√tokens) domain
+  mixture resampling with deterministic hash gating.
+- ``embedding_quantize`` / ``ann_topk_quantized`` — symmetric int8
+  vector quantization and brute-force search over the quantized
+  vectors (scales cancel in cosine, so the quantized ranking is exact
+  integer arithmetic).
+- ``inverted_index``   — posting-list construction (df/cf + capped
+  postings) for sparse retrieval.
+- ``bm25_rank``        — BM25 top-20 for a fixed query, in a log-free
+  all-rational spelling.
+
+FP discipline (same rules as operators/similarity.py): every
+cross-engine number is either exact integer arithmetic (fixed-point
+ppm, counts, hash gates) or a double expression evaluated over exact
+integers with an IDENTICAL operation tree in Spark and DuckDB — no
+aggregation-order-dependent float sums, no transcendental functions
+(``ln`` differs by platform libm across engines; ``sqrt`` is IEEE
+correctly-rounded and allowed). Where a textbook formula wants a log
+(BM25's idf, LM log-probs), the implementation uses an
+order-preserving rational form and documents the substitution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from storm_bench_spark.functions.hashing import hash64, hash64_sql
+from storm_bench_spark.functions.text import word_split
+from storm_bench_spark.operators import similarity as SIM
+from storm_bench_spark.plans.pipeline import _WORDS_SQL, _spread
+from storm_bench_spark.plans.registry import register
+from storm_bench_spark.sources.tables import load_table
+
+EMB_DIM = 64
+ANN_QUERIES = 10
+ANN_K = 5
+
+
+def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", word_split("text").alias("w"))
+
+
+# --- bigram language-model scoring ---------------------------------------
+
+@register(
+    "bigram_lm_score",
+    oracle=f"""
+WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+bi AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w), 1))) AS i FROM words)
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+p AS (
+  SELECT doc_id, (c2.c2 * 1000000) // c1.c1 AS ppm
+  FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+),
+agg AS (SELECT doc_id, sum(ppm) AS sp, count(*) AS nb FROM p GROUP BY doc_id)
+SELECT w.doc_id,
+       CAST(coalesce(sp // nb, 0) AS BIGINT) AS mean_prob_ppm,
+       CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams
+FROM words w LEFT JOIN agg ON w.doc_id = agg.doc_id
+""",
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fluency scoring against a bigram LM trained on the corpus itself
+    (the KenLM-filter shape, self-supervised): per document, the mean
+    MLE probability of its word bigrams, ``p(w2|w1) = c(w1 w2)/c(w1 ·)``.
+
+    Log-free fixed point: per-bigram probability is the exact integer
+    ``c2·10^6 // c1`` and the per-doc mean an exact integer division —
+    no float accumulates across rows, so the result is independent of
+    aggregation order and engine libm (a ``Σ ln p`` spelling would not
+    be; same discipline as the kmeans integer partials).
+
+    Shape at scale: the exploded bigram table is persisted (it feeds
+    both the count build and the probe), counts are two cascaded
+    map-side-combined aggregations — c(w1 ·) is derived from the
+    bigram-count table (vocabulary-sized), never from a second pass
+    over the corpus — and the probe is an equi-join on (w1, w2)
+    against count tables that are vocabulary-sized, not corpus-sized.
+    """
+    from pyspark import StorageLevel
+
+    words = _words(spark, sf_dir)
+    bigrams = F.expr(
+        "CASE WHEN size(w) >= 2 THEN "
+        "  transform(sequence(1, size(w) - 1), "
+        "            i -> struct(w[i - 1] AS w1, w[i] AS w2)) "
+        "ELSE CAST(array() AS array<struct<w1: string, w2: string>>) END"
+    )
+    bi = words.select("doc_id", F.explode(bigrams).alias("b")).select(
+        "doc_id", "b.w1", "b.w2"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    p = (
+        bi.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .select("doc_id", F.expr("(c2 * 1000000) div c1").alias("ppm"))
+    )
+    agg = p.groupBy("doc_id").agg(
+        F.sum("ppm").alias("sp"), F.count("*").alias("nb")
+    )
+    return (
+        words.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.expr("sp div nb"), F.lit(0)).cast("bigint").alias("mean_prob_ppm"),
+            F.coalesce("nb", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        )
+    )
+
+
+# --- overlapping fixed-window chunking -----------------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+c AS (
+  SELECT doc_id, w,
+         unnest(range(0, (len(w) + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE})) AS cid
+  FROM words
+)
+SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(w, cid * {CHUNK_STRIDE} + 1,
+                                  cid * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ') AS chunk_text,
+       CAST(least({CHUNK_TOKENS}, len(w) - cid * {CHUNK_STRIDE}) AS BIGINT) AS n_chunk_tokens
+FROM c
+""",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window chunking (32 tokens, stride 24) — the
+    ingestion shape for embedding/retrieval pipelines, where every
+    chunk must carry (doc_id, chunk_id) lineage.
+
+    One narrow pass: tokenize once per row, explode the chunk-start
+    sequence, slice — no shuffle at all; chunk rows inherit the scan's
+    partitioning, and at 100 TB the output is written straight back
+    out partition-local. The last chunk is short (no padding — the
+    padding policy belongs to ``pack_sequences``).
+    """
+    words = _words(spark, sf_dir)
+    cids = F.expr(
+        f"CASE WHEN size(w) > 0 THEN "
+        f"sequence(0, (size(w) + {CHUNK_STRIDE - 1}) div {CHUNK_STRIDE} - 1) "
+        f"ELSE CAST(array() AS array<int>) END"
+    )
+    c = words.select("doc_id", "w", F.explode(cids).alias("cid"))
+    return c.select(
+        "doc_id",
+        F.col("cid").cast("bigint").alias("chunk_id"),
+        F.array_join(
+            F.slice(F.col("w"), F.col("cid") * CHUNK_STRIDE + 1, CHUNK_TOKENS), " "
+        ).alias("chunk_text"),
+        F.least(
+            F.lit(CHUNK_TOKENS), F.size("w") - F.col("cid") * CHUNK_STRIDE
+        ).cast("bigint").alias("n_chunk_tokens"),
+    )
+
+
+# --- C4-style cross-corpus span dedup ------------------------------------
+
+DEDUP_BLOCK_TOKENS = 16
+# first-occurrence-wins order: block position packs (doc_id, chunk_id)
+# into one orderable integer; chunk ids are < 10^6 by construction
+# (documents are token-bounded long before a million blocks).
+_POS = 1_000_000
+
+
+@register(
+    "chunk_dedup",
+    oracle=f"""
+WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+b AS (
+  SELECT doc_id, cid,
+         array_to_string(list_slice(w, cid * {DEDUP_BLOCK_TOKENS} + 1,
+                                    cid * {DEDUP_BLOCK_TOKENS} + {DEDUP_BLOCK_TOKENS}), ' ') AS btxt
+  FROM (SELECT doc_id, w,
+               unnest(range(0, (len(w) + {DEDUP_BLOCK_TOKENS - 1}) // {DEDUP_BLOCK_TOKENS})) AS cid
+        FROM words)
+),
+k AS (SELECT doc_id, cid, btxt, md5(btxt) AS key,
+             doc_id * {_POS} + cid AS pos FROM b),
+wins AS (SELECT key, min(pos) AS wpos FROM k GROUP BY key)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(count(*) FILTER (WHERE pos <> wpos) AS BIGINT) AS n_blocks_removed,
+       coalesce(string_agg(btxt, ' ' ORDER BY cid) FILTER (WHERE pos = wpos), '') AS clean_text
+FROM k JOIN wins USING (key)
+GROUP BY doc_id
+""",
+)
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus span dedup (the C4/RefinedWeb block rule): split
+    every document into non-overlapping 16-word blocks, remove every
+    repeat of a block that occurs anywhere in the corpus (first
+    occurrence by (doc_id, position) survives — including within-doc
+    boilerplate repeats), and reassemble each document from its
+    surviving blocks.
+
+    Shape at scale: ownership is one hash aggregation keyed by block
+    md5 (shuffle carries digest + packed position, never text), the
+    survivor test one equi-join back on the digest, and reassembly one
+    aggregation keyed by doc_id whose sort is per-group over that
+    document's blocks only — no global ordering anywhere. This is the
+    span-granular complement of ``dedup_exact`` (whole-doc) and
+    ``minhash_lsh`` (near-dup).
+    """
+    words = _words(spark, sf_dir)
+    cids = F.expr(
+        f"CASE WHEN size(w) > 0 THEN "
+        f"sequence(0, (size(w) + {DEDUP_BLOCK_TOKENS - 1}) div {DEDUP_BLOCK_TOKENS} - 1) "
+        f"ELSE CAST(array() AS array<int>) END"
+    )
+    b = words.select("doc_id", "w", F.explode(cids).alias("cid")).select(
+        "doc_id",
+        "cid",
+        F.array_join(
+            F.slice(
+                F.col("w"),
+                F.col("cid") * DEDUP_BLOCK_TOKENS + 1,
+                DEDUP_BLOCK_TOKENS,
+            ),
+            " ",
+        ).alias("btxt"),
+    )
+    k = b.select(
+        "doc_id", "cid", "btxt",
+        F.md5("btxt").alias("key"),
+        (F.col("doc_id") * _POS + F.col("cid")).alias("pos"),
+    )
+    wins = k.groupBy("key").agg(F.min("pos").alias("wpos"))
+    j = k.join(wins, "key").withColumn("keep", F.col("pos") == F.col("wpos"))
+    kept = F.when(F.col("keep"), F.struct(F.col("cid"), F.col("btxt")))
+    return j.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_blocks"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("bigint").alias("n_blocks_removed"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept)), lambda x: x["btxt"]), " "
+        ).alias("clean_text"),
+    )
+
+
+# --- temperature-based domain mixture sampling ---------------------------
+
+def _mix_oracle() -> str:
+    gate = hash64_sql("concat('mix:', CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH dt AS (SELECT doc_id, source, CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
+            FROM documents),
+s AS (SELECT source, sum(n_tokens) AS tok_s FROM dt GROUP BY source),
+s2 AS (SELECT source, tok_s,
+              CAST(floor(sqrt(CAST(tok_s AS DOUBLE))) AS BIGINT) AS isq FROM s),
+t AS (SELECT CAST(sum(tok_s) AS BIGINT) AS total,
+             CAST(sum(isq) AS BIGINT) AS s_sum FROM s2),
+r AS (
+  SELECT source,
+         least(1000000, CAST(floor(
+           ((CAST(total // 2 AS DOUBLE) * CAST(isq AS DOUBLE))
+            / CAST(s_sum AS DOUBLE) / CAST(tok_s AS DOUBLE)) * 1000000.0
+         ) AS BIGINT)) AS rate_ppm
+  FROM s2, t
+)
+SELECT dt.doc_id, dt.source, dt.n_tokens, r.rate_ppm
+FROM dt JOIN r USING (source)
+WHERE ({gate}) % 1000000 < r.rate_ppm
+"""
+
+
+@register("domain_mix_sample", oracle=_mix_oracle())
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixture resampling at temperature T=2: per-source keep
+    rates ∝ √(source tokens)/(source tokens), normalized to a half-
+    corpus token budget and capped at 1 — the standard move that
+    up-weights small domains without letting one giant domain dominate
+    the mix. Membership is hash-gated per doc_id (reproducible under
+    retries and across engines; no RNG), like ``stratified_sample``.
+
+    Determinism: source token totals and their integer square roots
+    are exact integers; the only float expression is the fixed tree
+    ``(target·isq)/S/tok·10^6`` over those exact values, evaluated
+    identically by both engines, then floored to a ppm gate.
+
+    Shape at scale: one map-side-combined aggregation to source totals
+    (one row per domain), rates computed against a broadcast 1-row
+    total, rates broadcast back onto the corpus as a hash-join on
+    ``source`` — the full corpus is touched exactly twice, shuffled
+    never (token counting rides the scan; the agg shuffle carries one
+    row per domain).
+    """
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    dt = docs.select(
+        "doc_id", "source", F.size(word_split("text")).cast("bigint").alias("n_tokens")
+    )
+    s = dt.groupBy("source").agg(F.sum("n_tokens").alias("tok_s"))
+    s2 = s.withColumn(
+        "isq", F.floor(F.sqrt(F.col("tok_s").cast("double"))).cast("bigint")
+    )
+    t = s2.agg(
+        F.sum("tok_s").cast("bigint").alias("total"),
+        F.sum("isq").cast("bigint").alias("s_sum"),
+    )
+    r = s2.crossJoin(F.broadcast(t)).select(
+        "source",
+        F.least(
+            F.lit(1000000),
+            F.floor(
+                (
+                    F.expr("CAST(total div 2 AS DOUBLE)") * F.col("isq").cast("double")
+                )
+                / F.col("s_sum").cast("double")
+                / F.col("tok_s").cast("double")
+                * 1000000.0
+            ).cast("bigint"),
+        ).alias("rate_ppm"),
+    )
+    gate = hash64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 1000000
+    return (
+        dt.join(F.broadcast(r), "source")
+        .where(gate < F.col("rate_ppm"))
+        .select("doc_id", "source", "n_tokens", "rate_ppm")
+    )
+
+
+# --- int8 embedding quantization -----------------------------------------
+
+def _quantized(emb: DataFrame) -> DataFrame:
+    """(vec_id, v double[], maxabs, qarr bigint[]) — chained projections
+    so maxabs is evaluated once per row (house codegen discipline)."""
+    return (
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .withColumn("maxabs", F.array_max(F.transform("v", F.abs)))
+        .withColumn(
+            "qarr",
+            F.when(
+                F.col("maxabs") == 0.0,
+                F.expr("transform(v, x -> CAST(0 AS BIGINT))"),
+            ).otherwise(
+                F.expr(
+                    "transform(v, x -> greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT), "
+                    "CAST(floor((x * 127.0) / maxabs + 0.5) AS BIGINT))))"
+                )
+            ),
+        )
+    )
+
+
+_QUANT_SQL = (
+    "CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN "
+    "  list_transform(v, x -> CAST(0 AS BIGINT)) "
+    "ELSE list_transform(v, x -> greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT), "
+    "  CAST(floor((x * 127.0) / list_max(list_transform(v, y -> abs(y))) + 0.5) AS BIGINT)))) END"
+)
+_QV_CTE = (
+    "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
+    f"{_QUANT_SQL} AS qarr FROM embeddings"
+)
+
+
+@register(
+    "embedding_quantize",
+    oracle=f"""
+WITH q AS ({_QV_CTE}),
+m AS (SELECT vec_id, v, qarr,
+             list_max(list_transform(v, x -> abs(x))) AS maxabs FROM q)
+SELECT vec_id,
+       round(maxabs / 127.0, 9) AS scale,
+       array_to_string(qarr, ',') AS qvec_csv,
+       round(CASE WHEN maxabs = 0 THEN 0e0 ELSE
+         list_max(list_transform(range(1, {EMB_DIM + 1}),
+           i -> abs((CAST(qarr[i] AS DOUBLE) * maxabs) / 127.0 - v[i])))
+       END, 6) AS max_abs_err
+FROM m
+""",
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (the storage/serving
+    format for billion-vector indexes): ``q_i = round(v_i·127/max|v|)``
+    clamped to [-127, 127], plus the reconstruction scale and the
+    worst-case dequantization error.
+
+    Pure narrow map — no shuffle; 4 bytes/dim become 1. Determinism:
+    the float tree ``(x·127)/maxabs + 0.5 → floor`` is evaluated
+    identically in both engines over exactly-widened float32 inputs,
+    and max() over dims is order-free (unlike a sum, which is why the
+    error metric is max-abs and not MSE). The quantized vector crosses
+    the driver hash as a CSV string — engines disagree on list CELL
+    dtypes (numpy int64 vs Python int), not values; stringifying
+    makes the comparison about the values.
+    """
+    q = _quantized(load_table(spark, sf_dir, "embeddings"))
+    err = F.expr(
+        "CASE WHEN maxabs = 0 THEN 0D ELSE "
+        "array_max(zip_with(qarr, v, (q, x) -> abs((CAST(q AS DOUBLE) * maxabs) / 127.0 - x))) END"
+    )
+    return q.select(
+        "vec_id",
+        F.round(F.col("maxabs") / 127.0, 9).alias("scale"),
+        F.array_join(F.transform("qarr", lambda x: x.cast("string")), ",").alias("qvec_csv"),
+        F.round(err, 6).alias("max_abs_err"),
+    )
+
+
+@register(
+    "ann_topk_quantized",
+    oracle=f"""
+WITH qv AS (SELECT vec_id AS id, list_transform(qarr, x -> CAST(x AS DOUBLE)) AS v
+            FROM ({_QV_CTE})),
+q AS (SELECT * FROM qv WHERE id < {ANN_QUERIES})
+SELECT qid, neighbor, cos, rank FROM (
+  SELECT qid, neighbor, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor) AS rank
+  FROM (
+    SELECT q.id AS qid, qv.id AS neighbor,
+           round({SIM.cosine_sql('q.v', 'qv.v')}, 6) AS cos
+    FROM q JOIN qv ON q.id <> qv.id
+  )
+) WHERE rank <= {ANN_K}
+""",
+)
+def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k over the int8-quantized vectors — the memory-
+    bound configuration of ANN serving (1 byte/dim resident instead of
+    4). The per-vector scales cancel out of cosine, so quantized
+    search ranks by pure integer dot products: every sum the kernel
+    accumulates is integer-valued (exact in float64 far beyond
+    127²·dim), making this the rare ANN variant whose scores are
+    bitwise engine-independent with no FP-ordering caveats at all.
+
+    Reuses the closure-broadcast Arrow kernel of ``ann_topk``
+    (operators/similarity.py:190) over the quantized column — no join,
+    vectors never shuffle; only (qid, neighbor, cos) rows move.
+    """
+    q = _quantized(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("qarr").cast("array<double>").alias("qv")
+    )
+    queries = q.where(F.col("vec_id") < ANN_QUERIES)
+    return SIM.ann_topk_bruteforce(q, queries, ANN_K, vec_col="qv", dim=EMB_DIM)
+
+
+# --- inverted index -------------------------------------------------------
+
+MIN_DF = 5
+POSTINGS_CAP = 20
+
+
+@register(
+    "inverted_index",
+    oracle=f"""
+WITH tf AS (
+  SELECT term, doc_id, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents)
+  GROUP BY term, doc_id
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+       array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, {POSTINGS_CAP}), ',') AS postings
+FROM tf GROUP BY term HAVING count(*) >= {MIN_DF}
+""",
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list construction for sparse retrieval: per term, its
+    document frequency, collection frequency, and the first
+    first 20 postings in doc_id order (capped — the cap is explicit
+    in the output contract, not silent truncation).
+
+    Two cascaded hash aggregations, both map-side combined: corpus →
+    (term, doc) term frequencies (the shuffle carries counts, not
+    text), then (term, doc) → per-term rows. The postings sort is
+    per-group over one term's capped list. ``df >= 5`` prunes the
+    hapax tail, which at corpus scale is most of the vocabulary.
+    """
+    words = _words(spark, sf_dir)
+    tf = (
+        words.select("doc_id", F.explode("w").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            F.sum("tf").cast("bigint").alias("cf"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.array_sort(F.collect_list("doc_id")), 1, POSTINGS_CAP),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .where(F.col("df") >= MIN_DF)
+    )
+
+
+# --- BM25 ranked retrieval ------------------------------------------------
+
+BM25_TERMS: tuple[str, ...] = ("join", "vector", "merge")
+BM25_TOP = 20
+
+# BM25 with k1 = 1.2, b = 0.75 in an all-rational, log-free spelling.
+# Substituting the rationals and multiplying through by 2·avgdl·N turns
+# the tf component into a ratio of integers:
+#   tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) = 22·tf·T / (10·tf·T + 3·T + 9·dl·N)
+# with T = total corpus tokens, N = docs (avgdl = T/N). The idf uses the
+# odds ratio (N−df+½)/(df+½) = (2N−2df+1)/(2df+1) WITHOUT the log: the
+# log is monotone, so dropping it preserves per-term ordering, and
+# cross-engine it would cost a platform-libm ``ln``. Every factor below
+# is an exact integer; the division tree is fixed and identical in both
+# engines, and the 3 per-term scores add in literal column order.
+
+
+def _bm25_term_expr(tf: str, df: str) -> str:
+    """Shared Spark/DuckDB rendering of one term's score (exact-int
+    inputs, fixed double tree)."""
+    return (
+        f"(CAST(2 * N - 2 * {df} + 1 AS DOUBLE) / CAST(2 * {df} + 1 AS DOUBLE))"
+        f" * ((22.0 * CAST({tf} AS DOUBLE) * CAST(T AS DOUBLE))"
+        f" / (10.0 * CAST({tf} AS DOUBLE) * CAST(T AS DOUBLE)"
+        f" + 3.0 * CAST(T AS DOUBLE)"
+        f" + 9.0 * CAST(dl AS DOUBLE) * CAST(N AS DOUBLE)))"
+    )
+
+
+def _bm25_score_expr() -> str:
+    terms = " + ".join(
+        _bm25_term_expr(f"tf{i}", f"df{i}") for i in range(len(BM25_TERMS))
+    )
+    return f"round({terms}, 6)"
+
+
+def _bm25_oracle() -> str:
+    t_list = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    tf_cols = ", ".join(
+        f"coalesce(sum(CASE WHEN term = '{t}' THEN tf END), 0) AS tf{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"coalesce(sum(CASE WHEN term = '{t}' THEN 1 END), 0) AS df{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    filled_tf = ", ".join(
+        f"coalesce(tf{i}, 0) AS tf{i}" for i in range(len(BM25_TERMS))
+    )
+    df_names = ", ".join(f"df{i}" for i in range(len(BM25_TERMS)))
+    return f"""
+WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM words),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS N, CAST(sum(dl) AS BIGINT) AS T FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(w) AS term FROM words)
+  WHERE term IN ({t_list}) GROUP BY doc_id, term
+),
+tfp AS (SELECT doc_id, {tf_cols} FROM tf GROUP BY doc_id),
+dfs AS (SELECT {df_cols} FROM tf),
+joined AS (
+  SELECT dl.doc_id, dl.dl, {filled_tf}, N, T, {df_names}
+  FROM dl LEFT JOIN tfp USING (doc_id), tot, dfs
+),
+scored AS (SELECT doc_id, {_bm25_score_expr()} AS score FROM joined)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {BM25_TOP}
+"""
+
+
+@register("bm25_rank", oracle=_bm25_oracle())
+def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 retrieval for the fixed query ('join', 'vector',
+    'merge') (k1 = 1.2, b = 0.75), in the log-free rational spelling
+    documented above — identical ranking, engine-exact scores.
+
+    Shape at scale: term postings for the 3 query terms are filtered
+    at the scan (the IN-list pushes down), pivoted to per-doc columns
+    by one keyed aggregation; N/T and the 3 dfs are broadcast 1-row
+    aggregates. The final top-20 is ``ORDER BY ... LIMIT`` — Spark's
+    TakeOrdered, a per-partition heap + driver merge of 20-row
+    partials, never a global sort. Docs containing no query term score
+    an exact 0.0 (the tf = 0 numerator vanishes), so ranking is total
+    over the corpus with the (score, doc_id) tie-break.
+    """
+    words = _words(spark, sf_dir)
+    dl = words.select("doc_id", F.size("w").cast("bigint").alias("dl"))
+    tot = dl.agg(
+        F.count("*").cast("bigint").alias("N"), F.sum("dl").cast("bigint").alias("T")
+    )
+    tf = (
+        words.select("doc_id", F.explode("w").alias("term"))
+        .where(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    tfp = tf.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("term") == t, F.col("tf"))), F.lit(0)
+            ).alias(f"tf{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ]
+    )
+    dfs = tf.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("term") == t, 1)), F.lit(0)
+            ).alias(f"df{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ]
+    )
+    scored = (
+        dl.join(tfp, "doc_id", "left")
+        .na.fill({f"tf{i}": 0 for i in range(len(BM25_TERMS))})
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(dfs))
+        .select("doc_id", F.expr(_bm25_score_expr()).alias("score"))
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_TOP)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select(
+        "doc_id", "score", F.row_number().over(w).cast("bigint").alias("rank")
+    )

@@ -53,6 +53,7 @@ def _ensure_loaded() -> None:
     import storm_bench_spark.plans.relational  # noqa: F401
     import storm_bench_spark.plans.curation  # noqa: F401
     import storm_bench_spark.plans.training_prep  # noqa: F401
+    import storm_bench_spark.plans.corpus_ops  # noqa: F401
 
 
 # Explicit gate order. The driver's correctness gate checks the FIRST 50

@@ -162,9 +162,9 @@ def users_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSION_GAP_SEC = 1800
 
 
-@register(
-    "user_sessions",
-    oracle=f"""
+# Shared by the batch query below and the streaming twin
+# (plans/streaming_queries.py::streaming_user_sessions).
+USER_SESSIONS_ORACLE = f"""
 WITH es AS ({D.EVENTS_SEC_SQL}),
 marked AS (
   SELECT user_id, sec, event_id,
@@ -183,8 +183,10 @@ sess AS (
 SELECT user_id, min(sec) AS session_start, count(*) AS n_events,
        max(sec) - min(sec) AS duration_sec
 FROM sess GROUP BY user_id, sid
-""",
-)
+"""
+
+
+@register("user_sessions", oracle=USER_SESSIONS_ORACLE)
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionize each user's events with a 30-minute inactivity gap —
     ``session_window`` (dynamic gap-merged windows in the aggregation

@@ -308,3 +308,52 @@ def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("ts")
     )
     return run_to_memory(deduped, output_mode="append")
+
+
+# --- streaming sessionization (session_window in the state store) --------
+
+from storm_bench_spark.plans.relational import USER_SESSIONS_ORACLE  # noqa: E402
+
+
+@register(
+    "streaming_user_sessions",
+    # identical final state ⇒ the batch query's gap-and-islands oracle
+    # verifies the streaming path too (same equality the other
+    # streaming_* twins rely on)
+    oracle=USER_SESSIONS_ORACLE,
+)
+def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``user_sessions`` through the streaming engine: gap-merged
+    session windows live in the aggregation state store
+    (``session_window`` merges a key's windows whenever a new event
+    falls within the 30-minute gap), complete-mode snapshot after the
+    availableNow epoch.
+
+    This is the streaming shape a clickstream pipeline actually runs:
+    state per (user, open session), merged on arrival, sized by live
+    sessions — not by history. In production the ``withWatermark`` +
+    append-mode variant emits each session once it can no longer grow;
+    the complete-mode snapshot here is the deterministic, testable
+    equivalent with identical final state (SURVEY §4.3.1 mapping), so
+    the batch oracle checks the streaming state machinery end-to-end.
+    """
+    from storm_bench_spark.plans.relational import SESSION_GAP_SEC
+
+    es = stream_table(spark, sf_dir, "events").withColumn(
+        "sec", F.col("ts").cast("long")
+    )
+    sw = F.session_window(
+        F.timestamp_seconds(F.col("sec")), f"{SESSION_GAP_SEC} seconds"
+    )
+    g = es.groupBy(sw.alias("w"), F.col("user_id")).agg(
+        F.count("*").alias("n_events"),
+        F.max("sec").alias("_max_sec"),
+    )
+    start = F.col("w.start").cast("long")
+    sessions = g.select(
+        "user_id",
+        start.alias("session_start"),
+        "n_events",
+        (F.col("_max_sec") - start).alias("duration_sec"),
+    )
+    return run_to_memory(sessions, output_mode="complete")

@@ -1,0 +1,136 @@
+"""Property tests for the corpus/IR operators (plans/corpus_ops.py).
+
+The SQL-oracle equality for every one of these runs in
+test_correctness.py; these tests assert the SEMANTIC invariants the
+oracle comparison can't express (dedup completeness, chunk lineage,
+quantized-search recall, determinism under re-execution).
+"""
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from storm_bench_spark.plans.corpus_ops import (
+    ANN_K,
+    BM25_TOP,
+    CHUNK_STRIDE,
+    CHUNK_TOKENS,
+    DEDUP_BLOCK_TOKENS,
+    ann_topk_quantized,
+    bigram_lm_score,
+    bm25_rank,
+    chunk_dedup,
+    chunk_documents,
+    domain_mix_sample,
+    embedding_quantize,
+    inverted_index,
+)
+from storm_bench_spark.plans.dedup_queries import ann_topk
+from storm_bench_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_chunk_documents_covers_every_token(spark):
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("w")
+    )
+    chunks = chunk_documents(spark, SF_DIR)
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunks.collect()
+    }
+    for row in docs.collect():
+        words = row["w"]
+        starts = range(0, len(words), CHUNK_STRIDE)
+        for cid, s in enumerate(starts):
+            expect = words[s : s + CHUNK_TOKENS]
+            text, n = got.pop((row["doc_id"], cid))
+            assert text == " ".join(expect)
+            assert n == len(expect)
+    assert not got  # no extra chunks beyond the stride walk
+
+
+def test_chunk_dedup_no_duplicate_blocks_survive(spark):
+    out = chunk_dedup(spark, SF_DIR).collect()
+    # every surviving block, across the whole corpus, is globally unique
+    survivors = Counter()
+    for r in out:
+        words = r["clean_text"].split() if r["clean_text"] else []
+        assert len(words) % 1 == 0
+        kept = r["n_blocks"] - r["n_blocks_removed"]
+        blocks = [
+            " ".join(words[i : i + DEDUP_BLOCK_TOKENS])
+            for i in range(0, len(words), DEDUP_BLOCK_TOKENS)
+        ]
+        # reassembly can merge a short tail block into the next doc's
+        # arithmetic only if slicing were wrong; kept-count must bound it
+        assert len(blocks) >= min(kept, 1)
+        survivors.update(
+            b for b in blocks if len(b.split()) == DEDUP_BLOCK_TOKENS
+        )
+    dupes = {b: c for b, c in survivors.items() if c > 1}
+    assert not dupes, f"{len(dupes)} duplicated full blocks survive"
+    # and the pass removed something on a corpus with planted dupes
+    assert sum(r["n_blocks_removed"] for r in out) > 0
+
+
+def test_domain_mix_rates_and_determinism(spark):
+    a = domain_mix_sample(spark, SF_DIR)
+    rows = a.collect()
+    assert rows, "mixture sample is empty"
+    for r in rows:
+        assert 0 < r["rate_ppm"] <= 1_000_000
+    # reproducible: hash-gated membership has no RNG
+    b = sorted(map(tuple, domain_mix_sample(spark, SF_DIR).collect()))
+    assert sorted(map(tuple, rows)) == b
+
+
+def test_embedding_quantize_bounds(spark):
+    for r in embedding_quantize(spark, SF_DIR).collect():
+        qs = [int(x) for x in r["qvec_csv"].split(",")]
+        assert all(-127 <= q <= 127 for q in qs)
+        assert max(abs(q) for q in qs) == 127 or r["scale"] == 0.0
+        # reconstruction error is bounded by half a quantization step
+        # (+5e-7: max_abs_err is emitted rounded to 6 decimals, which
+        # can round up past the exact bound)
+        assert r["max_abs_err"] <= r["scale"] / 2 + 5e-7
+
+
+def test_ann_topk_quantized_recall_vs_exact(spark):
+    exact = {
+        (r["qid"], r["neighbor"]) for r in ann_topk(spark, SF_DIR).collect()
+    }
+    quant = {
+        (r["qid"], r["neighbor"])
+        for r in ann_topk_quantized(spark, SF_DIR).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    # int8 quantization barely perturbs cosine ranks
+    assert recall >= 0.8, f"quantized recall {recall:.2f}"
+    assert len(quant) == len(exact) == ANN_K * 10
+
+
+def test_bm25_rank_is_ordered_and_positive(spark):
+    rows = bm25_rank(spark, SF_DIR).collect()
+    assert [r["rank"] for r in rows] == list(range(1, BM25_TOP + 1))
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert scores[0] > 0
+
+
+def test_bigram_lm_score_range(spark):
+    rows = bigram_lm_score(spark, SF_DIR).collect()
+    assert len(rows) == load_table(spark, SF_DIR, "documents").count()
+    for r in rows:
+        if r["n_bigrams"] > 0:
+            assert 0 < r["mean_prob_ppm"] <= 1_000_000
+        else:
+            assert r["mean_prob_ppm"] == 0
+
+
+def test_inverted_index_postings_sorted(spark):
+    for r in inverted_index(spark, SF_DIR).collect():
+        ids = [int(x) for x in r["postings"].split(",")]
+        assert ids == sorted(ids)
+        assert len(ids) <= 20
+        assert r["df"] >= 5 and r["cf"] >= r["df"]
