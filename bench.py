@@ -93,6 +93,7 @@ HEADLINE = [
     "domain_mix_sample",
     "inverted_index",
     "bm25_rank",
+    "textrank_keywords",
     # training-data pipeline: dedup / similarity / multimodal
     "minhash_lsh",
     "ngram_jaccard",

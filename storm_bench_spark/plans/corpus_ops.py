@@ -647,3 +647,109 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "doc_id", "score", F.row_number().over(w).cast("bigint").alias("rank")
     )
+
+
+# --- TextRank keyword extraction -----------------------------------------
+
+TR_SCALE = 1_000_000_000  # fixed-point rank scale (1.0 == 10^9)
+TR_ITERS = 5
+TR_TOP = 30
+_TR_BASE = TR_SCALE * 15 // 100  # (1 - d) with d = 0.85
+
+
+def _textrank_oracle() -> str:
+    iters = []
+    prev = "r0"
+    for k in range(1, TR_ITERS + 1):
+        iters.append(
+            f"r{k} AS (SELECT dst AS word, CAST({_TR_BASE} + "
+            f"(85 * sum((r.r * ew.wgt) // ew.wdeg)) // 100 AS BIGINT) AS r "
+            f"FROM ew JOIN {prev} r ON ew.src = r.word GROUP BY dst)"
+        )
+        prev = f"r{k}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+bi AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT w, unnest(range(1, greatest(len(w), 1))) AS i FROM words)
+  WHERE w[i] <> w[i + 1]
+),
+e AS (
+  SELECT src, dst, count(*) AS wgt
+  FROM (SELECT w1 AS src, w2 AS dst FROM bi
+        UNION ALL SELECT w2 AS src, w1 AS dst FROM bi)
+  GROUP BY src, dst
+),
+wdeg AS (SELECT src, sum(wgt) AS wdeg FROM e GROUP BY src),
+ew AS (SELECT e.src, e.dst, e.wgt, wdeg.wdeg FROM e JOIN wdeg USING (src)),
+r0 AS (SELECT src AS word, CAST({TR_SCALE} AS BIGINT) AS r FROM wdeg),
+{chain}
+SELECT word, score_scaled, rank FROM (
+  SELECT word, r AS score_scaled,
+         CAST(row_number() OVER (ORDER BY r DESC, word) AS BIGINT) AS rank
+  FROM {prev}
+) WHERE rank <= {TR_TOP}
+"""
+
+
+@register("textrank_keywords", oracle=_textrank_oracle())
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: weighted PageRank (d = 0.85, 5
+    unrolled iterations) over the word co-occurrence graph — nodes are
+    corpus words, undirected edges weighted by adjacent-pair counts —
+    then the top 30 words by final rank. The corpus-sized work is ONE
+    pass (the bigram count, map-side combined); every Lloyd-style
+    iteration after that joins vocabulary-sized tables only, so the
+    iteration cost is bounded by vocabulary, not corpus — the property
+    that makes iterative graph algorithms viable at 100 TB of text.
+
+    Fixed-point discipline (same rule as the k-means partials and the
+    bigram LM): ranks are integers at scale 10^9, each contribution is
+    the exact integer ``(r·w) // W`` and the damped update
+    ``0.15 + 0.85·Σ`` is ``base + (85·Σ)//100`` — sums of integers are
+    order-free, so 5 iterations stay bitwise engine-equal where a
+    float PageRank would drift with aggregation order. (At extreme
+    edge weights ``r·w`` needs 128-bit headroom; cap or renormalize
+    weights before the loop if a single bigram exceeds ~10^9.)
+
+    The edge+degree table is persisted once and reused by all 5
+    iterations; in the symmetrized graph every node has both in- and
+    out-edges, so the inner join is total (isolated single-word
+    documents contribute no edges and take no rank, by construction).
+    """
+    from pyspark import StorageLevel
+
+    words = _words(spark, sf_dir)
+    bigrams = F.expr(
+        "CASE WHEN size(w) >= 2 THEN "
+        "  filter(transform(sequence(1, size(w) - 1), "
+        "         i -> struct(w[i - 1] AS w1, w[i] AS w2)), p -> p.w1 <> p.w2) "
+        "ELSE CAST(array() AS array<struct<w1: string, w2: string>>) END"
+    )
+    bi = words.select(F.explode(bigrams).alias("b")).select("b.w1", "b.w2")
+    e = (
+        bi.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+        .unionByName(bi.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("wgt"))
+    )
+    wdeg = e.groupBy("src").agg(F.sum("wgt").alias("wdeg"))
+    ew = e.join(wdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    ranks = wdeg.select("src", F.lit(TR_SCALE).cast("bigint").alias("r"))
+    for _ in range(TR_ITERS):
+        contrib = ew.join(ranks, "src").select(
+            "dst", F.expr("(r * wgt) div wdeg").alias("c")
+        )
+        ranks = contrib.groupBy("dst").agg(
+            F.expr(f"CAST({_TR_BASE} + (85 * sum(c)) div 100 AS BIGINT)").alias("r")
+        ).select(F.col("dst").alias("src"), "r")
+    from pyspark.sql.window import Window
+
+    top = ranks.orderBy(F.desc("r"), F.asc("src")).limit(TR_TOP)
+    w = Window.orderBy(F.desc("r"), F.asc("src"))
+    return top.select(
+        F.col("src").alias("word"),
+        F.col("r").alias("score_scaled"),
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )

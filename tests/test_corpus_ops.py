@@ -134,3 +134,19 @@ def test_inverted_index_postings_sorted(spark):
         assert ids == sorted(ids)
         assert len(ids) <= 20
         assert r["df"] >= 5 and r["cf"] >= r["df"]
+
+
+def test_textrank_ranks_hub_words(spark):
+    from storm_bench_spark.plans.corpus_ops import TR_SCALE, TR_TOP, textrank_keywords
+
+    rows = textrank_keywords(spark, SF_DIR).collect()
+    assert [r["rank"] for r in rows] == list(range(1, TR_TOP + 1))
+    scores = [r["score_scaled"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # damped PageRank over a connected-ish graph keeps ranks near the
+    # 1.0 fixed point; top words must sit above the uniform score
+    assert scores[0] > TR_SCALE
+    # the top keywords should be corpus hub words (high-df terms)
+    top_words = {r["word"] for r in rows[:10]}
+    hubs = {"join", "hash", "row", "scan", "table", "batch", "column", "filter"}
+    assert top_words & hubs, f"no hub word in top-10: {sorted(top_words)}"
