@@ -61,6 +61,13 @@ QUERIES = [
     # dedup/similarity over perturbed replicas (linear by construction)
     "dedup_exact", "minhash_lsh", "ngram_jaccard", "simhash_pairs",
     "embedding_neardup_lsh_scaled", "ann_topk",
+    # corpus/IR ops (round 4): the word-bijection perturbation keeps
+    # per-copy bigram/block/graph structure intact while cross-copy
+    # vocabularies stay disjoint, so corpus-sized stages should scale
+    # ~linearly and vocabulary-sized stages ~R× (vocab itself is R×)
+    "bigram_lm_score", "chunk_documents", "chunk_dedup",
+    "domain_mix_sample", "inverted_index", "bm25_rank",
+    "textrank_keywords", "embedding_quantize", "ann_topk_quantized",
 ]
 
 EMB_DIM_SMOKE = 64

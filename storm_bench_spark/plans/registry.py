@@ -92,6 +92,11 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "ann_topk_ivf_kmeans",
     "quality_score",
     "users_except",
+    # moved to tier 1 late in round 4: its oracle string was extracted
+    # to the shared USER_SESSIONS_ORACLE constant (same text, but the
+    # registration site changed), and the rotation rule counts that as
+    # touched
+    "user_sessions",
     # tier 2 — r3-green, untouched, still inside the 50-row window
     "multimodal_features",
     "multimodal_audio_meta",
@@ -111,7 +116,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "interval_click_error",
     "users_intersect",
     "users_union",
-    "user_sessions",
     "orders_rollup",
     "user_running_value",
     "value_percentiles",

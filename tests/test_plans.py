@@ -225,3 +225,51 @@ def test_tpch_q21_aggregates_sibling_scan_once(spark):
     plan = _plan(spark, "tpch_q21")
     assert plan.count("FileScan parquet lineitem") <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_chunk_documents_has_no_shuffle(spark):
+    # chunking is a narrow map: scan → tokenize → explode → slice; a
+    # shuffle here would mean the 100 TB chunk pass pays an exchange
+    # for nothing
+    plan = _plan(spark, "chunk_documents")
+    assert "Exchange" not in plan.replace("Exchange RoundRobinPartitioning", "")
+    assert "Join" not in plan
+
+
+def test_embedding_quantize_has_no_shuffle_or_join(spark):
+    plan = _plan(spark, "embedding_quantize")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_chunk_dedup_shuffles_digests_not_text(spark):
+    # ownership agg + survivor join key on the block md5; the final
+    # reassembly is the only aggregation that carries block text
+    plan = _plan(spark, "chunk_dedup")
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_lm_counts_are_partial_aggregated(spark):
+    # corpus → bigram counts must combine map-side (the shuffle carries
+    # one row per distinct bigram, not one per corpus token)
+    plan = _plan(spark, "bigram_lm_score")
+    assert "partial_count" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_top_k_is_take_ordered_not_global_sort(spark):
+    plan = _plan(spark, "bm25_rank")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_textrank_reuses_cached_edge_table(spark):
+    # the 5 iterations must read the persisted edge+degree table, not
+    # re-derive the corpus-sized bigram pipeline per iteration
+    plan = _plan(spark, "textrank_keywords")
+    assert plan.count("InMemoryTableScan") >= 5
+    # and the corpus scan appears only under the cached subtree build
+    assert "CartesianProduct" not in plan
