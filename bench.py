@@ -94,6 +94,7 @@ HEADLINE = [
     "inverted_index",
     "bm25_rank",
     "textrank_keywords",
+    "heavy_hitters_cms",
     # training-data pipeline: dedup / similarity / multimodal
     "minhash_lsh",
     "ngram_jaccard",

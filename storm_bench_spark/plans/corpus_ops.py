@@ -753,3 +753,79 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").alias("score_scaled"),
         F.row_number().over(w).cast("bigint").alias("rank"),
     )
+
+
+# --- Count-Min-Sketch heavy hitters --------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_MIN_EST = 600
+
+
+def _cms_bucket_sql(r: str, term: str) -> str:
+    key = f"concat('cms', CAST({r} AS VARCHAR), ':', {term})"
+    return f"({hash64_sql(key)}) % {CMS_WIDTH}"
+
+
+@register(
+    "heavy_hitters_cms",
+    oracle=f"""
+WITH tok AS (SELECT unnest({_WORDS_SQL}) AS term FROM documents),
+cells AS (
+  SELECT r, {_cms_bucket_sql('r', 'term')} AS b, count(*) AS cnt
+  FROM (SELECT term, unnest(range(0, {CMS_DEPTH})) AS r FROM tok)
+  GROUP BY r, b
+),
+cand AS (SELECT DISTINCT term FROM tok),
+est AS (
+  SELECT term, min(cnt) AS est_cnt
+  FROM (SELECT term, r, {_cms_bucket_sql('r', 'term')} AS b
+        FROM (SELECT term, unnest(range(0, {CMS_DEPTH})) AS r FROM cand))
+  JOIN cells USING (r, b)
+  GROUP BY term
+)
+SELECT term, CAST(est_cnt AS BIGINT) AS est_cnt
+FROM est WHERE est_cnt >= {CMS_MIN_EST}
+""",
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a Count-Min Sketch (depth 4 × width 1024,
+    portable-hash rows): report every term whose CMS estimate — the
+    min over 4 hashed counter rows — reaches the threshold. Completes
+    the engine's sketch family (MinHash, SimHash, hyperplane LSH, HLL)
+    with the frequency sketch, and unlike those, the whole sketch is a
+    deterministic SQL object: both engines build the identical 4×1024
+    counter table, so estimates (including collision-inflated ones —
+    CMS only ever overestimates) match exactly.
+
+    Why this shape at 100 TB: the sketch build is one map-side-combined
+    aggregation whose output is BOUNDED (depth·width cells) no matter
+    the stream volume or vocabulary — the memory guarantee that makes
+    frequency tracking viable where an exact per-term count table would
+    blow the state budget. The estimate probe joins vocabulary-sized
+    candidates against the broadcast-small sketch. Width sets the error
+    bound (ε ≈ e/width of total mass); size it to the stream, as the
+    fixed 1024 here is sized to the fixture.
+    """
+    words = _words(spark, sf_dir)
+    tok = words.select(F.explode("w").alias("term"))
+    rows = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("r")
+    bucket = (
+        hash64(F.concat(F.lit("cms"), F.col("r").cast("string"), F.lit(":"), F.col("term")))
+        % CMS_WIDTH
+    )
+    cells = (
+        tok.select("term", rows)
+        .select("r", bucket.alias("b"))
+        .groupBy("r", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cand = tok.distinct()
+    est = (
+        cand.select("term", rows)
+        .select("term", "r", bucket.alias("b"))
+        .join(F.broadcast(cells), ["r", "b"])
+        .groupBy("term")
+        .agg(F.min("cnt").cast("bigint").alias("est_cnt"))
+    )
+    return est.where(F.col("est_cnt") >= CMS_MIN_EST)

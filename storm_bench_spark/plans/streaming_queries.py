@@ -357,3 +357,34 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_max_sec") - start).alias("duration_sec"),
     )
     return run_to_memory(sessions, output_mode="complete")
+
+
+# --- streaming trending hashtags -----------------------------------------
+
+@register(
+    "streaming_hashtag_count",
+    # identical final state ⇒ the batch topology's oracle verifies the
+    # streaming path too
+    oracle=T.ROLLING_HASHTAG_ORACLE,
+)
+def streaming_hashtag_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rolling_hashtag_count through the streaming engine — the
+    trending-topics shape: tweet stream → parse 13-field wire format →
+    explode hashtags → event-time sliding window (60 s / 5 s) counts
+    in the state store, complete-mode snapshot after the availableNow
+    epoch. Shares the tweet derivation (``tweets_from_docs``) and the
+    window/count spec with the batch topology, so the batch oracle
+    checks the streaming state machinery bit-for-bit."""
+    from storm_bench_spark.functions.parsers import parse_tweet_text
+    from storm_bench_spark.functions.text import extract_hashtags
+    from storm_bench_spark.sources.derived import tweets_from_docs
+
+    docs = stream_table(spark, sf_dir, "documents").withColumn(
+        "sec", (F.lit(DOC_EPOCH) + F.col("doc_id") * DOC_TS_STEP_SEC).cast("bigint")
+    )
+    t = tweets_from_docs(docs)
+    tags = t.select(
+        "sec", F.explode(extract_hashtags(parse_tweet_text("raw"))).alias("tag")
+    )
+    win = sliding_agg(tags, 60, 5, ["tag"], [F.count("*").alias("cnt")])
+    return run_to_memory(win, output_mode="complete")

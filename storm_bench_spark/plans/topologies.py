@@ -113,14 +113,15 @@ SELECT sec, tag FROM (
 )
 """
 
-@register(
-    "rolling_hashtag_count",
-    oracle=f"""
+# Shared with the streaming twin (plans/streaming_queries.py).
+ROLLING_HASHTAG_ORACLE = f"""
 SELECT ws, tag, count(*) AS cnt
 FROM ({D.sliding_windows_sql(_TAG_INNER, 60, 5)})
 GROUP BY ws, tag
-""",
-)
+"""
+
+
+@register("rolling_hashtag_count", oracle=ROLLING_HASHTAG_ORACLE)
 def rolling_hashtag_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kafka → parse 13-field tweet → explode hashtags → window(60s/5s) count."""
     t = D.tweets(spark, sf_dir)

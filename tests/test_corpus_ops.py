@@ -150,3 +150,25 @@ def test_textrank_ranks_hub_words(spark):
     top_words = {r["word"] for r in rows[:10]}
     hubs = {"join", "hash", "row", "scan", "table", "batch", "column", "filter"}
     assert top_words & hubs, f"no hub word in top-10: {sorted(top_words)}"
+
+
+def test_cms_overestimates_and_misses_nothing(spark):
+    from storm_bench_spark.plans.corpus_ops import CMS_MIN_EST, heavy_hitters_cms
+
+    est = {r["term"]: r["est_cnt"] for r in heavy_hitters_cms(spark, SF_DIR).collect()}
+    true_counts = {
+        r["term"]: r["cnt"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    # CMS property 1: estimates never undercount
+    for term, e in est.items():
+        assert e >= true_counts[term], (term, e, true_counts[term])
+    # CMS property 2: no false negatives — every truly-frequent term
+    # is reported (its estimate is >= its true count >= threshold)
+    for term, c in true_counts.items():
+        if c >= CMS_MIN_EST:
+            assert term in est, f"missed heavy hitter {term} ({c})"
