@@ -92,11 +92,12 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "ann_topk_ivf_kmeans",
     "quality_score",
     "users_except",
-    # moved to tier 1 late in round 4: its oracle string was extracted
-    # to the shared USER_SESSIONS_ORACLE constant (same text, but the
-    # registration site changed), and the rotation rule counts that as
-    # touched
+    # moved to tier 1 late in round 4: their oracle strings were
+    # extracted to shared constants (USER_SESSIONS_ORACLE /
+    # ROLLING_HASHTAG_ORACLE — same text, but the registration sites
+    # changed), and the rotation rule counts that as touched
     "user_sessions",
+    "rolling_hashtag_count",
     # tier 2 — r3-green, untouched, still inside the 50-row window
     "multimodal_features",
     "multimodal_audio_meta",
@@ -140,7 +141,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "wordcount",
     "grep",
     "rolling_count",
-    "rolling_hashtag_count",
     "rolling_geo_count",
     "rolling_sort",
     "sol",
