@@ -165,9 +165,16 @@ def _stride(spark, src, name, key) -> int:
     return _strides[(name, key)]
 
 
+def _selected() -> list[str]:
+    # SCALE_QUERIES=a,b,c restricts the probe set (e.g. re-measuring a
+    # new operator family at R=100 without re-timing the whole suite)
+    sel = os.environ.get("SCALE_QUERIES")
+    return [q.strip() for q in sel.split(",")] if sel else QUERIES
+
+
 def run(spark, queries, sf_dir: str) -> dict[str, float]:
     out = {}
-    for name in QUERIES:
+    for name in _selected():
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         out[name] = round(time.perf_counter() - t0, 3)
@@ -214,7 +221,7 @@ def main() -> None:
             "scaled_s": scaled[name],
             "ratio": round(scaled[name] / base[name], 2) if base[name] else None,
         }
-        for name in QUERIES
+        for name in _selected()
     }
     print(json.dumps({"r": r, "queries": report}))
 

@@ -56,6 +56,45 @@ def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", word_split("text").alias("w"))
 
 
+def _bigram_pairs(drop_self: bool = False):
+    """Adjacent-word struct pairs over the bound token array ``w``
+    (empty for <2-word docs); ``drop_self=True`` drops w1 == w2 pairs
+    (the co-occurrence-graph convention — no self-loops)."""
+    body = "transform(sequence(1, size(w) - 1), i -> struct(w[i - 1] AS w1, w[i] AS w2))"
+    if drop_self:
+        body = f"filter({body}, p -> p.w1 <> p.w2)"
+    return F.expr(
+        f"CASE WHEN size(w) >= 2 THEN {body} "
+        "ELSE CAST(array() AS array<struct<w1: string, w2: string>>) END"
+    )
+
+
+def _chunk_ids(stride: int):
+    """0-based chunk indices for a stride walk over ``w``: ceil(n/stride)
+    ids (empty for empty docs — Spark's ``sequence`` would otherwise
+    produce a DESCENDING [0, -1] range)."""
+    return F.expr(
+        f"CASE WHEN size(w) > 0 THEN "
+        f"sequence(0, (size(w) + {stride - 1}) div {stride} - 1) "
+        f"ELSE CAST(array() AS array<int>) END"
+    )
+
+
+def _topk_ranked(df: DataFrame, n: int, score_col: str, id_col: str) -> DataFrame:
+    """Global top-n by (score desc, id asc) with a 1-based rank column.
+
+    The heavy step is ``orderBy().limit()`` — TakeOrdered (per-partition
+    heaps + a driver merge of n-row partials), never a global sort; the
+    row_number window then runs over the n surviving rows only
+    (bounded-small by construction)."""
+    from pyspark.sql.window import Window
+
+    order = [F.desc(score_col), F.asc(id_col)]
+    top = df.orderBy(*order).limit(n)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
 # --- bigram language-model scoring ---------------------------------------
 
 @register(
@@ -100,13 +139,7 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     words = _words(spark, sf_dir)
-    bigrams = F.expr(
-        "CASE WHEN size(w) >= 2 THEN "
-        "  transform(sequence(1, size(w) - 1), "
-        "            i -> struct(w[i - 1] AS w1, w[i] AS w2)) "
-        "ELSE CAST(array() AS array<struct<w1: string, w2: string>>) END"
-    )
-    bi = words.select("doc_id", F.explode(bigrams).alias("b")).select(
+    bi = words.select("doc_id", F.explode(_bigram_pairs()).alias("b")).select(
         "doc_id", "b.w1", "b.w2"
     ).persist(StorageLevel.MEMORY_AND_DISK)
     c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
@@ -164,12 +197,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     padding policy belongs to ``pack_sequences``).
     """
     words = _words(spark, sf_dir)
-    cids = F.expr(
-        f"CASE WHEN size(w) > 0 THEN "
-        f"sequence(0, (size(w) + {CHUNK_STRIDE - 1}) div {CHUNK_STRIDE} - 1) "
-        f"ELSE CAST(array() AS array<int>) END"
-    )
-    c = words.select("doc_id", "w", F.explode(cids).alias("cid"))
+    c = words.select("doc_id", "w", F.explode(_chunk_ids(CHUNK_STRIDE)).alias("cid"))
     return c.select(
         "doc_id",
         F.col("cid").cast("bigint").alias("chunk_id"),
@@ -231,12 +259,9 @@ def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``minhash_lsh`` (near-dup).
     """
     words = _words(spark, sf_dir)
-    cids = F.expr(
-        f"CASE WHEN size(w) > 0 THEN "
-        f"sequence(0, (size(w) + {DEDUP_BLOCK_TOKENS - 1}) div {DEDUP_BLOCK_TOKENS} - 1) "
-        f"ELSE CAST(array() AS array<int>) END"
-    )
-    b = words.select("doc_id", "w", F.explode(cids).alias("cid")).select(
+    b = words.select(
+        "doc_id", "w", F.explode(_chunk_ids(DEDUP_BLOCK_TOKENS)).alias("cid")
+    ).select(
         "doc_id",
         "cid",
         F.array_join(
@@ -279,10 +304,12 @@ t AS (SELECT CAST(sum(tok_s) AS BIGINT) AS total,
              CAST(sum(isq) AS BIGINT) AS s_sum FROM s2),
 r AS (
   SELECT source,
-         least(1000000, CAST(floor(
-           ((CAST(total // 2 AS DOUBLE) * CAST(isq AS DOUBLE))
-            / CAST(s_sum AS DOUBLE) / CAST(tok_s AS DOUBLE)) * 1000000.0
-         ) AS BIGINT)) AS rate_ppm
+         CASE WHEN tok_s = 0 THEN 1000000 ELSE
+           least(1000000, CAST(floor(
+             ((CAST(total // 2 AS DOUBLE) * CAST(isq AS DOUBLE))
+              / CAST(s_sum AS DOUBLE) / CAST(tok_s AS DOUBLE)) * 1000000.0
+           ) AS BIGINT))
+         END AS rate_ppm
   FROM s2, t
 )
 SELECT dt.doc_id, dt.source, dt.n_tokens, r.rate_ppm
@@ -324,18 +351,25 @@ def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tok_s").cast("bigint").alias("total"),
         F.sum("isq").cast("bigint").alias("s_sum"),
     )
+    # tok_s = 0 (a source whose documents all tokenize empty) carries
+    # zero token mass, so "keep everything" costs nothing against the
+    # budget — and the explicit CASE keeps the division guarded under
+    # ANSI mode and bit-agreed with the oracle (which has the same CASE)
     r = s2.crossJoin(F.broadcast(t)).select(
         "source",
-        F.least(
-            F.lit(1000000),
-            F.floor(
-                (
-                    F.expr("CAST(total div 2 AS DOUBLE)") * F.col("isq").cast("double")
-                )
-                / F.col("s_sum").cast("double")
-                / F.col("tok_s").cast("double")
-                * 1000000.0
-            ).cast("bigint"),
+        F.when(F.col("tok_s") == 0, F.lit(1000000).cast("bigint")).otherwise(
+            F.least(
+                F.lit(1000000),
+                F.floor(
+                    (
+                        F.expr("CAST(total div 2 AS DOUBLE)")
+                        * F.col("isq").cast("double")
+                    )
+                    / F.col("s_sum").cast("double")
+                    / F.col("tok_s").cast("double")
+                    * 1000000.0
+                ).cast("bigint"),
+            )
         ).alias("rate_ppm"),
     )
     gate = hash64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 1000000
@@ -485,37 +519,50 @@ FROM tf GROUP BY term HAVING count(*) >= {MIN_DF}
 )
 def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Posting-list construction for sparse retrieval: per term, its
-    document frequency, collection frequency, and the first
-    first 20 postings in doc_id order (capped — the cap is explicit
-    in the output contract, not silent truncation).
+    document frequency, collection frequency, and the first 20
+    postings in doc_id order (capped — the cap is explicit in the
+    output contract, not silent truncation).
 
-    Two cascaded hash aggregations, both map-side combined: corpus →
-    (term, doc) term frequencies (the shuffle carries counts, not
-    text), then (term, doc) → per-term rows. The postings sort is
-    per-group over one term's capped list. ``df >= 5`` prunes the
-    hapax tail, which at corpus scale is most of the vocabulary.
+    Shape at scale: corpus → (term, doc) term frequencies in one
+    map-side-combined aggregation (the shuffle carries counts, not
+    text); the persisted tf table then feeds df/cf (plain aggregation)
+    and the postings (a rank-≤cap window filter BEFORE collect_list,
+    so no aggregation buffer ever holds more than 20 doc ids — a
+    stop-word's uncapped posting list is corpus-sized and would OOM
+    the executor if collected first and sliced after). ``df >= 5``
+    prunes the hapax tail, which at corpus scale is most of the
+    vocabulary.
     """
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
     words = _words(spark, sf_dir)
     tf = (
         words.select("doc_id", F.explode("w").alias("term"))
         .groupBy("term", "doc_id")
         .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    return (
-        tf.groupBy("term")
+    stats = tf.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("cf"),
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    top = (
+        tf.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= POSTINGS_CAP)
+        .groupBy("term")
         .agg(
-            F.count("*").cast("bigint").alias("df"),
-            F.sum("tf").cast("bigint").alias("cf"),
             F.array_join(
                 F.transform(
-                    F.slice(F.array_sort(F.collect_list("doc_id")), 1, POSTINGS_CAP),
+                    F.array_sort(F.collect_list("doc_id")),
                     lambda x: x.cast("string"),
                 ),
                 ",",
-            ).alias("postings"),
+            ).alias("postings")
         )
-        .where(F.col("df") >= MIN_DF)
     )
+    return stats.join(top, "term").where(F.col("df") >= MIN_DF)
 
 
 # --- BM25 ranked retrieval ------------------------------------------------
@@ -597,56 +644,46 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     'merge') (k1 = 1.2, b = 0.75), in the log-free rational spelling
     documented above — identical ranking, engine-exact scores.
 
-    Shape at scale: term postings for the 3 query terms are filtered
-    at the scan (the IN-list pushes down), pivoted to per-doc columns
-    by one keyed aggregation; N/T and the 3 dfs are broadcast 1-row
-    aggregates. The final top-20 is ``ORDER BY ... LIMIT`` — Spark's
-    TakeOrdered, a per-partition heap + driver merge of 20-row
-    partials, never a global sort. Docs containing no query term score
-    an exact 0.0 (the tf = 0 numerator vanishes), so ranking is total
-    over the corpus with the (score, doc_id) tie-break.
+    Shape at scale: the corpus is tokenized EXACTLY ONCE — per-doc
+    length and the 3 per-term frequencies are narrow array expressions
+    over the same token array (no explode, no keyed shuffle), and the
+    resulting compact stats table (5 ints/doc) is persisted and feeds
+    all three consumers (N/T totals, dfs, the scored pass). N/T and
+    the 3 dfs are broadcast 1-row aggregates. The final top-20 is
+    ``ORDER BY ... LIMIT`` — Spark's TakeOrdered, a per-partition heap
+    + driver merge of 20-row partials, never a global sort. Docs
+    containing no query term score an exact 0.0 (the tf = 0 numerator
+    vanishes), so ranking is total over the corpus with the
+    (score, doc_id) tie-break.
     """
+    from pyspark import StorageLevel
+
     words = _words(spark, sf_dir)
-    dl = words.select("doc_id", F.size("w").cast("bigint").alias("dl"))
-    tot = dl.agg(
+    stats = words.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("dl"),
+        *[
+            F.size(F.filter("w", lambda x: x == F.lit(t)))
+            .cast("bigint")
+            .alias(f"tf{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    tot = stats.agg(
         F.count("*").cast("bigint").alias("N"), F.sum("dl").cast("bigint").alias("T")
     )
-    tf = (
-        words.select("doc_id", F.explode("w").alias("term"))
-        .where(F.col("term").isin(*BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    tfp = tf.groupBy("doc_id").agg(
+    dfs = stats.agg(
         *[
-            F.coalesce(
-                F.sum(F.when(F.col("term") == t, F.col("tf"))), F.lit(0)
-            ).alias(f"tf{i}")
-            for i, t in enumerate(BM25_TERMS)
-        ]
-    )
-    dfs = tf.agg(
-        *[
-            F.coalesce(
-                F.sum(F.when(F.col("term") == t, 1)), F.lit(0)
-            ).alias(f"df{i}")
-            for i, t in enumerate(BM25_TERMS)
+            F.sum((F.col(f"tf{i}") > 0).cast("bigint")).alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
         ]
     )
     scored = (
-        dl.join(tfp, "doc_id", "left")
-        .na.fill({f"tf{i}": 0 for i in range(len(BM25_TERMS))})
-        .crossJoin(F.broadcast(tot))
+        stats.crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(dfs))
         .select("doc_id", F.expr(_bm25_score_expr()).alias("score"))
     )
-    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_TOP)
-    from pyspark.sql.window import Window
-
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return top.select(
-        "doc_id", "score", F.row_number().over(w).cast("bigint").alias("rank")
-    )
+    return _topk_ranked(scored, BM25_TOP, "score", "doc_id")
 
 
 # --- TextRank keyword extraction -----------------------------------------
@@ -721,13 +758,9 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     words = _words(spark, sf_dir)
-    bigrams = F.expr(
-        "CASE WHEN size(w) >= 2 THEN "
-        "  filter(transform(sequence(1, size(w) - 1), "
-        "         i -> struct(w[i - 1] AS w1, w[i] AS w2)), p -> p.w1 <> p.w2) "
-        "ELSE CAST(array() AS array<struct<w1: string, w2: string>>) END"
-    )
-    bi = words.select(F.explode(bigrams).alias("b")).select("b.w1", "b.w2")
+    bi = words.select(
+        F.explode(_bigram_pairs(drop_self=True)).alias("b")
+    ).select("b.w1", "b.w2")
     e = (
         bi.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
         .unionByName(bi.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
@@ -744,14 +777,9 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = contrib.groupBy("dst").agg(
             F.expr(f"CAST({_TR_BASE} + (85 * sum(c)) div 100 AS BIGINT)").alias("r")
         ).select(F.col("dst").alias("src"), "r")
-    from pyspark.sql.window import Window
-
-    top = ranks.orderBy(F.desc("r"), F.asc("src")).limit(TR_TOP)
-    w = Window.orderBy(F.desc("r"), F.asc("src"))
-    return top.select(
-        F.col("src").alias("word"),
-        F.col("r").alias("score_scaled"),
-        F.row_number().over(w).cast("bigint").alias("rank"),
+    ranked = _topk_ranked(ranks, TR_TOP, "r", "src")
+    return ranked.select(
+        F.col("src").alias("word"), F.col("r").alias("score_scaled"), "rank"
     )
 
 
@@ -807,8 +835,14 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound (ε ≈ e/width of total mass); size it to the stream, as the
     fixed 1024 here is sized to the fixture.
     """
+    from pyspark import StorageLevel
+
     words = _words(spark, sf_dir)
-    tok = words.select(F.explode("w").alias("term"))
+    # both the sketch build and the candidate set read the exploded
+    # token stream — persist it so the corpus tokenizes once
+    tok = words.select(F.explode("w").alias("term")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     rows = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("r")
     bucket = (
         hash64(F.concat(F.lit("cms"), F.col("r").cast("string"), F.lit(":"), F.col("term")))

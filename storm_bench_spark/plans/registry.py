@@ -98,7 +98,12 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # changed), and the rotation rule counts that as touched
     "user_sessions",
     "rolling_hashtag_count",
-    # tier 2 — r3-green, untouched, still inside the 50-row window
+    # tier 2 — r3-green and untouched; HIGHER gate priority than tier 3
+    # but not guaranteed a slot: the ~29 unlisted round-4 additions
+    # rank first, so only the leading few tier-2 rows still land inside
+    # the 50-row window — the rest are pushed out, which the rotation
+    # rule permits (they are untouched; their green cells are r3/r2
+    # signal)
     "multimodal_features",
     "multimodal_audio_meta",
     "multimodal_audio_chunks",

@@ -172,3 +172,40 @@ def test_cms_overestimates_and_misses_nothing(spark):
     for term, c in true_counts.items():
         if c >= CMS_MIN_EST:
             assert term in est, f"missed heavy hitter {term} ({c})"
+
+
+def test_domain_mix_zero_token_source_keeps_everything(spark, tmp_path):
+    """A source whose documents all tokenize empty must take rate 10^6
+    (keep all — zero token mass costs nothing against the budget)
+    instead of dividing by zero (ANSI crash) or diverging from the
+    oracle."""
+    import duckdb
+
+    from storm_bench_spark.plans.registry import get_spec
+    from tests.oracle_utils import assert_frames_match
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta", "en", "full_src", 22),
+            (1, "beta gamma delta alpha", "en", "full_src", 22),
+            (2, "   ", "en", "empty_src", 3),
+            (3, "", "en", "empty_src", 0),
+        ],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path)
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    spec = get_spec("domain_mix_sample")
+    out = spec.fn(spark, sf).toPandas()
+    con = duckdb.connect()
+    # Spark writes the table as a directory of part files
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    assert_frames_match(out, con.execute(spec.oracle).fetchdf(), "domain_mix_zero")
+    by_src = dict(zip(out["doc_id"], out["rate_ppm"]))
+    # empty-source docs that pass the hash gate carry rate 10^6
+    for doc_id, rate in by_src.items():
+        if doc_id in (2, 3):
+            assert rate == 1_000_000
