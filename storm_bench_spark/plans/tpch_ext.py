@@ -35,10 +35,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from storm_bench_spark.plans.registry import register
+from storm_bench_spark.plans.tpch import DEC_ROW as DEC
 from storm_bench_spark.plans.tpch import _dsum
 from storm_bench_spark.sources.tables import load_table
-
-DEC = "decimal(18,6)"
 
 
 # --- Q2: minimum-cost supplier (correlated min subquery) -----------------
@@ -292,7 +291,7 @@ WITH val AS (
 )
 SELECT ps_partkey, CAST(v AS DOUBLE) AS value
 FROM val
-WHERE v > (SELECT sum(v) * 0.001 FROM val)
+WHERE CAST(v AS DOUBLE) > (SELECT CAST(sum(v) AS DOUBLE) * 0.001 FROM val)
 ORDER BY value DESC, ps_partkey
 """,
 )
@@ -300,8 +299,13 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11 — per-part value with a HAVING-against-global-fraction
     predicate. "Stock value" is adapted to shipped value via the
     lineitem link (no partsupp). The global threshold is a 1-row agg
-    broadcast into a cross join (the relational.py:344 pattern); both
-    sums stay decimal-exact so the > compare is safe. The per-part agg
+    broadcast into a cross join (the relational.py:344 pattern). The
+    comparison is done in DOUBLE on both sides with the identical
+    tree — ``CAST(v) > CAST(sum(v)) * 0.001`` — because Spark types
+    ``sum(decimal) * 0.001`` as double while DuckDB keeps it decimal:
+    comparing each engine's native mixed types can disagree within a
+    ulp of the threshold; the explicit double casts make both engines
+    round the exact decimal sums identically first. The per-part agg
     is reused for both the rows and the scalar — one shuffle, the
     threshold branch rides the same exchange."""
     l = load_table(spark, sf_dir, "lineitem")
@@ -317,10 +321,10 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)).alias("v")
         )
     )
-    thresh = val.agg((F.sum("v") * F.lit(0.001)).alias("_t"))
+    thresh = val.agg((F.sum("v").cast("double") * F.lit(0.001)).alias("_t"))
     return (
         val.crossJoin(F.broadcast(thresh))
-        .where(F.col("v") > F.col("_t"))
+        .where(F.col("v").cast("double") > F.col("_t"))
         .select("ps_partkey", F.col("v").cast("double").alias("value"))
         .orderBy(F.desc("value"), "ps_partkey")
     )
@@ -493,7 +497,7 @@ WHERE o_orderkey IN (
   HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 300
 )
 GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
-ORDER BY o_totalprice DESC, o_sec
+ORDER BY o_totalprice DESC, o_sec, o_orderkey
 LIMIT 100
 """,
 )
@@ -524,7 +528,10 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("long").alias("o_sec"),
             "o_totalprice", "sum_qty",
         )
-        .orderBy(F.desc("o_totalprice"), "o_sec")
+        # o_orderkey completes the total order: with (totalprice, sec)
+        # alone, a tie straddling position 100 lets the two engines
+        # keep different row SETS at the LIMIT cutoff
+        .orderBy(F.desc("o_totalprice"), "o_sec", "o_orderkey")
         .limit(100)
     )
 

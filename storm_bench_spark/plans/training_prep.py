@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from storm_bench_spark.functions.hashing import hash64, hash64_sql
-from storm_bench_spark.functions.text import word_split
+from storm_bench_spark.functions.text import bind, word_split
 from storm_bench_spark.operators.prefix import exclusive_prefix_sum
 from storm_bench_spark.plans.pipeline import _WORDS_SQL, _spread
 from storm_bench_spark.plans.registry import register
@@ -81,8 +81,13 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-doc hit count is a map-side-combinable count distinct.
     """
     docs = _spread(load_table(spark, sf_dir, "documents"))
+    # bind() the token array so the whitespace split runs once per row
+    # — inside the transform lambda Spark applies no CSE, and an
+    # unbound word_split would re-tokenize once per gram (quadratic in
+    # document length; same fix as operators/dedup.shingle_arrays)
     grams = docs.select(
-        "doc_id", F.explode(_gram_hashes(word_split("text"))).alias("g")
+        "doc_id",
+        F.explode(bind(word_split("text"), _gram_hashes)).alias("g"),
     )
     is_eval = F.col("doc_id") % _EVAL_MOD == 0
     eval_grams = grams.where(is_eval).select("g").distinct()
@@ -112,7 +117,7 @@ FROM c
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing: concatenate documents in
-    doc_id order, slice into {_SEQ_LEN}-token sequences, report each
+    doc_id order, slice into 512-token sequences, report each
     document's landing sequence and offset.
 
     The running token total — the one inherently sequential step — is
@@ -122,7 +127,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same numbers; the Spark plan never funnels the corpus through
     one task, which is what makes this packing valid at 100 TB.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.size(word_split("text")).alias("n_tokens"))
     cum = exclusive_prefix_sum(tok, "doc_id", "n_tokens", out_col="cum")
     return cum.select(
@@ -155,17 +160,28 @@ def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     The selection runs on a distinct-value histogram: one keyed
     aggregate collapses the corpus to (token_count, freq) rows — at
     most max-document-length distinct values regardless of corpus size
-    — and the cumulative window walks THAT table, not the corpus. The
+    — and BOTH the cumulative window and the rank k = ceil(0.25·n)
+    derive from THAT table (n = Σ freq), so the corpus is tokenized
+    once for the histogram and once for the final filter; the
+    persisted per-doc token counts make each a cheap pass. The
     threshold then broadcasts into the filter. Swap the histogram for
     approx_percentile only if the score becomes continuous-valued.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.size(word_split("text")).cast("bigint").alias("n_tokens"))
+    from pyspark import StorageLevel
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    # consumed by the histogram build and the final filter — persist
+    # so the regex tokenization runs once over the corpus
+    tok = docs.select(
+        "doc_id", F.size(word_split("text")).cast("bigint").alias("n_tokens")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     hist = tok.groupBy(F.col("n_tokens").alias("nt")).agg(F.count("*").alias("c"))
     cum = hist.withColumn(
         "cm", F.sum("c").over(Window.orderBy("nt").rowsBetween(Window.unboundedPreceding, 0))
     )
-    k = tok.agg(F.ceil(F.lit(0.25) * F.count("*")).alias("k"))
+    # n = sum of histogram freqs: k computes from the tiny hist table,
+    # not a third corpus pass
+    k = hist.agg(F.ceil(F.lit(0.25) * F.sum("c")).alias("k"))
     thr = (
         cum.crossJoin(F.broadcast(k))
         .where(F.col("cm") >= F.col("k"))
