@@ -60,6 +60,10 @@ def asof_join(
 
     out_cols = [f"{c}{suffix}" for c in value_cols] + [f"{sec_col}{suffix}"]
     lt = left.withColumn("_tag", F.lit(1))
+    # NULL-sec right rows must never match: DuckDB ASOF's b.sec <= a.sec
+    # is never true for NULL, but the union-sort window orders NULLS
+    # FIRST, which would make such a row an "always preceding" match
+    right = right.where(F.col(sec_col).isNotNull())
     rt = right.select(
         *on,
         F.col(sec_col),
@@ -96,6 +100,12 @@ def interval_join(
     predicate filters the candidates. Lossless (a qualifying pair's
     buckets differ by ≤1) and never worse than 3× the right side on
     the wire — no range cross product at any scale.
+
+    Preconditions: ``left`` and ``right`` must not share column names
+    (the inner equi-join keeps both sides' columns, and the gap
+    predicate resolves ``sec_left``/``sec_right`` by name — a shared
+    name is ambiguous). Alias/rename before calling, as
+    ``interval_click_error`` does with its ``c_sec``/``e_sec`` sides.
     """
     lb = left.withColumn("_b", F.floor(F.col(sec_left) / delta_sec).cast("long"))
     shifts = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("_s")

@@ -40,7 +40,10 @@ def apply_changes(
     ``'delete'``), ``payload_cols`` (the replacement values — ignored
     for deletes) and an ``order_key`` expression that totally orders
     changes per key (ties would make the winner undefined — pass a
-    unique key, e.g. ``version*1e6 + change_id``).
+    unique key; prefer ``F.struct(version, change_id)``, which orders
+    lexicographically at any id range, over integer packing like
+    ``version*1e6 + change_id``, which silently inverts once the minor
+    key outgrows the multiplier).
 
     Output schema = keys + payload_cols. Base rows must share it.
     """

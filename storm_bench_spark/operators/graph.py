@@ -71,6 +71,11 @@ def connected_components(
             "node",
             F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
         )
+        # materialize prop before the self-join below: both join sides
+        # embed it, and while ReuseExchange dedupes the shuffles, the
+        # post-shuffle join+agg compute would otherwise run twice per
+        # iteration — the dominant per-iteration cost
+        prop = prop.localCheckpoint(eager=True)
         # pointer jumping (path halving): adopt the label OF the label.
         # Labels cover every node and comp is always a node id, so the
         # self-lookup is total; label values only ever decrease, so the

@@ -76,19 +76,8 @@ def _dot_terms(a: str, b: str, dim: int) -> str:
     return " + ".join(f"({a}[{i}] * {b}[{i}])" for i in range(dim))
 
 
-def _dot_fixed(a: str, b: str, dim: int) -> Column:
-    return F.expr(_dot_terms(a, b, dim))
-
-
 def _norm_fixed(a: str, dim: int) -> Column:
     return F.expr(f"SQRT({_dot_terms(a, a, dim)})")
-
-
-def cosine_fixed(a: str, b: str, dim: int) -> Column:
-    return F.expr(
-        f"({_dot_terms(a, b, dim)})"
-        f" / (SQRT({_dot_terms(a, a, dim)}) * SQRT({_dot_terms(b, b, dim)}))"
-    )
 
 
 # Norm hoisting: every pairwise scorer precomputes per-vector norms in
@@ -110,7 +99,6 @@ def _pair_cos(a: str, b: str, na: str, nb: str, dim: int | None) -> Column:
     return _dot(F.col(a), F.col(b)) / (F.col(na) * F.col(nb))
 
 
-DVEC_SQL = "CAST({col} AS DOUBLE[])"
 DOT_SQL = (
     "list_reduce(list_prepend(0e0, list_transform(range(1, len({a}) + 1), "
     "i -> {a}[i] * {b}[i])), (s, v) -> s + v)"
@@ -358,26 +346,6 @@ def _band_keys_udf(n_bands: int = N_BANDS, rows_per_band: int = ROWS_PER_BAND):
         return pd.Series(list(keys))
 
     return band_keys
-
-
-def lsh_banded(
-    vectors_dv: DataFrame,
-    dim: int,
-    n_bands: int = N_BANDS,
-    rows_per_band: int = ROWS_PER_BAND,
-) -> DataFrame:
-    """(id, v, band, key): one row per vector per band.
-
-    Keys come from the Arrow-batched kernel (one ArrowEvalPython node,
-    its own plan barrier — evaluated once per row); ``posexplode``
-    unrolls the per-band keys with the band index for free.
-    """
-    keyed = vectors_dv.select(
-        "id", "v", _band_keys_udf(n_bands, rows_per_band)("v").alias("ks")
-    )
-    return keyed.select(
-        "id", "v", F.posexplode("ks").alias("band", "key")
-    ).select("id", "v", F.col("band").cast("int").alias("band"), "key")
 
 
 def neardup_lsh(
@@ -892,9 +860,17 @@ def semdedup_pairs(
     ``connected_components`` gives canonical keepers (the
     neardup_clusters pattern).
     """
+    from pyspark import StorageLevel
+
     v = vectors.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("v"))
     cent = kmeans_centroids(v, n_centroids)
-    assigned = _with_norm(ivf_assign(v, cent, dim, n_assign=1), "v", "n", dim)
+    # persist before the self-join: both sides embed the Arrow
+    # assignment kernel + norm projection over the full vector scan,
+    # and ReuseExchange does not dedupe the pre-shuffle compute — the
+    # same hazard (and fix) as neardup_lsh's banded table above
+    assigned = _with_norm(ivf_assign(v, cent, dim, n_assign=1), "v", "n", dim).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     l, r = assigned.alias("l"), assigned.alias("r")
     cos = F.round(_pair_cos("l.v", "r.v", "l.n", "r.n", dim), 6)
     return (

@@ -36,7 +36,9 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's recursive reachability closure provably agree — min-label
     fixpoints are unique."""
     pairs = minhash_lsh(spark, sf_dir).select("a", "b")
-    return connected_components(pairs).orderBy("node")
+    # no orderBy: the driver's comparator is order-insensitive, and a
+    # global sort would charge a range-partition exchange for nothing
+    return connected_components(pairs)
 
 
 @register(
@@ -93,10 +95,9 @@ ch AS (
   FROM es WHERE event_type IN ('signup', 'click', 'purchase')
 ),
 latest AS (
-  SELECT c.c_custkey, c.op, c.c_name FROM ch c
-  JOIN (SELECT c_custkey, max(sec * 1000000 + event_id) AS mk
-        FROM ch GROUP BY c_custkey) m
-    ON c.c_custkey = m.c_custkey AND c.sec * 1000000 + c.event_id = m.mk
+  SELECT c_custkey, op, c_name FROM ch
+  QUALIFY row_number() OVER (PARTITION BY c_custkey
+                             ORDER BY sec DESC, event_id DESC) = 1
 )
 SELECT c_custkey, c_name FROM customer
 WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
@@ -112,8 +113,11 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase → delete): latest change per key wins via the
     partial-aggregable max_by reduction, superseded base rows leave
     through one left-anti join, upserts union in
-    (operators/cdc.apply_changes). The oracle replays the same
-    latest-wins resolution in SQL."""
+    (operators/cdc.apply_changes). The order key is the STRUCT
+    (sec, event_id) — lexicographic, total, and safe at any id range
+    (the earlier ``sec·10^6 + event_id`` packing silently inverts the
+    order once event_id reaches 10^6, i.e. at sf ≥ 10). The oracle
+    replays the same latest-wins resolution in SQL."""
     base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     es = D.events_sec(spark, sf_dir)
     ch = es.where(F.col("event_type").isin("signup", "click", "purchase")).select(
@@ -123,7 +127,7 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "purchase", "delete").otherwise("upsert").alias("op"),
         F.concat(F.lit("u"), F.col("event_id").cast("string")).alias("c_name"),
     )
-    order_key = (F.col("sec") * 1_000_000 + F.col("event_id")).cast("bigint")
+    order_key = F.struct(F.col("sec"), F.col("event_id"))
     return apply_changes(
         base, ch, keys=["c_custkey"], order_key=order_key, payload_cols=["c_name"]
     )

@@ -98,6 +98,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # changed), and the rotation rule counts that as touched
     "user_sessions",
     "rolling_hashtag_count",
+    # moved to tier 1 late in round 4: the latest-wins order key became
+    # a struct (overflow-safe) and the oracle's max-key join became a
+    # row_number QUALIFY
+    "cdc_apply",
     # tier 2 — r3-green and untouched; HIGHER gate priority than tier 3
     # but not guaranteed a slot: the ~29 unlisted round-4 additions
     # rank first, so only the leading few tier-2 rows still land inside
@@ -107,7 +111,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "multimodal_features",
     "multimodal_audio_meta",
     "multimodal_audio_chunks",
-    "cdc_apply",
     "embedding_neardup",
     "ann_topk",
     "ann_topk_ivf",

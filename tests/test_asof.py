@@ -97,3 +97,19 @@ def test_interval_join_emits_each_pair_once(spark):
     right = _df(spark, [(1, 2, 101)], "k long, b_id long, b_sec long")
     out = interval_join(left, right, ["k"], "a_sec", "b_sec", 50)
     assert out.count() == 1
+
+
+def test_asof_join_ignores_null_right_timestamps(spark):
+    # DuckDB ASOF semantics: b.sec <= a.sec is never true for NULL, so
+    # a NULL-timestamp right row must never match (the union-sort
+    # window orders NULLS FIRST, which would otherwise make it an
+    # always-preceding row)
+    left = _df(spark, [(1, 10)], "k long, sec long")
+    right = _df(spark, [(1, None, 7.0), (1, 5, 3.0)], "k long, sec long, v double")
+    out = asof_join(left, right, ["k"], "sec", ["v"]).collect()
+    assert len(out) == 1
+    assert out[0]["v_r"] == 3.0  # the NULL-sec row (v=7.0) never wins
+    # and with ONLY a NULL-sec right row, nothing matches at all
+    right2 = _df(spark, [(1, None, 7.0)], "k long, sec long, v double")
+    out2 = asof_join(left, right2, ["k"], "sec", ["v"]).collect()
+    assert out2[0]["v_r"] is None and out2[0]["sec_r"] is None

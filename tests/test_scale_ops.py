@@ -354,3 +354,24 @@ def test_decontaminate_broadcasts_eval_grams(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan  # train grams never shuffle for the probe
+
+
+def test_apply_changes_struct_order_key_survives_large_ids(spark):
+    # the old packed key sec*1e6 + change_id inverted the order once
+    # change_id reached 1e6; the struct key is lexicographic at any
+    # range: (sec=2, id=1) must beat (sec=1, id=1_000_001)
+    from pyspark.sql import functions as FF
+
+    from storm_bench_spark.operators.cdc import apply_changes
+
+    base = spark.createDataFrame([(1, "old")], "k long, name string")
+    ch = spark.createDataFrame(
+        [(1, 1, 1_000_001, "stale", "upsert"), (1, 2, 1, "fresh", "upsert")],
+        "k long, sec long, cid long, name string, op string",
+    )
+    out = apply_changes(
+        base, ch, keys=["k"],
+        order_key=FF.struct(FF.col("sec"), FF.col("cid")),
+        payload_cols=["name"],
+    ).collect()
+    assert len(out) == 1 and out[0]["name"] == "fresh"
