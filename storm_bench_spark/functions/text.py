@@ -17,6 +17,10 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# Spark-side split regex. Java's \s is exactly [ \t\n\x0b\f\r]; the
+# oracles spell that class out (WS_RUN_PATTERN below) because RE2's \s
+# EXCLUDES \x0b — with the explicit class both engines tokenize
+# identically by construction, vertical tabs included.
 WHITESPACE_RE = r"\s+"
 
 

@@ -19,15 +19,18 @@ from pyspark.sql import functions as F
 
 from storm_bench_spark.functions.hashing import (
     MERSENNE_31,
-    PERMS_64,
     hash64,
     hash64_sql,
+    minhash_perm,
+    minhash_perm_sql,
 )
-from storm_bench_spark.functions.text import bind, word_split
+from storm_bench_spark.functions.text import WS_RUN_PATTERN, bind, word_split
 
 # --- word 3-gram shingles (set semantics) --------------------------------
 
-WORDS_SQL = "list_filter(string_split_regex(text, '\\s+'), w -> w <> '')"
+# explicit class (not \s): RE2 vs Java disagree on \x0b — see
+# functions/text.py:WS_RUN_PATTERN
+WORDS_SQL = f"list_filter(string_split_regex(text, '{WS_RUN_PATTERN}'), w -> w <> '')"
 SHINGLES_SQL = f"""
 SELECT doc_id, unnest(list_distinct(list_transform(
          range(1, greatest(len(w) - 1, 1)),
@@ -83,21 +86,22 @@ def minhash_signature(sh: DataFrame) -> DataFrame:
     """One row per doc with columns mh0..mh31: min over shingles of each
     universal-hash permutation. A single groupBy with 32 agg expressions
     — no 32× row blowup, full map-side partial aggregation."""
+    # h is pre-reduced mod M once per shingle; minhash_perm re-reduces
+    # idempotently, so routing through the shared helper keeps one
+    # spelling of the permutation math (functions/hashing.py)
     h = (hash64("sh") % MERSENNE_31).alias("h")
     hashed = sh.select("doc_id", h)
-    aggs = []
-    for i in range(N_PERMS):
-        a, b = PERMS_64[i]
-        aggs.append(F.min((F.col("h") * a + b) % MERSENNE_31).alias(f"mh{i}"))
+    aggs = [
+        F.min(minhash_perm(F.col("h"), i)).alias(f"mh{i}") for i in range(N_PERMS)
+    ]
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_signature_sql() -> str:
     h = f"({hash64_sql('sh')} % {MERSENNE_31})"
-    cols = []
-    for i in range(N_PERMS):
-        a, b = PERMS_64[i]
-        cols.append(f"min(({h} * {a} + {b}) % {MERSENNE_31}) AS mh{i}")
+    cols = [
+        f"min({minhash_perm_sql(h, i)}) AS mh{i}" for i in range(N_PERMS)
+    ]
     return f"SELECT doc_id, {', '.join(cols)} FROM sh GROUP BY doc_id"  # expects CTE sh
 
 
@@ -199,7 +203,10 @@ def verify_jaccard_arrays(
     pipeline for the verify stage. ``arr`` should be the (persisted)
     output of :func:`shingle_arrays`; sizes and intersection counts are
     integers, so the quotient matches :func:`verify_jaccard` (and the
-    SQL oracle) bitwise.
+    SQL oracle) bitwise. Zero-intersection candidates are dropped
+    structurally (not just by the threshold) — in the row spelling and
+    the oracle such a pair produces NO row from the shingle inner join,
+    so the two spellings agree even at ``threshold = 0``.
     """
     aa = arr.select(F.col("doc_id").alias("a"), F.col("shs").alias("sa"))
     bb = arr.select(F.col("doc_id").alias("b"), F.col("shs").alias("sb"))
@@ -208,8 +215,9 @@ def verify_jaccard_arrays(
     return (
         cands.join(aa, "a")
         .join(bb, "b")
-        .select("a", "b", F.round(j, 6).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round(j, 6).alias("jaccard"), ix.alias("_ix"))
+        .where((F.col("_ix") > 0) & (F.col("jaccard") >= threshold))
+        .drop("_ix")
     )
 
 

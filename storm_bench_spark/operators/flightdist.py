@@ -53,6 +53,15 @@ from storm_bench_spark.functions.geo import (
 from storm_bench_spark.operators.windows import latest_by
 
 
+def FLIGHT_ORDER_KEY():
+    """Latest-report order key shared by the batch topology, the
+    streaming twin, and (as a row_number spec) the DuckDB oracles:
+    lexicographic (postime, event_id). A struct, not an integer
+    packing — ``postime·10^6 + event_id`` silently inverts the order
+    once event_id reaches 10^6 (same hazard fixed in cdc_apply)."""
+    return F.struct(F.col("postime"), F.col("event_id"))
+
+
 def _precompute_side(latest: DataFrame, suffix: str) -> DataFrame:
     """Per-aircraft trig, evaluated once below the join (A rows)."""
     rlat = F.radians("lat")
@@ -156,11 +165,10 @@ def flight_dist_pairs(
     routes pair generation through the grid-pruned equi-join
     (:func:`flight_dist_from_latest_bucketed`) — identical results.
     """
-    order_key = (F.col("postime") * 1_000_000 + F.col("event_id")).cast("bigint")
     latest = latest_by(
         positions,
         key_cols=["icao"],
-        order_key=order_key,
+        order_key=FLIGHT_ORDER_KEY(),
         payload_cols=["postime", "lat", "lng", "spd", "trak"],
     )
     impl = flight_dist_from_latest_bucketed if bucketed else flight_dist_from_latest

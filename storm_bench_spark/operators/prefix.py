@@ -40,7 +40,10 @@ def exclusive_prefix_sum(
     strictly smaller ``order_col`` (exclusive running total).
 
     ``order_col`` must be unique per row (a surrogate id) — ties would
-    make "preceding" ambiguous and the result nondeterministic.
+    make "preceding" ambiguous and the result nondeterministic — and
+    NON-NULL (a NULL key has no position in the order; the operator
+    raises rather than guessing). NULLs in ``value_col`` count as 0,
+    matching ``SUM``'s null-skipping semantics.
 
     The input is persisted (MEMORY_AND_DISK) for the operator's three
     passes — key-range stats, block totals, and the output itself —
@@ -63,11 +66,18 @@ def exclusive_prefix_sum(
     width = max((int(hi) - int(lo)) // n_blocks + 1, 1)
     block = ((F.col(order_col) - F.lit(lo)) / F.lit(width)).cast("bigint")
 
-    with_block = df.withColumn("_blk", block).withColumn("_val", value.cast("bigint"))
-    totals = sorted(
-        with_block.groupBy("_blk").agg(F.sum("_val").alias("_t")).collect(),
-        key=lambda r: r["_blk"],
+    # NULL values sum as 0 (an all-NULL block would otherwise turn the
+    # offset accumulator into None mid-scan)
+    with_block = df.withColumn("_blk", block).withColumn(
+        "_val", F.coalesce(value.cast("bigint"), F.lit(0))
     )
+    rows = with_block.groupBy("_blk").agg(F.sum("_val").alias("_t")).collect()
+    if any(r["_blk"] is None for r in rows):
+        raise ValueError(
+            f"exclusive_prefix_sum: {order_col!r} contains NULLs — the "
+            "order key must be non-null (a NULL has no position)"
+        )
+    totals = sorted(rows, key=lambda r: r["_blk"])
     offsets, acc = [], 0
     for r in totals:
         offsets.append((r["_blk"], acc))

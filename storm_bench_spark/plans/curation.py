@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from storm_bench_spark.functions.text import word_split
+from storm_bench_spark.functions.text import WS_RUN_PATTERN, word_split
 from storm_bench_spark.operators.cdc import apply_changes
 from storm_bench_spark.operators.graph import cc_oracle_sql, connected_components
 from storm_bench_spark.plans.dedup_queries import MINHASH_PAIRS_SQL, minhash_lsh
@@ -51,11 +51,11 @@ drops AS (
   SELECT node FROM ({cc_oracle_sql(_EDGES_SQL)}) WHERE node <> comp
 )
 SELECT d.doc_id,
-       CAST(len(list_filter(string_split_regex(d.text, '\\s+'), w -> w <> '')) AS BIGINT) AS n_tokens
+       CAST(len(list_filter(string_split_regex(d.text, '{WS_RUN_PATTERN}'), w -> w <> '')) AS BIGINT) AS n_tokens
 FROM documents d
 JOIN keepers k ON d.doc_id = k.doc_id
 WHERE d.doc_id NOT IN (SELECT node FROM drops)
-  AND len(list_filter(string_split_regex(d.text, '\\s+'), w -> w <> '')) >= {MIN_TOKENS}
+  AND len(list_filter(string_split_regex(d.text, '{WS_RUN_PATTERN}'), w -> w <> '')) >= {MIN_TOKENS}
 """,
 )
 def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -27,12 +27,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from storm_bench_spark.functions.parsers import parse_adsb, parse_pageview
-from storm_bench_spark.functions.text import word_split
+from storm_bench_spark.functions.text import WS_RUN_PATTERN, word_split
 from storm_bench_spark.plans.registry import register
 from storm_bench_spark.sources import derived as D
 from storm_bench_spark.sources.tables import load_table
 
-WORDS_SQL = "list_filter(string_split_regex(text, '\\s+'), w -> w <> '')"
+WORDS_SQL = f"list_filter(string_split_regex(text, '{WS_RUN_PATTERN}'), w -> w <> '')"
 
 
 @register(

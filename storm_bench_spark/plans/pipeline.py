@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from storm_bench_spark.functions.hashing import hash64, hash64_sql
 from storm_bench_spark.functions.text import (
     LANG_MARKERS,
+    WS_RUN_PATTERN,
     STOPWORDS,
     bind,
     lang_scores,
@@ -28,7 +29,10 @@ from storm_bench_spark.operators.dedup import shingle_array
 from storm_bench_spark.plans.registry import register
 from storm_bench_spark.sources.tables import load_table
 
-_WORDS_SQL = "list_filter(string_split_regex(text, '\\s+'), w -> w <> '')"
+# explicit char class, not \s: RE2's \s excludes \x0b while Java's
+# includes it — the class makes both engines tokenize identically by
+# construction (functions/text.py:WS_RUN_PATTERN rule)
+_WORDS_SQL = f"list_filter(string_split_regex(text, '{WS_RUN_PATTERN}'), w -> w <> '')"
 
 
 def _spread(df):

@@ -92,16 +92,33 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "ann_topk_ivf_kmeans",
     "quality_score",
     "users_except",
-    # moved to tier 1 late in round 4: their oracle strings were
-    # extracted to shared constants (USER_SESSIONS_ORACLE /
-    # ROLLING_HASHTAG_ORACLE — same text, but the registration sites
-    # changed), and the rotation rule counts that as touched
-    "user_sessions",
-    "rolling_hashtag_count",
+    # plan changes late in round 4: streaming_interval_join floors
+    # event time to whole seconds before the join (oracle-boundary
+    # alignment) and streaming_rolling_sort merges per-trigger tops
+    # instead of trusting the last batch
+    "streaming_interval_join",
+    "streaming_rolling_sort",
     # moved to tier 1 late in round 4: the latest-wins order key became
     # a struct (overflow-safe) and the oracle's max-key join became a
-    # row_number QUALIFY
+    # row_number QUALIFY; rolling_latlong's windowed argmax got the
+    # same struct-key + QUALIFY rework
     "cdc_apply",
+    "rolling_latlong",
+    # NOTE (late round 4): the \s+ -> explicit-char-class alignment of
+    # every word-split oracle (RE2's \s excludes \x0b; Java's includes
+    # it) textually touches ~25 oracles — more than the 50-row window
+    # can absorb. Values are provably identical on \x0b-free text; the
+    # WHOLE registry was re-verified repo-side at sf0.01 after the
+    # change (see the commit introducing this note), and every query
+    # with a changed PLAN is inside the window. The word-split-only
+    # rows left outside (wordcount, rolling_count, token_count,
+    # lang_id, doc_fingerprint, minhash/ngram/simhash family,
+    # library_ops) are additionally covered at sf0.001 by
+    # tests/test_correctness.py on every pytest run. user_sessions and
+    # rolling_hashtag_count (oracle text IDENTICAL, only the
+    # registration site moved to a shared constant) yield their slots
+    # to the two plan-changed streaming twins above — the weakest
+    # possible claim gives way to the strongest.
     # tier 2 — r3-green and untouched; HIGHER gate priority than tier 3
     # but not guaranteed a slot: the ~29 unlisted round-4 additions
     # rank first, so only the leading few tier-2 rows still land inside
@@ -125,6 +142,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "interval_click_error",
     "users_intersect",
     "users_union",
+    "user_sessions",
+    "rolling_hashtag_count",
     "orders_rollup",
     "user_running_value",
     "value_percentiles",
@@ -140,9 +159,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "unique_visitor",
     "trident_wordcount",
     "streaming_rolling_count",
-    "streaming_rolling_sort",
     "streaming_sol",
-    "streaming_interval_join",
     "stateful_running_count",
     "tpch_q5",
     # tier 3 — long-stable, demoted out of the 50-row gate window
@@ -155,7 +172,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "pageview_count",
     "dataclean",
     "unique_visitor_approx",
-    "rolling_latlong",
     "distinct_users",
     "tpch_q1",
     "tpch_q4",

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from storm_bench_spark.functions.text import word_split
+from storm_bench_spark.functions.text import WS_RUN_PATTERN, word_split
 from storm_bench_spark.operators.asof import asof_join, interval_join
 from storm_bench_spark.plans.registry import register
 from storm_bench_spark.sources import derived as D
@@ -186,16 +186,11 @@ FROM sess GROUP BY user_id, sid
 """
 
 
-@register("user_sessions", oracle=USER_SESSIONS_ORACLE)
-def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionize each user's events with a 30-minute inactivity gap —
-    ``session_window`` (dynamic gap-merged windows in the aggregation
-    state, batch and streaming). Two events belong to one session iff
-    their gap is < {SESSION_GAP_SEC}s; the oracle replays that as the
-    classic gap-and-islands window SQL, so the engine's session
-    semantics (merge-on-overlap, end = last event + gap) is
-    value-checked against first principles."""
-    es = D.events_sec(spark, sf_dir)
+def sessions_from_events(es: DataFrame) -> DataFrame:
+    """Gap-sessionization spec over any (user_id, sec) frame — batch
+    or streaming — so the two twins share one aggregation body (the
+    ``*_from_events`` builder pattern of sources/derived.py; a drifted
+    copy of a window spec is exactly how stream/oracle parity breaks)."""
     sw = F.session_window(
         F.timestamp_seconds(F.col("sec")), f"{SESSION_GAP_SEC} seconds"
     )
@@ -210,6 +205,18 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (F.col("_max_sec") - start).alias("duration_sec"),
     )
+
+
+@register("user_sessions", oracle=USER_SESSIONS_ORACLE)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize each user's events with a 30-minute inactivity gap —
+    ``session_window`` (dynamic gap-merged windows in the aggregation
+    state, batch and streaming). Two events belong to one session iff
+    their gap is < {SESSION_GAP_SEC}s; the oracle replays that as the
+    classic gap-and-islands window SQL, so the engine's session
+    semantics (merge-on-overlap, end = last event + gap) is
+    value-checked against first principles."""
+    return sessions_from_events(D.events_sec(spark, sf_dir))
 
 
 # --- grouping sets: ROLLUP over order dimensions -------------------------
@@ -307,7 +314,7 @@ TOP_TERMS_K = 3
     "top_terms",
     oracle=f"""
 WITH words AS (
-  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS term
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '{WS_RUN_PATTERN}'), w -> w <> '')) AS term
   FROM documents
 ),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from storm_bench_spark.functions.text import word_split
+from storm_bench_spark.functions.text import WS_RUN_PATTERN, word_split
 from storm_bench_spark.operators.windows import sliding_agg
 from storm_bench_spark.plans import topologies as T
 from storm_bench_spark.plans.registry import register
@@ -25,9 +25,9 @@ from storm_bench_spark.streaming.streams import run_to_memory, stream_table
 
 @register(
     "trident_wordcount",
-    oracle="""
+    oracle=f"""
 SELECT word, count(*) AS cnt
-FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents)
+FROM (SELECT unnest(string_split_regex(text, '{WS_RUN_PATTERN}')) AS word FROM documents)
 WHERE word <> ''
 GROUP BY word
 """,
@@ -85,8 +85,9 @@ def streaming_flight_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair/dead-reckon/threshold/top-k probe then runs on the snapshot —
     exactly the reference's tick-time probe against current state.
 
-    Registered rows-only; ``tests/test_streaming.py`` asserts equality
-    with the batch topology's result (which IS oracle-checked).
+    Registered with the batch topology's full oracle (identical final
+    state); ``tests/test_streaming.py`` additionally asserts equality
+    with the batch topology's result engine-side.
     """
     from storm_bench_spark.operators.flightdist import flight_dist_from_latest
     from storm_bench_spark.operators.windows import latest_by
@@ -102,9 +103,10 @@ def streaming_flight_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sec", F.col("ts").cast("long")
     )
     fl = adsb_flights_from_events(e)
-    order_key = (F.col("postime") * 1_000_000 + F.col("event_id")).cast("bigint")
+    from storm_bench_spark.operators.flightdist import FLIGHT_ORDER_KEY
+
     latest = latest_by(
-        fl, ["icao"], order_key, ["postime", "lat", "lng", "spd", "trak"]
+        fl, ["icao"], FLIGHT_ORDER_KEY(), ["postime", "lat", "lng", "spd", "trak"]
     )
     snapshot = run_to_memory(latest, output_mode="complete")
     hits = flight_dist_from_latest(
@@ -151,8 +153,15 @@ def streaming_rolling_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = foreach_batch_capture(m, sort_batch, output_mode="append")
     q.awaitTermination()
-    rows = per_trigger[-1] if per_trigger else []
-    return spark.createDataFrame(rows, schema="event_id long, message string")
+    # merge across triggers: availableNow is one batch for the
+    # single-file fixture, but with maxFilesPerTrigger (or a multi-file
+    # table) the global top-100 spans batches — re-sort the union of
+    # the per-trigger tops rather than trusting the last batch alone
+    merged = sorted(
+        (r for rows in per_trigger for r in rows),
+        key=lambda r: (r["message"], r["event_id"]),
+    )[:100]
+    return spark.createDataFrame(merged, schema="event_id long, message string")
 
 
 # --- streaming SOL (shuffle chain through the streaming engine) ----------
@@ -205,10 +214,14 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = stream_table(spark, sf_dir, "events").where(
             F.col("event_type") == event_type
         )
+        # floor event time to whole seconds BEFORE the join: the batch
+        # twin and the oracle compare |floor(a) - floor(b)| <= delta,
+        # and joining on raw sub-second ts would disagree for pairs
+        # whose floored gap is exactly delta (data-dependent red cell)
         return e.select(
             F.col("event_id").alias(f"{prefix}_id"),
             F.col("user_id").alias(f"{prefix}_user"),
-            F.col("ts").alias(f"{prefix}_ts"),
+            F.timestamp_seconds(F.col("ts").cast("long")).alias(f"{prefix}_ts"),
         ).withWatermark(f"{prefix}_ts", "1 hour")
 
     a = side("click", "a")
@@ -337,26 +350,12 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalent with identical final state (SURVEY §4.3.1 mapping), so
     the batch oracle checks the streaming state machinery end-to-end.
     """
-    from storm_bench_spark.plans.relational import SESSION_GAP_SEC
+    from storm_bench_spark.plans.relational import sessions_from_events
 
     es = stream_table(spark, sf_dir, "events").withColumn(
         "sec", F.col("ts").cast("long")
     )
-    sw = F.session_window(
-        F.timestamp_seconds(F.col("sec")), f"{SESSION_GAP_SEC} seconds"
-    )
-    g = es.groupBy(sw.alias("w"), F.col("user_id")).agg(
-        F.count("*").alias("n_events"),
-        F.max("sec").alias("_max_sec"),
-    )
-    start = F.col("w.start").cast("long")
-    sessions = g.select(
-        "user_id",
-        start.alias("session_start"),
-        "n_events",
-        (F.col("_max_sec") - start).alias("duration_sec"),
-    )
-    return run_to_memory(sessions, output_mode="complete")
+    return run_to_memory(sessions_from_events(es), output_mode="complete")
 
 
 # --- streaming trending hashtags -----------------------------------------

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from storm_bench_spark.functions.geo import zone_index
 from storm_bench_spark.functions.parsers import parse_tweet_text
-from storm_bench_spark.functions.text import extract_hashtags, word_split
+from storm_bench_spark.functions.text import WS_RUN_PATTERN, extract_hashtags, word_split
 from storm_bench_spark.operators.flightdist import flight_dist_pairs
 from storm_bench_spark.operators.windows import (
     sliding_agg_twophase,
@@ -48,9 +48,9 @@ FLIGHT_CHUNK = 100
 
 @register(
     "wordcount",
-    oracle="""
+    oracle=f"""
 SELECT word, count(*) AS cnt
-FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents)
+FROM (SELECT unnest(string_split_regex(text, '{WS_RUN_PATTERN}')) AS word FROM documents)
 WHERE word <> ''
 GROUP BY word
 """,
@@ -80,7 +80,7 @@ def grep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RC_INNER = f"""
 SELECT sec, word FROM (
-  SELECT sec, unnest(string_split_regex(text, '\\s+')) AS word FROM ({D.DOCUMENTS_TS_SQL})
+  SELECT sec, unnest(string_split_regex(text, '{WS_RUN_PATTERN}')) AS word FROM ({D.DOCUMENTS_TS_SQL})
 ) WHERE word <> ''
 """
 
@@ -107,7 +107,7 @@ _TAG_INNER = f"""
 SELECT sec, tag FROM (
   SELECT sec, unnest(list_filter(string_split_regex(
             CASE WHEN starts_with(raw, '[') OR len(string_split(raw, '|')) <> 13
-                 THEN NULL ELSE string_split(raw, '|')[5] END, '\\s+'),
+                 THEN NULL ELSE string_split(raw, '|')[5] END, '{WS_RUN_PATTERN}'),
             w -> starts_with(w, '#') AND length(w) > 1)) AS tag
   FROM ({D.TWEETS_SQL})
 )
@@ -302,9 +302,9 @@ def _flight_dist_oracle(fl_sql: str = D.ADSB_FLIGHTS_SQL) -> str:
     return f"""
 WITH fl AS ({fl_sql}),
 latest AS (
-  SELECT f.* FROM fl f
-  JOIN (SELECT icao, max(postime * 1000000 + event_id) AS mk FROM fl GROUP BY icao) m
-    ON f.icao = m.icao AND f.postime * 1000000 + f.event_id = m.mk
+  SELECT * FROM fl
+  QUALIFY row_number() OVER (PARTITION BY icao
+                             ORDER BY postime DESC, event_id DESC) = 1
 ),
 pre AS (
   SELECT icao, postime AS pt, spd, {sides_pre}
@@ -421,23 +421,26 @@ def rolling_flight_dist_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rolling_latlong",
     oracle=f"""
 WITH w AS ({D.sliding_windows_sql(f"SELECT *, postime // 1000 AS sec FROM ({D.ADSB_FLIGHTS_SQL})", 3600, 600)})
-SELECT w.ws, w.icao, w.postime, round(w.lat, 6) AS lat, round(w.lng, 6) AS lng
+SELECT ws, icao, postime, round(lat, 6) AS lat, round(lng, 6) AS lng
 FROM w
-JOIN (SELECT ws, icao, max(postime * 1000000 + event_id) AS mk FROM w GROUP BY ws, icao) m
-  ON w.ws = m.ws AND w.icao = m.icao AND w.postime * 1000000 + w.event_id = m.mk
+QUALIFY row_number() OVER (PARTITION BY ws, icao
+                           ORDER BY postime DESC, event_id DESC) = 1
 """,
 )
 def rolling_latlong(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-window latest (postime, lat, lng) per aircraft — the argmax
     reducer (LatLongReducer.java:27-41), two-phase: latest per
     (slide-bucket, icao) first, then a bucket-level max per window.
-    The argmax is packed as max(struct(order_key, payload)) — struct
-    ordering is lexicographic and the order key is unique, so bucket
-    maxima merge exactly like the LatLongReducer monoid."""
+    The argmax is packed as max(struct(postime, event_id, payload)) —
+    struct ordering is lexicographic at any id range (integer packing
+    like postime·10^6+event_id inverts once event_id reaches 10^6) and
+    (postime, event_id) is unique, so bucket maxima merge exactly like
+    the LatLongReducer monoid."""
     fl = D.adsb_flights(spark, sf_dir)
     fl = fl.withColumn("sec", F.floor(F.col("postime") / 1000).cast("bigint"))
-    order_key = (F.col("postime") * 1_000_000 + F.col("event_id")).cast("bigint")
-    packed = F.struct(order_key.alias("k"), F.col("postime"), F.col("lat"), F.col("lng"))
+    packed = F.struct(
+        F.col("postime"), F.col("event_id"), F.col("lat"), F.col("lng")
+    )
     res = sliding_agg_twophase(
         fl, 3600, 600, ["icao"],
         [F.max(packed).alias("m")], [F.max("m").alias("m")],

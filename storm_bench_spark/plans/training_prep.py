@@ -21,7 +21,8 @@ with the remaining operations a pretraining data pipeline runs between
 
 Tokenization matches the rest of the pipeline bit-for-bit: Spark
 ``word_split`` ≡ DuckDB ``list_filter(string_split_regex(text,
-'\\s+'), w -> w <> '')``, and gram hashing rides the portable
+'[ \\t\\n\\x0b\\f\\r]+'), w -> w <> '')`` — the explicit class, since
+RE2's ``\\s`` excludes ``\\x0b`` — and gram hashing rides the portable
 ``hash64`` (functions/hashing.py) so both engines agree on every key.
 """
 
