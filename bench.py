@@ -107,6 +107,11 @@ HEADLINE = [
     "embedding_quantize",
     "multimodal_image_meta",
     "adsb_parse",
+    # sketches / pruning / fuzzy blocking (round 4, late)
+    "hll_users_per_type",
+    "bloom_high_value_orders",
+    "fuzzy_name_pairs",
+    "salted_segment_revenue",
 ]
 
 

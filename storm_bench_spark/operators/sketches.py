@@ -1,0 +1,302 @@
+"""Mergeable-sketch and filter-pruning operators: HyperLogLog distinct
+counting, Bloom-filter join pruning, and deletion-neighborhood fuzzy
+matching.
+
+No reference analog (storm-bench's UniqueVisitor keeps exact per-window
+sets — `UniqueVisitor.java`'s SetReducer); these are the
+cardinality/pruning tools a 100 TB pipeline needs where exact sets no
+longer fit:
+
+- :func:`hll_aggregate` — HyperLogLog registers as plain (key, bucket,
+  rho) rows. The register table IS the sketch: it merges with ``MAX``
+  (associative, commutative, idempotent — the same monoid discipline as
+  ``operators/windows.py``), so partial aggregation, re-aggregation
+  across time windows, and cross-partition union are all free. Nothing
+  here is approximate-in-an-unreplayable-way: the hash is the portable
+  ``hash64`` (md5-derived, identical in DuckDB), so the oracle rebuilds
+  the exact same registers and the estimate matches bit-for-bit.
+- :func:`bloom_semi_join` — the explicit runtime-filter pattern: build
+  a Bloom bitmap over the dim side's join keys (one aggregation to
+  ≤ ``n_bits/64`` words, folded into a single map row), broadcast it,
+  prune the fact side with pure bit arithmetic, then close with an
+  exact semi-join so false positives never escape. At 100 TB the win is
+  that the shuffle for the closing semi-join carries only rows that
+  passed the bitmap — the classic "ship the filter, not the table".
+- :func:`deletion_variants` / fuzzy pairing — SymSpell-style blocking
+  for edit-distance-1 candidates: two strings within one edit share a
+  single-character-deletion variant, so candidate pairs come from an
+  equi-join on (block, variant) instead of an n² levenshtein sweep.
+  The exact ``levenshtein ≤ d`` predicate verifies candidates, so the
+  result equals the brute-force join at any scale.
+
+Float-determinism discipline (the reason the HLL estimate is
+oracle-checkable at all): the harmonic denominator is summed in EXACT
+integer arithmetic (``Σ 2^(R−ρ_j)`` with R = 61−p fits int64 for
+p ≥ 3: ≤ 2^p · 2^(61−p−1) terms plus empties = ≤ 2^61), so no
+float-sum order dependence exists; the only floating-point steps are
+one int→double conversion and one divide, both IEEE-deterministic. The
+linear-counting small-range branch uses per-V precomputed literals
+(V ∈ 1..m−1), not a runtime ``ln`` — libm is not guaranteed identical
+across engines, literals are.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from storm_bench_spark.functions.hashing import (
+    hash64,
+    hash64_sql,
+    minhash_perm,
+    minhash_perm_sql,
+)
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+HLL_P = 4  # 2^4 = 16 registers: sized for the sf fixtures (15-1500
+# distinct users) so both the linear-counting branch (sf0.001) and the
+# raw-estimator branch (sf0.01+) are exercised by the oracle gate. At
+# production scale use p=12..14 — every formula below is parametric in
+# p and the int64 exactness argument holds for any p ≥ 3.
+
+
+def _hll_consts(p: int) -> tuple[int, int, float]:
+    m = 1 << p
+    rho_cap = 61 - p  # hash64 is 60-bit; w = h div m has 60-p bits
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1.0 + 1.079 / m))
+    return m, rho_cap, alpha
+
+
+def hll_registers(
+    df: DataFrame, keys: Sequence[str], value_col: str, p: int = HLL_P
+) -> DataFrame:
+    """Sketch rows (keys..., _bucket, _r): max-rho per register bucket.
+
+    This table is the mergeable form — union any number of register
+    tables and ``MAX`` per (key, bucket) merges them exactly (used by
+    the ``__all__`` rollup row in ``hll_users_per_type``, which merges
+    per-type sketches WITHOUT rescanning the input).
+    """
+    m, rho_cap, _ = _hll_consts(p)
+    d = df.select(*keys, hash64(F.col(value_col).cast("string")).alias("_h"))
+    w = F.expr(f"_h DIV {m}")
+    # rho = leading zeros of the (60-p)-bit suffix + 1 = rho_cap - bitlen(w);
+    # bitlen via length(bin(w)) is integer-exact in both engines.
+    rho = F.when(w > 0, F.lit(rho_cap) - F.length(F.bin(w))).otherwise(
+        F.lit(rho_cap)
+    )
+    return (
+        d.select(*keys, (F.col("_h") % m).alias("_bucket"), rho.alias("_r"))
+        .groupBy(*keys, "_bucket")
+        .agg(F.max("_r").alias("_r"))
+    )
+
+
+def hll_estimate(registers: DataFrame, keys: Sequence[str], p: int = HLL_P) -> DataFrame:
+    """Finalize register rows into (keys..., approx_distinct).
+
+    Exact-integer harmonic sum: S = Σ 2^(rho_cap − ρ_j) over the m
+    registers (empty registers contribute 2^rho_cap), then
+    est_raw = α·m²·2^rho_cap / S with exactly one float divide.
+    Small range (V empty registers > 0 and est ≤ 2.5m): linear counting
+    m·ln(m/V) from precomputed literals.
+    """
+    m, rho_cap, alpha = _hll_consts(p)
+    numer = alpha * m * m * float(2**rho_cap)  # python-float literal, parsed
+    # identically by Spark and DuckDB from its repr
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {rho_cap} - _r)")
+    fin = registers.groupBy(*keys).agg(
+        (F.sum(term) + (F.lit(m) - F.count(F.lit(1))) * F.lit(2**rho_cap)).alias(
+            "_s"
+        ),
+        (F.lit(m) - F.count(F.lit(1))).alias("_v"),
+    )
+    raw = F.lit(numer) / F.col("_s").cast("double")
+    linear = F.lit(None).cast("double")
+    for v in range(1, m):
+        linear = F.when(F.col("_v") == v, F.lit(m * math.log(m / v))).otherwise(
+            linear
+        )
+    est = F.when((F.col("_v") > 0) & (raw <= 2.5 * m), linear).otherwise(raw)
+    return fin.select(*keys, est.alias("approx_distinct"))
+
+
+def hll_estimate_sql(
+    source_sql: str,
+    key_expr: str,
+    value_expr: str,
+    key_out: str = "k",
+    p: int = HLL_P,
+) -> str:
+    """DuckDB replay of registers+estimate for oracle composition.
+
+    ``source_sql`` is a FROM-able relation; ``key_expr`` / ``value_expr``
+    are column expressions over it. Returns a SELECT producing
+    (key, approx_distinct) — the exact twin of
+    ``hll_estimate(hll_registers(...))``.
+    """
+    m, rho_cap, alpha = _hll_consts(p)
+    numer = alpha * m * m * float(2**rho_cap)
+    h = hash64_sql(f"CAST({value_expr} AS VARCHAR)")
+    lin_cases = " ".join(
+        f"WHEN {v} THEN {m * math.log(m / v)!r}" for v in range(1, m)
+    )
+    return f"""
+WITH hll_h AS (
+  SELECT {key_expr} AS k, {h} AS h FROM {source_sql}
+), hll_reg AS (
+  SELECT k, h % {m} AS bucket,
+         MAX(CASE WHEN h // {m} > 0 THEN {rho_cap} - length(bin(h // {m}))
+                  ELSE {rho_cap} END) AS r
+  FROM hll_h GROUP BY 1, 2
+), hll_fin AS (
+  SELECT k,
+         SUM(CAST(1 AS BIGINT) << ({rho_cap} - r))
+           + ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << {rho_cap}) AS s,
+         {m} - COUNT(*) AS v
+  FROM hll_reg GROUP BY 1
+)
+SELECT k AS {key_out},
+       CASE WHEN v > 0 AND {numer!r} / CAST(s AS DOUBLE) <= {2.5 * m}
+            THEN CASE v {lin_cases} END
+            ELSE {numer!r} / CAST(s AS DOUBLE) END AS approx_distinct
+FROM hll_fin
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 13  # 8192 bits = 128 int64 words; with k=3 hashes the
+# map row stays ~1 KB — broadcast-trivial. Production sizing: n_bits ≈
+# 10·|dim keys| for ~1% false positives; the closing semi-join keeps
+# results exact at ANY false-positive rate, sizing only tunes shuffle
+# volume.
+BLOOM_K = 3
+
+
+def _bloom_positions(key: Column, n_bits: int, k: int) -> list[Column]:
+    h = hash64(key.cast("string"))
+    return [minhash_perm(h, i) % n_bits for i in range(k)]
+
+
+def bloom_bitmap(
+    dim: DataFrame, key_col: str, n_bits: int = BLOOM_BITS, k: int = BLOOM_K
+) -> DataFrame:
+    """One-row DataFrame (``_bloom``: map<int,bigint>) — the bitmap as
+    word-index → 64-bit word, built with a single aggregation. Missing
+    words are all-zero (element_at → NULL → coalesce 0 on probe)."""
+    pos = F.explode(
+        F.array(*_bloom_positions(F.col(key_col), n_bits, k))
+    ).alias("_pos")
+    words = (
+        dim.select(pos)
+        .select(
+            F.expr("_pos DIV 64").cast("int").alias("_w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))").alias(
+                "_bit"
+            ),
+        )
+        .groupBy("_w")
+        .agg(F.expr("bit_or(_bit)").alias("_mask"))
+    )
+    return words.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("_w", "_mask"))).alias("_bloom")
+    )
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_bits: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """``fact`` rows whose ``on`` key exists in ``dim`` — exact semi-join
+    semantics, Bloom-pruned.
+
+    The bitmap broadcast-crossJoins onto the fact (one row — the same
+    bounded-broadcast discipline as relational.py's count row); the
+    probe is pure column bit arithmetic (whole-stage codegen, no UDF,
+    no explode on the fact side — the k probes are unrolled columns).
+    Rows passing all k bit tests proceed to the exact left-semi join;
+    everything else never enters the shuffle. No false negatives by
+    construction: every true key set its own bits.
+    """
+    bitmap = F.broadcast(bloom_bitmap(dim.select(on), on, n_bits, k))
+    probed = fact.crossJoin(bitmap)
+    pcols = [f"_bp{i}" for i in range(k)]
+    probed = probed.withColumns(
+        dict(zip(pcols, _bloom_positions(F.col(on), n_bits, k)))
+    )
+    cond = " AND ".join(
+        f"(shiftright(coalesce(element_at(_bloom, CAST({p} DIV 64 AS INT)),"
+        f" CAST(0 AS BIGINT)), CAST({p} % 64 AS INT)) & 1) = 1"
+        for p in pcols
+    )
+    passed = probed.where(F.expr(cond)).drop("_bloom", *pcols)
+    return passed.join(dim.select(on).distinct(), on, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Deletion-neighborhood fuzzy matching (SymSpell blocking)
+# ---------------------------------------------------------------------------
+
+
+def deletion_variants(col: Column) -> Column:
+    """Array of the string itself plus every single-character deletion.
+
+    Two strings u, v with ``levenshtein(u, v) ≤ 1`` always share a
+    variant: substitution at i → both delete i; insertion/deletion →
+    the shorter string IS a variant of the longer (hence the identity
+    element); equality → the identity. So an equi-join on variants is
+    a lossless candidate generator for edit distance ≤ 1.
+    """
+    deletes = F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.concat(
+            col.substr(F.lit(1), i - F.lit(1)),
+            col.substr(i + F.lit(1), F.length(col)),
+        ),
+    )
+    return F.array_distinct(F.concat(F.array(col), deletes))
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    block_cols: Sequence[str],
+    name_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Distinct pairs (block..., name1, name2) with ``name1 < name2``
+    and ``levenshtein ≤ max_dist`` inside each block.
+
+    Candidates come from the deletion-variant equi-join (lossless for
+    max_dist=1; for larger distances the variant set would need
+    multi-deletes — not implemented, asserted). The exact levenshtein
+    predicate runs AFTER ``distinct()`` so each surviving pair pays one
+    edit-distance evaluation, not one per shared variant.
+    """
+    if max_dist != 1:
+        raise ValueError("deletion-neighborhood blocking is exact for max_dist=1 only")
+    v = df.select(
+        *block_cols,
+        F.col(name_col).alias("_n"),
+        F.explode(deletion_variants(F.col(name_col))).alias("_var"),
+    )
+    left = v.select(*block_cols, F.col("_n").alias("name1"), "_var")
+    right = v.select(*block_cols, F.col("_n").alias("name2"), "_var")
+    cand = (
+        left.join(right, [*block_cols, "_var"])
+        .where(F.col("name1") < F.col("name2"))
+        .select(*block_cols, "name1", "name2")
+        .distinct()
+    )
+    return cand.where(F.levenshtein("name1", "name2") <= max_dist)

@@ -1,0 +1,158 @@
+"""Sketch / pruning / fuzzy-match queries: the approximate-but-replayable
+surface (HyperLogLog cardinality, Bloom-pruned semi-join, SymSpell fuzzy
+dedup, salted skew join).
+
+The reference keeps exact per-window visitor sets (`UniqueVisitor.java`'s
+SetReducer — already covered by ``unique_visitor``); these queries are
+the 100 TB continuations: sketches that merge instead of sets that grow,
+runtime filters that ship bits instead of tables, and blocked fuzzy
+matching that never goes n². Every one is exact-oracle-checked — the
+sketches are deterministic by construction (portable hash64, integer
+register sums), so DuckDB replays them bit-for-bit rather than settling
+for a tolerance band.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from storm_bench_spark.operators.sketches import (
+    bloom_semi_join,
+    fuzzy_pairs,
+    hll_estimate,
+    hll_estimate_sql,
+    hll_registers,
+)
+from storm_bench_spark.operators.skew import salted_join
+from storm_bench_spark.plans.registry import register
+from storm_bench_spark.sources.tables import load_table
+
+# Matches tpch.py's determinism discipline: exact decimal sum surfaced
+# as double (associative — immune to Spark's partition summation order).
+_DEC = "decimal(18,6)"
+
+
+_HLL_ORACLE = hll_estimate_sql(
+    source_sql=(
+        "(SELECT event_type, user_id FROM events"
+        " UNION ALL SELECT '__all__', user_id FROM events)"
+    ),
+    key_expr="event_type",
+    value_expr="user_id",
+    key_out="event_type",
+)
+
+
+@register("hll_users_per_type", oracle=_HLL_ORACLE)
+def hll_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event_type via HyperLogLog —
+    PLUS an ``__all__`` row produced by MERGING the per-type register
+    tables (max per bucket), not by rescanning the input. That merge is
+    the point of the sketch: at 100 TB, per-hour/per-source sketches
+    roll up to any coarser grain with a max-aggregation over m-row
+    registers, never a re-read. The oracle replays the identical
+    registers from scratch (max is associative/idempotent, so
+    merge-of-maxes == max-over-union) and the estimate matches exactly
+    — integer harmonic sums, no float-order dependence
+    (operators/sketches.py docstring has the argument).
+    """
+    e = load_table(spark, sf_dir, "events")
+    regs = hll_registers(e, ["event_type"], "user_id")
+    merged = (
+        regs.groupBy("_bucket")
+        .agg(F.max("_r").alias("_r"))
+        .select(F.lit("__all__").alias("event_type"), "_bucket", "_r")
+    )
+    return hll_estimate(regs.unionByName(merged), ["event_type"])
+
+
+@register(
+    "bloom_high_value_orders",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+GROUP BY o_orderpriority
+""",
+)
+def bloom_high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders from high-balance customers, Bloom-pruned: the dim side's
+    keys fold into an 8192-bit bitmap (one aggregation, one ~1 KB map
+    row), the bitmap broadcasts onto the fact scan, and only rows
+    passing all k bit-tests enter the closing exact semi-join. The
+    oracle is the plain semi-join — Bloom is a pass-through
+    optimization whose false positives the verify join removes and
+    whose false negatives cannot exist (operators/sketches.py:
+    bloom_semi_join). At 100 TB this is Spark's runtime-filter pattern
+    made explicit: the fact-side shuffle carries only surviving rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    passed = bloom_semi_join(o, c, "o_custkey")
+    return passed.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "fuzzy_name_pairs",
+    oracle="""
+SELECT c1.c_nationkey AS nationkey, c1.c_name AS name1, c2.c_name AS name2
+FROM customer c1
+JOIN customer c2
+  ON c1.c_nationkey = c2.c_nationkey AND c1.c_name < c2.c_name
+WHERE levenshtein(c1.c_name, c2.c_name) <= 1
+""",
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-name pairs within edit distance 1 inside each nation —
+    entity-resolution blocking done the scalable way: SymSpell
+    deletion-variant candidates from an equi-join on (nation, variant),
+    exact levenshtein verification after. The oracle brute-forces the
+    within-nation quadratic (fine at oracle scale); the engine never
+    does — candidates are only pairs sharing a deletion variant, i.e.
+    essentially the true matches (operators/sketches.py:fuzzy_pairs).
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), "c_name"
+    )
+    return fuzzy_pairs(c, ["nationkey"], "c_name")
+
+
+@register(
+    "salted_segment_revenue",
+    oracle="""
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per market segment through an explicitly SALTED join —
+    the skew tool (operators/skew.py:salted_join) promoted into the
+    oracle-checked surface: fact rows scatter over 8 salt sub-keys, the
+    dim replicates 8×, results equal the plain join exactly (the oracle
+    IS the plain join). This is the plan you reach for when one custkey
+    dominates the fact table and AQE's skew split can't see the join
+    (e.g. broadcast-ineligible dim); the salt bounds any task's share
+    of the hot key at 1/8.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(o, dim, on=["o_custkey"], n_salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("revenue"),
+    )

@@ -1,0 +1,128 @@
+"""Unit/property tests for the sketch operators (HLL, Bloom, fuzzy):
+the correctness gate (tests/test_correctness.py) already replays each
+registered query against DuckDB; these tests pin the operator-level
+contracts the oracle can't see — merge algebra, no-false-negative
+pruning, blocking losslessness on adversarial fixtures.
+"""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from storm_bench_spark.operators.sketches import (
+    bloom_bitmap,
+    bloom_semi_join,
+    fuzzy_pairs,
+    hll_estimate,
+    hll_registers,
+)
+
+
+def _vals(spark, vals, key="k"):
+    return spark.createDataFrame([Row(**{key: "g", "v": str(v)}) for v in vals])
+
+
+def test_hll_estimate_within_error_bound(spark):
+    # m=16 registers -> relative error ~ 1.04/sqrt(16) = 26%; allow 3 sigma.
+    n = 500
+    df = _vals(spark, range(n))
+    est = (
+        hll_estimate(hll_registers(df, ["k"], "v"), ["k"])
+        .collect()[0]["approx_distinct"]
+    )
+    assert abs(est - n) / n < 0.78
+
+
+def test_hll_registers_merge_equals_rescan(spark):
+    # The sketch's reason to exist: max-merging two halves' registers
+    # must equal the registers of the union — bit-for-bit.
+    a = _vals(spark, range(0, 300))
+    b = _vals(spark, range(200, 500))  # overlapping, like two shards
+    merged = (
+        hll_registers(a, ["k"], "v")
+        .unionByName(hll_registers(b, ["k"], "v"))
+        .groupBy("k", "_bucket")
+        .agg(F.max("_r").alias("_r"))
+    )
+    whole = hll_registers(a.unionByName(b), ["k"], "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_hll_duplicates_do_not_move_estimate(spark):
+    # Idempotence: the same values repeated 10x give the identical sketch.
+    once = _vals(spark, range(100))
+    many = _vals(spark, list(range(100)) * 10)
+    e1 = hll_estimate(hll_registers(once, ["k"], "v"), ["k"]).collect()
+    e2 = hll_estimate(hll_registers(many, ["k"], "v"), ["k"]).collect()
+    assert e1 == e2
+
+
+def test_bloom_semi_join_exact_and_pruning(spark):
+    fact = spark.createDataFrame([Row(id=i, payload=i * 2) for i in range(2000)])
+    dim = spark.createDataFrame([Row(id=i) for i in range(0, 2000, 100)])
+    got = bloom_semi_join(fact, dim, "id")
+    want = fact.join(dim, "id", "left_semi")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_bloom_bitmap_prunes_most_nonmembers(spark):
+    # 20 keys in an 8192-bit / 3-hash bloom: false-positive rate must be
+    # far below 50% — check the bit-test actually rejects rows (i.e. the
+    # operator is a filter, not a pass-through).
+    from storm_bench_spark.operators.sketches import BLOOM_BITS, BLOOM_K, _bloom_positions
+
+    dim = spark.createDataFrame([Row(id=i) for i in range(20)])
+    fact = spark.createDataFrame([Row(id=i) for i in range(20, 4020)])
+    bitmap = F.broadcast(bloom_bitmap(dim, "id"))
+    probed = fact.crossJoin(bitmap)
+    pcols = {f"_bp{i}": p for i, p in enumerate(_bloom_positions(F.col("id"), BLOOM_BITS, BLOOM_K))}
+    probed = probed.withColumns(pcols)
+    cond = " AND ".join(
+        f"(shiftright(coalesce(element_at(_bloom, CAST({p} DIV 64 AS INT)),"
+        f" CAST(0 AS BIGINT)), CAST({p} % 64 AS INT)) & 1) = 1"
+        for p in pcols
+    )
+    survivors = probed.where(F.expr(cond)).count()
+    assert survivors < 400  # theoretical fp ~ (60/8192*? ) << 10%
+
+
+@pytest.mark.parametrize(
+    "names",
+    [
+        ["abc", "abd", "abcd", "xbc", "ab", "zzz", "abce", "bbc"],
+        ["same", "same2", "sam", "samee", "tame", "fame", "flame"],
+    ],
+)
+def test_fuzzy_pairs_equals_bruteforce(spark, names):
+    # Mixed lengths on purpose: insertion/deletion pairs must surface via
+    # the identity-variant trick, not just same-length substitutions.
+    df = spark.createDataFrame([Row(b=1, name=n) for n in names])
+    got = sorted(
+        (r["name1"], r["name2"])
+        for r in fuzzy_pairs(df, ["b"], "name").collect()
+    )
+    import itertools
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return d[len(b)]
+
+    want = sorted(
+        tuple(sorted(p)) for p in itertools.combinations(names, 2) if lev(*p) <= 1
+    )
+    assert got == want
+
+
+def test_fuzzy_pairs_blocking_respects_blocks(spark):
+    df = spark.createDataFrame(
+        [Row(b=1, name="abc"), Row(b=2, name="abd"), Row(b=1, name="abe")]
+    )
+    got = [(r["b"], r["name1"], r["name2"]) for r in fuzzy_pairs(df, ["b"], "name").collect()]
+    # cross-block pair (abc, abd) must NOT appear; within-block (abc, abe) must.
+    assert got == [(1, "abc", "abe")]
