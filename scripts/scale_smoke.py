@@ -51,6 +51,11 @@ FACTS = {
     "lineitem": ("l_orderkey",),
     "documents": ("doc_id",),
     "embeddings": ("vec_id",),
+    # customer replicates for the fuzzy-pair smoke; remapped custkeys
+    # never match any order's o_custkey, so every customer-as-dim join
+    # in the other probes keeps its exact result (inner joins drop the
+    # replicas) while scans grow R×.
+    "customer": ("c_custkey",),
 }
 
 QUERIES = [
@@ -68,6 +73,9 @@ QUERIES = [
     "bigram_lm_score", "chunk_documents", "chunk_dedup",
     "domain_mix_sample", "inverted_index", "bm25_rank",
     "textrank_keywords", "embedding_quantize", "ann_topk_quantized",
+    # sketches / pruning / fuzzy blocking (round 4, late)
+    "hll_users_per_type", "bloom_high_value_orders",
+    "fuzzy_name_pairs", "salted_segment_revenue",
 ]
 
 EMB_DIM_SMOKE = 64
@@ -121,9 +129,23 @@ def _perturb_embeddings(df, k: int):
     return df.withColumn("embedding", flipped)
 
 
+def _perturb_customer(df, k: int):
+    """Copy k>0: suffix every name with ``~kk`` (copy digit doubled).
+
+    Within-copy edit distances are preserved exactly (shared suffix);
+    cross-copy suffixes differ in ≥2 positions, so no cross-copy pair
+    can sit at levenshtein ≤ 1 — the fuzzy-pair count scales with R
+    (one match set per copy), not R² (the cloned-data artifact the
+    documents perturbation also avoids)."""
+    if k == 0:
+        return df
+    return df.withColumn("c_name", F.concat(F.col("c_name"), F.lit(f"~{k}{k}")))
+
+
 PERTURB = {
     "documents": _perturb_documents,
     "embeddings": _perturb_embeddings,
+    "customer": _perturb_customer,
 }
 
 
