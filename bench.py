@@ -112,6 +112,11 @@ HEADLINE = [
     "bloom_high_value_orders",
     "fuzzy_name_pairs",
     "salted_segment_revenue",
+    # time-series / history / funnel analytics (round 4, late)
+    "gap_fill_hourly",
+    "scd2_customer_history",
+    "funnel_conversion",
+    "value_zscore_outliers",
 ]
 
 

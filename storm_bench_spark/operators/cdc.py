@@ -54,3 +54,40 @@ def apply_changes(
     keep_base = base.join(latest.select(*keys), list(keys), "left_anti")
     upserts = latest.where(F.col(op_col) != DELETE_OP).select(*keys, *payload_cols)
     return keep_base.select(*keys, *payload_cols).unionByName(upserts)
+
+
+def scd2_intervals(
+    changes: DataFrame,
+    keys: Sequence[str],
+    sec_col: str,
+    tie_col: str,
+    payload_cols: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a changelog: one
+    validity interval per upsert.
+
+    Every change (upsert OR delete) closes the previous version, so
+    ``valid_to`` is simply ``lead(sec)`` over the per-key change order
+    — deletes terminate the preceding interval by existing, then emit
+    no row themselves. The open (current) version has ``valid_to``
+    NULL and ``is_current`` true.
+
+    Where :func:`apply_changes` keeps only the latest state (one
+    ``max_by`` reduction), SCD2 needs every change's successor, which
+    is irreducibly a per-key ordered pass: ONE window shuffle on the
+    key, no joins, no full-history replication. ``(sec_col, tie_col)``
+    must totally order changes within a key (same struct-not-packed
+    discipline as ``apply_changes``' order_key).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(sec_col), F.col(tie_col))
+    closed = changes.withColumn("valid_to", F.lead(sec_col).over(w))
+    return closed.where(F.col(op_col) != DELETE_OP).select(
+        *keys,
+        *payload_cols,
+        F.col(sec_col).alias("valid_from"),
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )

@@ -1,0 +1,256 @@
+"""Time-series / history / funnel analytics: gap-filled resampling,
+SCD2 dimension history, stage funnels, and deterministic z-score
+outlier flagging.
+
+No reference analog (storm-bench stops at sliding-window counts); these
+are the "hypertable" operations an events warehouse needs, expressed so
+every number is bit-replayable by the DuckDB oracle:
+
+- gap filling generates the hourly grid with ``sequence``/``explode``
+  (no driver loop, no UDF) and forward-fills with ONE per-key ordered
+  window — the LOCF spelling whose shuffle is a single exchange on the
+  series key;
+- SCD2 history derives validity intervals from the same event
+  changelog ``cdc_apply`` consumes — ``lead()`` over the per-key change
+  order, one window shuffle, no self-join;
+- the funnel is three chained keyed aggregations (view → click →
+  purchase with time ordering), each reusing the user_id exchange;
+- z-scores use the repo's exact-decimal-sum discipline (tpch.py): the
+  only floats are deterministic IEEE ops on exact per-group sums, so
+  the 1.6σ cut selects the same rows in both engines by bit equality,
+  not by luck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from storm_bench_spark.operators.cdc import scd2_intervals
+from storm_bench_spark.plans.curation import CDC_CH_SQL, cdc_changelog
+from storm_bench_spark.plans.registry import register
+from storm_bench_spark.sources import derived as D
+
+_DEC = "decimal(18,6)"
+
+
+# --- gap-filled hourly resampling (LOCF) ---------------------------------
+
+_GAP_FILL_ORACLE = f"""
+WITH es AS ({D.EVENTS_SEC_SQL}),
+b AS (
+  SELECT user_id, hb, value FROM (
+    SELECT user_id, sec // 3600 AS hb, value,
+           row_number() OVER (PARTITION BY user_id, sec // 3600
+                              ORDER BY sec DESC, event_id DESC) AS rn
+    FROM es) WHERE rn = 1
+),
+bounds AS (SELECT min(sec // 3600) AS h0, max(sec // 3600) AS h1 FROM es),
+grid AS (
+  SELECT u.user_id, g.hb
+  FROM (SELECT DISTINCT user_id FROM es) u
+  CROSS JOIN (SELECT unnest(generate_series((SELECT h0 FROM bounds),
+                                            (SELECT h1 FROM bounds))) AS hb) g
+)
+SELECT grid.user_id, grid.hb,
+       last_value(b.value IGNORE NULLS)
+         OVER (PARTITION BY grid.user_id ORDER BY grid.hb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+FROM grid LEFT JOIN b USING (user_id, hb)
+"""
+
+
+@register("gap_fill_hourly", oracle=_GAP_FILL_ORACLE)
+def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly series over the global time span, last observed
+    value carried forward (NULL before a user's first observation).
+
+    Plan shape: per-(user, hour) last value via the partial-aggregable
+    ``max_by`` (map-side combine — never a row_number shuffle of raw
+    events); the grid is users × ``sequence(h0, h1)`` exploded from a
+    broadcast 1-row bounds aggregate (same bounded-broadcast discipline
+    as relational.py's count row); the forward fill is one
+    ``last(ignorenulls)`` window on the series key. Output size is the
+    grid — the intended product of a resampler — and every stage before
+    it is input-sized or smaller. The carried value is a raw column
+    (no arithmetic), so cross-engine equality is exact.
+    """
+    es = D.events_sec(spark, sf_dir).select("user_id", "sec", "value", "event_id")
+    hb = F.expr("sec DIV 3600")
+    bucketed = es.groupBy("user_id", hb.alias("hb")).agg(
+        F.max_by("value", F.struct("sec", "event_id")).alias("_v")
+    )
+    bounds = es.agg(
+        F.min(hb).alias("h0"), F.max(hb).alias("h1")
+    )
+    grid = (
+        es.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("user_id", F.explode(F.sequence("h0", "h1")).alias("hb"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(bucketed, ["user_id", "hb"], "left")
+        .withColumn("value", F.last("_v", ignorenulls=True).over(w))
+        .select("user_id", "hb", "value")
+    )
+
+
+# --- SCD2 dimension history ----------------------------------------------
+
+_SCD2_ORACLE = f"""
+WITH es AS ({D.EVENTS_SEC_SQL}),
+ch AS ({CDC_CH_SQL}),
+v AS (
+  SELECT c_custkey, c_name, op, sec AS valid_from,
+         lead(sec) OVER (PARTITION BY c_custkey
+                         ORDER BY sec, event_id) AS valid_to
+  FROM ch
+)
+SELECT c_custkey, c_name, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM v WHERE op <> 'delete'
+"""
+
+
+@register("scd2_customer_history", oracle=_SCD2_ORACLE)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from the same
+    event-derived changelog ``cdc_apply`` consumes: one validity
+    interval per upsert, closed by the NEXT change of any kind
+    (deletes close their predecessor and emit nothing), open interval
+    flagged current. One ``lead()`` window on the key
+    (operators/cdc.py:scd2_intervals) — where cdc_apply reduces to
+    latest-state with a max_by, SCD2 keeps the full history but still
+    pays exactly one shuffle.
+    """
+    ch = cdc_changelog(D.events_sec(spark, sf_dir))
+    return scd2_intervals(
+        ch, keys=["c_custkey"], sec_col="sec", tie_col="event_id",
+        payload_cols=["c_name"],
+    )
+
+
+# --- stage funnel ---------------------------------------------------------
+
+_FUNNEL_ORACLE = f"""
+WITH es AS ({D.EVENTS_SEC_SQL}),
+v AS (SELECT user_id, min(sec) AS vs FROM es
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT es.user_id, min(sec) AS cs FROM es JOIN v USING (user_id)
+      WHERE event_type = 'click' AND sec >= vs GROUP BY es.user_id),
+p AS (SELECT es.user_id, min(sec) AS ps FROM es JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND sec >= cs GROUP BY es.user_id)
+SELECT 'view' AS stage, count(*) AS users FROM v
+UNION ALL SELECT 'click', count(*) FROM c
+UNION ALL SELECT 'purchase', count(*) FROM p
+"""
+
+
+@register("funnel_conversion", oracle=_FUNNEL_ORACLE)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view → click → purchase funnel: a user advances a stage
+    only with an event at-or-after their previous stage's first event.
+
+    Three keyed min-aggregations chained by broadcast joins (each
+    stage's table is ≤ one row per user — always the small side); the
+    big events scan feeds each stage with the predicate pushed into the
+    scan. No windows over raw events, no per-user sorting — the funnel
+    is associative min-reduction all the way down, so partial
+    aggregation does the heavy lifting at any scale.
+    """
+    es = D.events_sec(spark, sf_dir).select("user_id", "sec", "event_type")
+    v = (
+        es.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("vs"))
+    )
+    c = (
+        es.where(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .where(F.col("sec") >= F.col("vs"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("cs"))
+    )
+    p = (
+        es.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .where(F.col("sec") >= F.col("cs"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("ps"))
+    )
+
+    def _count(df: DataFrame, stage: str) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"), F.count(F.lit(1)).alias("users")
+        )
+
+    return (
+        _count(v, "view")
+        .unionByName(_count(c, "click"))
+        .unionByName(_count(p, "purchase"))
+    )
+
+
+# --- deterministic z-score outliers --------------------------------------
+
+Z_CUT = 1.6  # the fixture's value column is ~uniform (z_max ≈ √3), so a
+# 3σ cut would select nothing; 1.6σ keeps a meaningful tail. The cut
+# compares BIT-IDENTICAL doubles in both engines, so the boundary is
+# safe at any threshold.
+
+_ZSCORE_ORACLE = f"""
+WITH es AS ({D.EVENTS_SEC_SQL}),
+st AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+  FROM es GROUP BY event_type
+),
+m AS (SELECT event_type, n, s1 / n AS mean, s2 / n - (s1 / n) * (s1 / n) AS var FROM st)
+SELECT es.event_id, es.event_type, es.value,
+       (CAST(CAST(es.value AS DECIMAL(18,6)) AS DOUBLE) - m.mean) / sqrt(m.var) AS z
+FROM es JOIN m USING (event_type)
+WHERE abs((CAST(CAST(es.value AS DECIMAL(18,6)) AS DOUBLE) - m.mean) / sqrt(m.var)) > {Z_CUT!r}
+"""
+
+
+@register("value_zscore_outliers", oracle=_ZSCORE_ORACLE)
+def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value sits beyond 1.6σ (Z_CUT) of their event_type's
+    mean — the quality-filter shape (compute corpus stats, broadcast,
+    flag rows) with every float deterministic: per-group sums are exact
+    decimals (tpch.py discipline), and mean/var/z are the SAME IEEE
+    expression tree in both engines, so the comparison at the cut is
+    bit-exact, not tolerance-based. One scan builds the 5-row stats
+    table; the flagging pass is scan + broadcast join + codegen
+    arithmetic — no second shuffle of events at any scale.
+    """
+    es = D.events_sec(spark, sf_dir).select("event_id", "event_type", "value")
+    dec = F.col("value").cast(_DEC)
+    st = es.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    m = st.select(
+        "event_type",
+        mean.alias("mean"),
+        (F.col("s2") / F.col("n") - mean * mean).alias("var"),
+    )
+    vd = dec.cast("double")
+    z = (vd - F.col("mean")) / F.sqrt(F.col("var"))
+    return (
+        es.join(F.broadcast(m), "event_type")
+        .withColumn("z", z)
+        .where(F.abs(F.col("z")) > Z_CUT)
+        .select("event_id", "event_type", "value", "z")
+    )

@@ -86,14 +86,30 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- CDC / MERGE: snapshot maintenance -----------------------------------
 
-CDC_ORACLE = f"""
-WITH es AS ({D.EVENTS_SEC_SQL}),
-ch AS (
+# The event-derived changelog (signup/click → upsert with a new name,
+# purchase → delete), shared by cdc_apply and the SCD2 history query
+# (plans/analytics_ext.py) in both renderings.
+CDC_CH_SQL = """
   SELECT user_id AS c_custkey, sec, event_id,
          CASE WHEN event_type = 'purchase' THEN 'delete' ELSE 'upsert' END AS op,
          concat('u', CAST(event_id AS VARCHAR)) AS c_name
   FROM es WHERE event_type IN ('signup', 'click', 'purchase')
-),
+"""
+
+
+def cdc_changelog(es: DataFrame) -> DataFrame:
+    return es.where(F.col("event_type").isin("signup", "click", "purchase")).select(
+        F.col("user_id").alias("c_custkey"),
+        "sec",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", "delete").otherwise("upsert").alias("op"),
+        F.concat(F.lit("u"), F.col("event_id").cast("string")).alias("c_name"),
+    )
+
+
+CDC_ORACLE = f"""
+WITH es AS ({D.EVENTS_SEC_SQL}),
+ch AS ({CDC_CH_SQL}),
 latest AS (
   SELECT c_custkey, op, c_name FROM ch
   QUALIFY row_number() OVER (PARTITION BY c_custkey
@@ -119,14 +135,7 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     order once event_id reaches 10^6, i.e. at sf ≥ 10). The oracle
     replays the same latest-wins resolution in SQL."""
     base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    es = D.events_sec(spark, sf_dir)
-    ch = es.where(F.col("event_type").isin("signup", "click", "purchase")).select(
-        F.col("user_id").alias("c_custkey"),
-        "sec",
-        "event_id",
-        F.when(F.col("event_type") == "purchase", "delete").otherwise("upsert").alias("op"),
-        F.concat(F.lit("u"), F.col("event_id").cast("string")).alias("c_name"),
-    )
+    ch = cdc_changelog(D.events_sec(spark, sf_dir))
     order_key = F.struct(F.col("sec"), F.col("event_id"))
     return apply_changes(
         base, ch, keys=["c_custkey"], order_key=order_key, payload_cols=["c_name"]

@@ -55,6 +55,7 @@ def _ensure_loaded() -> None:
     import storm_bench_spark.plans.training_prep  # noqa: F401
     import storm_bench_spark.plans.corpus_ops  # noqa: F401
     import storm_bench_spark.plans.sketch_queries  # noqa: F401
+    import storm_bench_spark.plans.analytics_ext  # noqa: F401
 
 
 # Explicit gate order. The driver's correctness gate checks the FIRST 50
@@ -117,6 +118,13 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "tpch_q15",
     "tpch_q16",
     "tpch_q22",
+    # ...and four more for the analytics_ext additions (gap-fill /
+    # SCD2 / funnel / z-score — window+join plans with cross-engine
+    # float discipline, which need the gate more than plain SQL twins)
+    "tpch_q2",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
     # NOTE (late round 4): the \s+ -> explicit-char-class alignment of
     # every word-split oracle (RE2's \s excludes \x0b; Java's includes
     # it) textually touches ~25 oracles — more than the 50-row window
