@@ -117,6 +117,7 @@ HEADLINE = [
     "scd2_customer_history",
     "funnel_conversion",
     "value_zscore_outliers",
+    "streaming_hll_visitors",
 ]
 
 

@@ -67,6 +67,34 @@ def hll_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(regs.unionByName(merged), ["event_type"])
 
 
+@register("streaming_hll_visitors", oracle=_HLL_ORACLE)
+def streaming_hll_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``hll_users_per_type`` through the streaming engine: the HLL
+    REGISTER TABLE is the streaming aggregation — ``max(rho)`` per
+    (event_type, bucket) lives in the state store, where max-merge is
+    exactly what incremental micro-batches need (idempotent under
+    replay, constant-size per key: m=16 rows, never a growing set —
+    the scale-out of UniqueVisitor's exact SetReducer state). The
+    complete-mode snapshot then finalizes in batch (merged ``__all__``
+    row + estimate), the same state→probe split as
+    ``streaming_flight_dist``; Structured Streaming's single-stateful-
+    aggregation limit never bites because finalization is stateless
+    per key. Identical final state ⇒ the batch oracle verifies the
+    streaming path.
+    """
+    from storm_bench_spark.streaming.streams import run_to_memory, stream_table
+
+    e = stream_table(spark, sf_dir, "events")
+    regs_stream = hll_registers(e, ["event_type"], "user_id")
+    regs = run_to_memory(regs_stream, output_mode="complete")
+    merged = (
+        regs.groupBy("_bucket")
+        .agg(F.max("_r").alias("_r"))
+        .select(F.lit("__all__").alias("event_type"), "_bucket", "_r")
+    )
+    return hll_estimate(regs.unionByName(merged), ["event_type"])
+
+
 @register(
     "bloom_high_value_orders",
     oracle="""
