@@ -118,6 +118,7 @@ HEADLINE = [
     "funnel_conversion",
     "value_zscore_outliers",
     "streaming_hll_visitors",
+    "user_moving_avg",
 ]
 
 

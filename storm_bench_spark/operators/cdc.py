@@ -78,7 +78,12 @@ def scd2_intervals(
     is irreducibly a per-key ordered pass: ONE window shuffle on the
     key, no joins, no full-history replication. ``(sec_col, tie_col)``
     must totally order changes within a key (same struct-not-packed
-    discipline as ``apply_changes``' order_key).
+    discipline as ``apply_changes``' order_key) and must be NON-NULL:
+    Spark windows sort NULLS FIRST where DuckDB's default is NULLS
+    LAST, so a NULL change time would produce engine-dependent
+    interval chains (the same cross-engine hazard ``asof_join``
+    filters out — here the changelog contract forbids it instead,
+    because silently dropping a change would corrupt history).
     """
     from pyspark.sql.window import Window
 

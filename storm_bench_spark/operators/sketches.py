@@ -84,7 +84,13 @@ def hll_registers(
     per-type sketches WITHOUT rescanning the input).
     """
     m, rho_cap, _ = _hll_consts(p)
-    d = df.select(*keys, hash64(F.col(value_col).cast("string")).alias("_h"))
+    # COUNT(DISTINCT) semantics: NULL is not a value. Without this
+    # filter a NULL row would land in a NULL bucket whose NULL rho the
+    # SUM skips while COUNT(*) still counts it — both engines would
+    # agree (same formula) but the estimate would be silently wrong.
+    d = df.where(F.col(value_col).isNotNull()).select(
+        *keys, hash64(F.col(value_col).cast("string")).alias("_h")
+    )
     w = F.expr(f"_h DIV {m}")
     # rho = leading zeros of the (60-p)-bit suffix + 1 = rho_cap - bitlen(w);
     # bitlen via length(bin(w)) is integer-exact in both engines.
@@ -150,6 +156,7 @@ def hll_estimate_sql(
     return f"""
 WITH hll_h AS (
   SELECT {key_expr} AS k, {h} AS h FROM {source_sql}
+  WHERE {value_expr} IS NOT NULL
 ), hll_reg AS (
   SELECT k, h % {m} AS bucket,
          MAX(CASE WHEN h // {m} > 0 THEN {rho_cap} - length(bin(h // {m}))

@@ -198,6 +198,50 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- range-frame moving average ------------------------------------------
+
+MOVING_AVG_SEC = 21_600  # 6 h trailing window
+
+_MOVING_AVG_ORACLE = f"""
+WITH es AS ({D.EVENTS_SEC_SQL})
+SELECT event_id, user_id, sec,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+         / COUNT(*) OVER w AS avg_6h
+FROM es
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN {MOVING_AVG_SEC} PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("user_moving_avg", oracle=_MOVING_AVG_ORACLE)
+def user_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 6-hour moving average of each user's event values — the
+    RANGE-frame window (event-TIME bounds, not row counts), which is
+    the frame sliding_agg's bucketed windows can't express: every row
+    gets its own exact trailing horizon. One shuffle on the series key;
+    the frame scan is Spark's native sliding range accumulation, not a
+    self-join. Ties on ``sec`` are frame-peers in BOTH engines (RANGE
+    includes all equal-key rows), so tie handling agrees by
+    construction; the average is the exact decimal window sum divided
+    by the window count, cast once — deterministic doubles.
+    """
+    es = D.events_sec(spark, sf_dir).select("event_id", "user_id", "sec", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-MOVING_AVG_SEC, 0)
+    )
+    dec = F.col("value").cast(_DEC)
+    return es.select(
+        "event_id",
+        "user_id",
+        "sec",
+        (F.sum(dec).over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
+            "avg_6h"
+        ),
+    )
+
+
 # --- deterministic z-score outliers --------------------------------------
 
 Z_CUT = 1.6  # the fixture's value column is ~uniform (z_max ≈ √3), so a

@@ -125,8 +125,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "tpch_q7",
     "tpch_q8",
     "tpch_q9",
-    # ...and one more for the streaming HLL twin
+    # ...and two more for the streaming HLL twin + range-frame moving avg
     "tpch_q11",
+    "tpch_q17",
     # NOTE (late round 4): the \s+ -> explicit-char-class alignment of
     # every word-split oracle (RE2's \s excludes \x0b; Java's includes
     # it) textually touches ~25 oracles — more than the 50-row window

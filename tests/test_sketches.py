@@ -59,6 +59,24 @@ def test_hll_duplicates_do_not_move_estimate(spark):
     assert e1 == e2
 
 
+def test_hll_ignores_nulls(spark):
+    # COUNT(DISTINCT) semantics: NULL is not a value — rows with NULL
+    # must not move the estimate (they'd otherwise shift the
+    # empty-register count V).
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("k", StringType()), StructField("v", StringType(), True)]
+    )
+    clean = spark.createDataFrame([("g", str(i)) for i in range(50)], schema)
+    dirty = spark.createDataFrame(
+        [("g", str(i)) for i in range(50)] + [("g", None)] * 7, schema
+    )
+    e1 = hll_estimate(hll_registers(clean, ["k"], "v"), ["k"]).collect()
+    e2 = hll_estimate(hll_registers(dirty, ["k"], "v"), ["k"]).collect()
+    assert e1 == e2
+
+
 def test_bloom_semi_join_exact_and_pruning(spark):
     fact = spark.createDataFrame([Row(id=i, payload=i * 2) for i in range(2000)])
     dim = spark.createDataFrame([Row(id=i) for i in range(0, 2000, 100)])
