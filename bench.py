@@ -119,6 +119,8 @@ HEADLINE = [
     "value_zscore_outliers",
     "streaming_hll_visitors",
     "user_moving_avg",
+    "embedding_project",
+    "fuzzy_triangles",
 ]
 
 

@@ -988,3 +988,79 @@ SELECT a, b, cos FROM (
   FROM cand c JOIN v va ON va.id = c.a JOIN v vb ON vb.id = c.b
 ) WHERE cos >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# Random-projection dimensionality reduction (Johnson-Lindenstrauss)
+# ---------------------------------------------------------------------------
+
+PROJECT_COMPONENTS = 16
+
+
+def project_embeddings(
+    df: DataFrame,
+    n_components: int = PROJECT_COMPONENTS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project vectors onto ``n_components`` deterministic ±1 random
+    hyperplanes — the JL-style reduction an embedding pipeline runs
+    before cheap downstream passes (coarse clustering, visualization,
+    pre-filtering). The planes are the SAME md5-parity family the LSH
+    banding uses (``_weight_bit``), so engine and oracle derive weights
+    from one public rule; components are rounded to 6 dp like every
+    cosine in this module.
+
+    Arrow-batched kernel, not column expressions, for the same janino
+    reason as ``_band_keys_udf`` (n_components·dim multiply-adds per
+    row); the accumulation is sequential in i, so each component is
+    the left-associated double sum the SQL twin unrolls — bitwise
+    match before rounding.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def proj(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(vec.to_numpy()).astype(np.float64)  # rows × dim
+        w = _plane_weights(n_components, m.shape[1])  # comps × dim
+        acc = np.zeros((m.shape[0], n_components))
+        for i in range(m.shape[1]):  # sequential in i: left-assoc sum
+            acc += np.outer(m[:, i], w[:, i])
+        return pd.Series(list(acc))
+
+    # rounding happens JVM-side (F.round == DuckDB round, the pairing
+    # every cosine in this module relies on) — np.round is half-even
+    # and a different scaling algorithm, i.e. a cross-engine hazard
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.transform(proj(_dvec(vec_col)), lambda x: F.round(x, 6)).alias("proj"),
+    )
+
+
+def project_embeddings_sql(
+    v_cte: str, dim: int, n_components: int = PROJECT_COMPONENTS
+) -> str:
+    """DuckDB twin of :func:`project_embeddings` — the plane-as-data
+    spelling (constant plan size in n_components, one unrolled
+    dim-term dot per (vector, plane) row), pivoted back to an ordered
+    list per vector."""
+    dot_terms = " + ".join(f"(v.v[{i + 1}] * wl.wl[{i + 1}])" for i in range(dim))
+    return f"""
+WITH v AS ({v_cte}),
+w AS (
+  SELECT p.p AS plane, d.i AS i,
+         CASE WHEN (CAST(concat('0x', substring(md5(concat(CAST(p.p AS VARCHAR), ':', CAST(d.i AS VARCHAR))), 1, 1)) AS INTEGER) % 2) = 1
+              THEN 1e0 ELSE -1e0 END AS wgt
+  FROM (SELECT unnest(range(0, {n_components})) AS p) p,
+       (SELECT unnest(range(0, {dim})) AS i) d
+),
+wl AS (SELECT plane, list(wgt ORDER BY i) AS wl FROM w GROUP BY plane),
+dots AS (
+  SELECT v.id, wl.plane, round({dot_terms}, 6) AS dot
+  FROM v CROSS JOIN wl
+)
+SELECT id, list(dot ORDER BY plane) AS proj FROM dots GROUP BY id
+"""

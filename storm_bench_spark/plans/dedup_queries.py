@@ -267,6 +267,23 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_project",
+    oracle=SIM.project_embeddings_sql(_V_CTE, EMB_DIM),
+)
+def embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection of every embedding onto
+    16 deterministic ±1 hyperplanes (the LSH banding's md5-parity
+    weight family, reused) — the dimensionality-reduction pass an
+    embedding pipeline runs before coarse clustering or visualization.
+    Arrow-batched kernel with sequential-in-dim accumulation, rounded
+    JVM-side, so the oracle's unrolled left-assoc dots match bitwise
+    before rounding (operators/similarity.py:project_embeddings).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.project_embeddings(emb)
+
+
+@register(
     "ann_topk",
     oracle=f"""
 WITH v AS ({_V_CTE}), q AS (SELECT * FROM v WHERE id < {ANN_QUERIES})

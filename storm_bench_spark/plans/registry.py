@@ -128,6 +128,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # ...and two more for the streaming HLL twin + range-frame moving avg
     "tpch_q11",
     "tpch_q17",
+    # ...and two more for embedding_project + fuzzy_triangles
+    "tpch_q18",
+    "tpch_q20",
     # NOTE (late round 4): the \s+ -> explicit-char-class alignment of
     # every word-split oracle (RE2's \s excludes \x0b; Java's includes
     # it) textually touches ~25 oracles — more than the 50-row window

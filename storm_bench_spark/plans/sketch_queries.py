@@ -155,6 +155,52 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_pairs(c, ["nationkey"], "c_name")
 
 
+_FUZZY_EDGES_SQL = """
+  SELECT c1.c_nationkey AS nk, c1.c_name AS a, c2.c_name AS b
+  FROM customer c1 JOIN customer c2
+    ON c1.c_nationkey = c2.c_nationkey AND c1.c_name < c2.c_name
+  WHERE levenshtein(c1.c_name, c2.c_name) <= 1
+"""
+
+
+@register(
+    "fuzzy_triangles",
+    oracle=f"""
+WITH e AS ({_FUZZY_EDGES_SQL})
+SELECT e1.nk AS nationkey, e1.a AS a, e1.b AS b, e2.b AS c
+FROM e e1
+JOIN e e2 ON e2.nk = e1.nk AND e2.a = e1.b
+JOIN e e3 ON e3.nk = e1.nk AND e3.a = e1.a AND e3.b = e2.b
+""",
+)
+def fuzzy_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the fuzzy-duplicate graph (triples of names
+    pairwise within one edit) — the ordered-edge triangle enumeration:
+    every edge is stored once with ``a < b``, wedges come from ONE
+    equi-join on the middle vertex, and the closing edge is a
+    left-semi probe — each triangle found exactly once, no orientation
+    dedup pass. The edge table (fuzzy_pairs — itself the blocked
+    deletion-variant join) persists so the three aliases share one
+    computation; it is match-set-sized, far below the input. At scale
+    the standard refinement is degree-ordering the edges so high-degree
+    hubs don't dominate a wedge partition — the fixture's per-nation
+    blocks are naturally bounded, so hash partitioning on (nk, b)
+    already spreads them.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk"), "c_name"
+    )
+    e = fuzzy_pairs(c, ["nk"], "c_name").withColumnsRenamed(
+        {"name1": "a", "name2": "b"}
+    ).persist()
+    e2 = e.select("nk", F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = e.join(e2, ["nk", "b"]).select("nk", "a", "b", "c")
+    closing = e.select("nk", F.col("a"), F.col("b").alias("c"))
+    return wedges.join(closing, ["nk", "a", "c"], "left_semi").select(
+        F.col("nk").alias("nationkey"), "a", "b", "c"
+    )
+
+
 @register(
     "salted_segment_revenue",
     oracle="""
