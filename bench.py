@@ -121,6 +121,7 @@ HEADLINE = [
     "user_moving_avg",
     "embedding_project",
     "fuzzy_triangles",
+    "multires_rollup",
 ]
 
 

@@ -198,6 +198,41 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- multi-resolution (continuous-aggregate) rollup ----------------------
+
+_MULTIRES_ORACLE = f"""
+WITH es AS ({D.EVENTS_SEC_SQL})
+SELECT event_type, sec // 86400 AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM es GROUP BY event_type, sec // 86400
+"""
+
+
+@register("multires_rollup", oracle=_MULTIRES_ORACLE)
+def multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily aggregates computed HIERARCHICALLY — from the hourly
+    aggregate, not from raw events — while the oracle computes daily
+    directly from raw. Equality certifies the continuous-aggregate
+    algebra itself: counts re-sum, exact decimal sums re-sum
+    associatively (``(sec DIV 3600) DIV 24 == sec DIV 86400`` for
+    non-negative sec), so a 100 TB deployment can maintain the hourly
+    materialization and serve every coarser grain from it without
+    touching raw data — the same partial-reaggregation discipline as
+    the HLL register merge, here for exact aggregates. The one cast to
+    double happens after the LAST re-sum.
+    """
+    es = D.events_sec(spark, sf_dir).select("event_type", "sec", "value")
+    dec = F.col("value").cast(_DEC)
+    hourly = es.groupBy("event_type", F.expr("sec DIV 3600").alias("hb")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(dec).alias("s")
+    )
+    return hourly.groupBy("event_type", F.expr("hb DIV 24").alias("day")).agg(
+        F.sum("n").alias("n_events"),
+        F.sum("s").cast("double").alias("sum_value"),
+    )
+
+
 # --- range-frame moving average ------------------------------------------
 
 MOVING_AVG_SEC = 21_600  # 6 h trailing window

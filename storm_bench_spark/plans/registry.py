@@ -131,6 +131,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # ...and two more for embedding_project + fuzzy_triangles
     "tpch_q18",
     "tpch_q20",
+    # ...and one more for multires_rollup
+    "tpch_q21",
     # NOTE (late round 4): the \s+ -> explicit-char-class alignment of
     # every word-split oracle (RE2's \s excludes \x0b; Java's includes
     # it) textually touches ~25 oracles — more than the 50-row window
