@@ -122,6 +122,7 @@ HEADLINE = [
     "embedding_project",
     "fuzzy_triangles",
     "multires_rollup",
+    "unique_visitor_approx",
 ]
 
 

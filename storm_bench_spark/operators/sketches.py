@@ -135,18 +135,27 @@ def hll_estimate(registers: DataFrame, keys: Sequence[str], p: int = HLL_P) -> D
 
 def hll_estimate_sql(
     source_sql: str,
-    key_expr: str,
+    key_expr: str | Sequence[str],
     value_expr: str,
-    key_out: str = "k",
+    key_out: str | Sequence[str] = "k",
     p: int = HLL_P,
 ) -> str:
     """DuckDB replay of registers+estimate for oracle composition.
 
     ``source_sql`` is a FROM-able relation; ``key_expr`` / ``value_expr``
-    are column expressions over it. Returns a SELECT producing
-    (key, approx_distinct) — the exact twin of
+    are column expressions over it (``key_expr`` may be a sequence for
+    composite keys, paired positionally with ``key_out``). Returns a
+    SELECT producing (keys..., approx_distinct) — the exact twin of
     ``hll_estimate(hll_registers(...))``.
     """
+    keys = [key_expr] if isinstance(key_expr, str) else list(key_expr)
+    outs = [key_out] if isinstance(key_out, str) else list(key_out)
+    if len(keys) != len(outs):
+        raise ValueError("key_expr / key_out arity mismatch")
+    kcols = [f"k{i}" for i in range(len(keys))]
+    ksel = ", ".join(f"{e} AS {c}" for e, c in zip(keys, kcols))
+    klist = ", ".join(kcols)
+    kout = ", ".join(f"{c} AS {o}" for c, o in zip(kcols, outs))
     m, rho_cap, alpha = _hll_consts(p)
     numer = alpha * m * m * float(2**rho_cap)
     h = hash64_sql(f"CAST({value_expr} AS VARCHAR)")
@@ -155,21 +164,21 @@ def hll_estimate_sql(
     )
     return f"""
 WITH hll_h AS (
-  SELECT {key_expr} AS k, {h} AS h FROM {source_sql}
+  SELECT {ksel}, {h} AS h FROM {source_sql}
   WHERE {value_expr} IS NOT NULL
 ), hll_reg AS (
-  SELECT k, h % {m} AS bucket,
+  SELECT {klist}, h % {m} AS bucket,
          MAX(CASE WHEN h // {m} > 0 THEN {rho_cap} - length(bin(h // {m}))
                   ELSE {rho_cap} END) AS r
-  FROM hll_h GROUP BY 1, 2
+  FROM hll_h GROUP BY {klist}, h % {m}
 ), hll_fin AS (
-  SELECT k,
+  SELECT {klist},
          SUM(CAST(1 AS BIGINT) << ({rho_cap} - r))
            + ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << {rho_cap}) AS s,
          {m} - COUNT(*) AS v
-  FROM hll_reg GROUP BY 1
+  FROM hll_reg GROUP BY {klist}
 )
-SELECT k AS {key_out},
+SELECT {kout},
        CASE WHEN v > 0 AND {numer!r} / CAST(s AS DOUBLE) <= {2.5 * m}
             THEN CASE v {lin_cases} END
             ELSE {numer!r} / CAST(s AS DOUBLE) END AS approx_distinct

@@ -79,7 +79,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # tier 1 — NEW in round 4 (never gated) or touched in round 4
     "text_normalize",
     "pii_mask",
-    "stratified_sample",
     "streaming_dedup",
     "streaming_dedup_watermarked",
     "repetition_score",
@@ -133,6 +132,12 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "tpch_q20",
     # ...and one more for multires_rollup
     "tpch_q21",
+    # unique_visitor_approx was rewritten onto the portable HLL sketch
+    # (it gains an oracle and leaves tier 3 → unlisted → in-window);
+    # stratified_sample yields its slot — deterministic hash-gated
+    # scan, the lowest-risk tier-1 row, repo-verified at sf0.01 +
+    # sf0.001 pytest
+    "stratified_sample",
     # NOTE (late round 4): the \s+ -> explicit-char-class alignment of
     # every word-split oracle (RE2's \s excludes \x0b; Java's includes
     # it) textually touches ~25 oracles — more than the 50-row window
@@ -200,7 +205,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "sol",
     "pageview_count",
     "dataclean",
-    "unique_visitor_approx",
     "distinct_users",
     "tpch_q1",
     "tpch_q4",

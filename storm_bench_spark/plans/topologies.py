@@ -257,18 +257,55 @@ def unique_visitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("unique_visitor_approx", oracle=None)
+def _uv_approx_oracle() -> str:
+    from storm_bench_spark.operators.sketches import hll_estimate_sql
+
+    windowed = D.sliding_windows_sql(
+        f"SELECT sec, url, user_id FROM ({D.PAGEVIEWS_SQL})", 3600, 600
+    )
+    sql = hll_estimate_sql(
+        source_sql=f"({windowed})",
+        key_expr=["ws", "url"],
+        value_expr="user_id",
+        key_out=["ws", "url"],
+    )
+    return f"SELECT ws, url, approx_distinct AS uniques FROM ({sql})"
+
+
+@register("unique_visitor_approx", oracle=_uv_approx_oracle())
 def unique_visitor_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch variant of unique_visitor — the 100 TB path: HLL sketches
-    per (slide-bucket, url) then union-merged per window, so the
+    """Sketch variant of unique_visitor — the 100 TB path: HLL register
+    rows per (slide-bucket, url), max-merged per window, so the
     distinct state is a fixed-size sketch instead of a user-id set and
-    each input row is aggregated once (not once per overlapping
-    window). Rows-only check since the estimate is approximate."""
-    pv = D.pageviews(spark, sf_dir)
-    return sliding_agg_twophase(
-        pv.select("sec", "url", "user_id"), 3600, 600, ["url"],
-        [F.hll_sketch_agg("user_id").alias("_sk")],
-        [F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("uniques")],
+    each raw row is aggregated once (not once per overlapping window;
+    only the ≤m-row register tables fan out W/S×). Round-4 rewrite:
+    the engine-native hll_sketch_agg (opaque binary, unreplayable) is
+    replaced by the portable register sketch (operators/sketches.py),
+    whose md5 hash + integer harmonic sums the DuckDB oracle replays
+    bit-for-bit — the registry's last rows-only cell becomes a full
+    oracle row, and the estimate survives ANY regrouping because
+    register max-merge is the same monoid the windows already use.
+    """
+    from storm_bench_spark.operators.sketches import hll_estimate, hll_registers
+
+    pv = D.pageviews(spark, sf_dir).select("sec", "url", "user_id")
+    slide, win = 600, 3600
+    bucket = (F.col("sec") - (F.col("sec") % slide)).cast("long")
+    regs = hll_registers(pv.withColumn("_sb", bucket), ["_sb", "url"], "user_id")
+    steps = F.explode(F.sequence(F.lit(0), F.lit(win // slide - 1))).alias("_k")
+    winregs = (
+        regs.select("*", steps)
+        .select(
+            (F.col("_sb") - F.col("_k") * slide).alias("ws"),
+            "url",
+            "_bucket",
+            "_r",
+        )
+        .groupBy("ws", "url", "_bucket")
+        .agg(F.max("_r").alias("_r"))
+    )
+    return hll_estimate(winregs, ["ws", "url"]).withColumnRenamed(
+        "approx_distinct", "uniques"
     )
 
 
