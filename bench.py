@@ -123,6 +123,7 @@ HEADLINE = [
     "fuzzy_triangles",
     "multires_rollup",
     "unique_visitor_approx",
+    "ann_recall_at_k",
 ]
 
 

@@ -283,9 +283,7 @@ def embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.project_embeddings(emb)
 
 
-@register(
-    "ann_topk",
-    oracle=f"""
+_ANN_TOPK_ORACLE = f"""
 WITH v AS ({_V_CTE}), q AS (SELECT * FROM v WHERE id < {ANN_QUERIES})
 SELECT qid, neighbor, cos, rank FROM (
   SELECT qid, neighbor, cos,
@@ -296,8 +294,12 @@ SELECT qid, neighbor, cos, rank FROM (
     FROM q JOIN v ON q.id <> v.id
   )
 ) WHERE rank <= {ANN_K}
-""",
-)
+"""
+
+_ANN_IVF_ORACLE = SIM.ann_topk_ivf_sql(_V_CTE, ANN_QUERIES, ANN_K)
+
+
+@register("ann_topk", oracle=_ANN_TOPK_ORACLE)
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k neighbors for the first 10 vectors
     (broadcast query side; deterministic tie-break by neighbor id)."""
@@ -306,10 +308,7 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ann_topk_bruteforce(emb, queries, ANN_K, dim=EMB_DIM)
 
 
-@register(
-    "ann_topk_ivf",
-    oracle=SIM.ann_topk_ivf_sql(_V_CTE, ANN_QUERIES, ANN_K),
-)
+@register("ann_topk_ivf", oracle=_ANN_IVF_ORACLE)
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: nearest-centroid cell assignment, probe
     the 4 nearest cells per query, exact rank within probed cells —
@@ -318,6 +317,57 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < ANN_QUERIES)
     return SIM.ann_topk_ivf(emb, queries, ANN_K, dim=EMB_DIM)
+
+
+@register(
+    "ann_recall_at_k",
+    oracle=f"""
+WITH truth AS (SELECT qid, neighbor FROM ({_ANN_TOPK_ORACLE})),
+cand AS (SELECT qid, neighbor FROM ({_ANN_IVF_ORACLE})),
+hits AS (
+  SELECT cand.qid, count(*) AS nh
+  FROM cand JOIN truth
+    ON truth.qid = cand.qid AND truth.neighbor = cand.neighbor
+  GROUP BY cand.qid
+)
+SELECT q.qid, CAST(coalesce(hits.nh, 0) AS DOUBLE) / {ANN_K} AS recall
+FROM (SELECT DISTINCT qid FROM truth) q LEFT JOIN hits USING (qid)
+""",
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index against the brute-force ground truth —
+    the evaluation query an ANN deployment runs after every (re)build,
+    expressed as a join of the two ranked result sets (truth ∩
+    candidates per query, over k). Both inputs are the deterministic
+    oracle-checked queries, so the metric itself is exact; at corpus
+    scale the truth side comes from a sampled query set, which is
+    exactly this plan's shape (broadcast-small query side, semi-join
+    on the candidate set).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < ANN_QUERIES)
+    truth = SIM.ann_topk_bruteforce(emb, queries, ANN_K, dim=EMB_DIM).select(
+        "qid", "neighbor"
+    )
+    cand = SIM.ann_topk_ivf(emb, queries, ANN_K, dim=EMB_DIM).select(
+        "qid", "neighbor"
+    )
+    hits = (
+        cand.join(truth, ["qid", "neighbor"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("nh"))
+    )
+    return (
+        truth.select("qid")
+        .distinct()
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            (F.coalesce(F.col("nh"), F.lit(0)).cast("double") / ANN_K).alias(
+                "recall"
+            ),
+        )
+    )
 
 
 @register(

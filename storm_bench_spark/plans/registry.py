@@ -77,7 +77,6 @@ def _ensure_loaded() -> None:
 # by definition ungated. Within a tier, registration order is kept.
 _GATE_PRIORITY: tuple[str, ...] = (
     # tier 1 — NEW in round 4 (never gated) or touched in round 4
-    "text_normalize",
     "pii_mask",
     "streaming_dedup",
     "streaming_dedup_watermarked",
@@ -132,6 +131,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "tpch_q20",
     # ...and one more for multires_rollup
     "tpch_q21",
+    # ...and one more for ann_recall_at_k (composes two already-gated
+    # queries, but the metric join itself is new)
+    "text_normalize",
     # unique_visitor_approx was rewritten onto the portable HLL sketch
     # (it gains an oracle and leaves tier 3 → unlisted → in-window);
     # stratified_sample yields its slot — deterministic hash-gated
