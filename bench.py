@@ -124,6 +124,7 @@ HEADLINE = [
     "multires_rollup",
     "unique_visitor_approx",
     "ann_recall_at_k",
+    "training_corpus_build",
 ]
 
 

@@ -41,9 +41,7 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
-@register(
-    "corpus_curate",
-    oracle=f"""
+CURATE_ORACLE = f"""
 WITH keepers AS (
   SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
 ),
@@ -56,8 +54,10 @@ FROM documents d
 JOIN keepers k ON d.doc_id = k.doc_id
 WHERE d.doc_id NOT IN (SELECT node FROM drops)
   AND len(list_filter(string_split_regex(d.text, '{WS_RUN_PATTERN}'), w -> w <> '')) >= {MIN_TOKENS}
-""",
-)
+"""
+
+
+@register("corpus_curate", oracle=CURATE_ORACLE)
 def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation pipeline, end to end:
 

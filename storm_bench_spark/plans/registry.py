@@ -77,7 +77,6 @@ def _ensure_loaded() -> None:
 # by definition ungated. Within a tier, registration order is kept.
 _GATE_PRIORITY: tuple[str, ...] = (
     # tier 1 — NEW in round 4 (never gated) or touched in round 4
-    "pii_mask",
     "streaming_dedup",
     "streaming_dedup_watermarked",
     "repetition_score",
@@ -134,6 +133,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # ...and one more for ann_recall_at_k (composes two already-gated
     # queries, but the metric join itself is new)
     "text_normalize",
+    # ...and one more for training_corpus_build (the capstone
+    # composition); pii_mask yields — deterministic regex scan, same
+    # risk class as text_normalize, repo-verified at sf0.01
+    "pii_mask",
     # unique_visitor_approx was rewritten onto the portable HLL sketch
     # (it gains an oracle and leaves tier 3 → unlisted → in-window);
     # stratified_sample yields its slot — deterministic hash-gated

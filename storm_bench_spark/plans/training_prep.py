@@ -54,9 +54,7 @@ def _gram_hashes(wv):
     ).otherwise(F.array().cast("array<bigint>"))
 
 
-@register(
-    "decontaminate",
-    oracle=f"""
+_DECON_ORACLE = f"""
 WITH toks AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
 grams AS (
   SELECT doc_id, {hash64_sql("array_to_string(w[i:i+" + str(_GRAM_N - 1) + "], ' ')")} AS g
@@ -68,8 +66,10 @@ SELECT grams.doc_id, CAST(count(DISTINCT grams.g) AS BIGINT) AS n_hits
 FROM grams JOIN evalg USING (g)
 WHERE grams.doc_id % {_EVAL_MOD} <> 0
 GROUP BY grams.doc_id
-""",
-)
+"""
+
+
+@register("decontaminate", oracle=_DECON_ORACLE)
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination by word-4-gram overlap: a training doc
     is contaminated if any of its 4-grams appears in the eval slice.
@@ -192,4 +192,66 @@ def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.crossJoin(F.broadcast(thr))
         .where(F.col("n_tokens") >= F.col("thr"))
         .select("doc_id", "n_tokens")
+    )
+
+
+# --- the capstone composition: curate → decontaminate → pack -------------
+
+def _corpus_build_oracle() -> str:
+    from storm_bench_spark.plans.curation import CURATE_ORACLE
+
+    return f"""
+WITH kept AS (SELECT doc_id, n_tokens FROM ({CURATE_ORACLE})),
+contam AS (SELECT doc_id FROM ({_DECON_ORACLE})),
+clean AS (
+  SELECT doc_id, n_tokens FROM kept
+  WHERE doc_id % {_EVAL_MOD} <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM contam)
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM clean
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(cum / {_SEQ_LEN}) AS BIGINT) AS seq_id
+FROM c
+"""
+
+
+@register("training_corpus_build", oracle=_corpus_build_oracle())
+def training_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus pipeline as ONE query — what a
+    user of this engine actually ships:
+
+    1. curate: exact dedup → near-dup cluster keep-canonical → length
+       floor (``corpus_curate``'s composition, reused);
+    2. decontaminate: drop the benchmark slice AND every training doc
+       sharing a 4-gram with it (anti-join against the broadcast-built
+       hit list);
+    3. pack: concat-and-chunk the survivors into 512-token training
+       sequences via the distributed prefix sum (never one task).
+
+    Every stage is the already-oracle-checked operator; the composed
+    oracle replays the whole chain, so the green cell certifies the
+    STAGE BOUNDARIES (which docs survive the joins, where the packing
+    lands after the drops) — the part integration bugs live in. Scale
+    shape: three keyed joins/aggregations plus the two-phase prefix
+    sum; nothing funnels the corpus through a single task.
+    """
+    from storm_bench_spark.plans.curation import corpus_curate
+
+    kept = corpus_curate(spark, sf_dir)
+    contam = decontaminate(spark, sf_dir).select("doc_id")
+    clean = kept.where(F.col("doc_id") % _EVAL_MOD != 0).join(
+        contam, "doc_id", "left_anti"
+    )
+    cum = exclusive_prefix_sum(
+        clean.select("doc_id", "n_tokens"), "doc_id", "n_tokens", out_col="cum"
+    )
+    return cum.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.floor(F.col("cum") / _SEQ_LEN).cast("bigint").alias("seq_id"),
     )
