@@ -125,6 +125,7 @@ HEADLINE = [
     "unique_visitor_approx",
     "ann_recall_at_k",
     "training_corpus_build",
+    "fuzzy_name_pairs_d2",
 ]
 
 

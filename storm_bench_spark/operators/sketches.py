@@ -285,6 +285,35 @@ def deletion_variants(col: Column) -> Column:
     return F.array_distinct(F.concat(F.array(col), deletes))
 
 
+def deletion_variants2(col: Column) -> Column:
+    """Depth-2 deletion neighborhood: the string, every 1-delete, and
+    every 2-delete (positions i < j removed).
+
+    The SymSpell guarantee extends: ``levenshtein(u, v) ≤ 2`` implies
+    ``deletes≤2(u) ∩ deletes≤2(v) ≠ ∅`` (align u and v; deleting the
+    ≤2 mismatched positions from each side yields a common string), so
+    the equi-join stays a lossless candidate generator at distance 2.
+    Variant count is 1 + L + C(L,2) — ~190 for 18-char keys; the
+    candidate table stays linear in input because variants, like the
+    strings, are per-row bounded.
+    """
+    d2 = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length(col)),
+            lambda i: F.transform(
+                F.sequence(i + F.lit(1), F.length(col)),
+                # delete positions i and j (i < j): three substrings
+                lambda j: F.concat(
+                    col.substr(F.lit(1), i - F.lit(1)),
+                    col.substr(i + F.lit(1), j - i - F.lit(1)),
+                    col.substr(j + F.lit(1), F.length(col)),
+                ),
+            ),
+        )
+    )
+    return F.array_distinct(F.concat(deletion_variants(col), d2))
+
+
 def fuzzy_pairs(
     df: DataFrame,
     block_cols: Sequence[str],
@@ -294,23 +323,38 @@ def fuzzy_pairs(
     """Distinct pairs (block..., name1, name2) with ``name1 < name2``
     and ``levenshtein ≤ max_dist`` inside each block.
 
-    Candidates come from the deletion-variant equi-join (lossless for
-    max_dist=1; for larger distances the variant set would need
-    multi-deletes — not implemented, asserted). The exact levenshtein
-    predicate runs AFTER ``distinct()`` so each surviving pair pays one
-    edit-distance evaluation, not one per shared variant.
+    Candidates come from the deletion-variant equi-join (depth-matched
+    to ``max_dist`` 1 or 2 — the SymSpell neighborhood is lossless at
+    its own depth). The exact levenshtein predicate runs AFTER
+    ``distinct()`` so each surviving pair pays one edit-distance
+    evaluation, not one per shared variant.
     """
-    if max_dist != 1:
-        raise ValueError("deletion-neighborhood blocking is exact for max_dist=1 only")
+    if max_dist == 1:
+        variants = deletion_variants(F.col(name_col))
+    elif max_dist == 2:
+        variants = deletion_variants2(F.col(name_col))
+    else:
+        raise ValueError("deletion-neighborhood blocking supports max_dist 1 or 2")
+    # Join on the variant's 64-bit hash, not the string: equal variants
+    # hash equal (no lost candidates) and a hash collision only adds a
+    # false candidate the levenshtein verify removes — while the
+    # exchange carries 8-byte keys instead of L-char strings. At depth
+    # 2 each name emits ~L²/2 variants, so key width is the dominant
+    # shuffle cost. The variant table is persisted so the self-join's
+    # two sides share one explode.
+    from pyspark.storagelevel import StorageLevel
+
     v = df.select(
         *block_cols,
         F.col(name_col).alias("_n"),
-        F.explode(deletion_variants(F.col(name_col))).alias("_var"),
-    )
-    left = v.select(*block_cols, F.col("_n").alias("name1"), "_var")
-    right = v.select(*block_cols, F.col("_n").alias("name2"), "_var")
+        F.explode(variants).alias("_var"),
+    ).select(
+        *block_cols, "_n", F.xxhash64("_var").alias("_vh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    left = v.select(*block_cols, F.col("_n").alias("name1"), "_vh")
+    right = v.select(*block_cols, F.col("_n").alias("name2"), "_vh")
     cand = (
-        left.join(right, [*block_cols, "_var"])
+        left.join(right, [*block_cols, "_vh"])
         .where(F.col("name1") < F.col("name2"))
         .select(*block_cols, "name1", "name2")
         .distinct()

@@ -79,7 +79,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # tier 1 — NEW in round 4 (never gated) or touched in round 4
     "streaming_dedup",
     "streaming_dedup_watermarked",
-    "repetition_score",
     "asof_click_purchase",
     "rolling_flight_dist",
     "rolling_flight_dist_bucketed",
@@ -137,6 +136,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # composition); pii_mask yields — deterministic regex scan, same
     # risk class as text_normalize, repo-verified at sf0.01
     "pii_mask",
+    # ...and one more for fuzzy_name_pairs_d2; repetition_score yields
+    # (deterministic bigram-fraction scan, same risk class)
+    "repetition_score",
     # unique_visitor_approx was rewritten onto the portable HLL sketch
     # (it gains an oracle and leaves tier 3 → unlisted → in-window);
     # stratified_sample yields its slot — deterministic hash-gated

@@ -155,6 +155,35 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_pairs(c, ["nationkey"], "c_name")
 
 
+@register(
+    "fuzzy_name_pairs_d2",
+    oracle="""
+SELECT c1.c_nationkey AS nationkey, c1.c_name AS name1, c2.c_name AS name2,
+       CAST(levenshtein(c1.c_name, c2.c_name) AS BIGINT) AS dist
+FROM customer c1
+JOIN customer c2
+  ON c1.c_nationkey = c2.c_nationkey AND c1.c_name < c2.c_name
+WHERE levenshtein(c1.c_name, c2.c_name) <= 2
+""",
+)
+def fuzzy_name_pairs_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-2 twin of ``fuzzy_name_pairs`` — full SymSpell: the
+    depth-2 deletion neighborhood (1 + L + C(L,2) variants per name)
+    makes the equi-join lossless for ``levenshtein ≤ 2``, and the
+    emitted distance column lets consumers tier matches (exact-1 vs
+    fuzzy-2). Variant count is per-row bounded, so the candidate table
+    stays linear in input at any corpus size — the property the
+    quadratic oracle lacks.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), "c_name"
+    )
+    pairs = fuzzy_pairs(c, ["nationkey"], "c_name", max_dist=2)
+    return pairs.withColumn(
+        "dist", F.levenshtein("name1", "name2").cast("bigint")
+    )
+
+
 _FUZZY_EDGES_SQL = """
   SELECT c1.c_nationkey AS nk, c1.c_name AS a, c2.c_name AS b
   FROM customer c1 JOIN customer c2

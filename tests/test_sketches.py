@@ -137,6 +137,36 @@ def test_fuzzy_pairs_equals_bruteforce(spark, names):
     assert got == want
 
 
+@pytest.mark.parametrize(
+    "names",
+    [
+        ["abcd", "abef", "abce", "xycd", "abcdef", "ab", "zzzz", "acd"],
+        ["kitten", "sitten", "sittin", "mitten", "bitten", "kit"],
+    ],
+)
+def test_fuzzy_pairs_d2_equals_bruteforce(spark, names):
+    import itertools
+
+    df = spark.createDataFrame([Row(b=1, name=n) for n in names])
+    got = sorted(
+        (r["name1"], r["name2"])
+        for r in fuzzy_pairs(df, ["b"], "name", max_dist=2).collect()
+    )
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return d[len(b)]
+
+    want = sorted(
+        tuple(sorted(p)) for p in itertools.combinations(names, 2) if lev(*p) <= 2
+    )
+    assert got == want
+
+
 def test_fuzzy_pairs_blocking_respects_blocks(spark):
     df = spark.createDataFrame(
         [Row(b=1, name="abc"), Row(b=2, name="abd"), Row(b=1, name="abe")]
