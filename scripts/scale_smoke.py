@@ -76,6 +76,9 @@ QUERIES = [
     # sketches / pruning / fuzzy blocking (round 4, late)
     "hll_users_per_type", "bloom_high_value_orders",
     "fuzzy_name_pairs", "salted_segment_revenue",
+    # analytics / graph / capstone (round 4, late): the data-sized ones
+    "fuzzy_name_pairs_d2", "fuzzy_triangles", "gap_fill_hourly",
+    "user_moving_avg", "training_corpus_build", "embedding_project",
 ]
 
 EMB_DIM_SMOKE = 64
