@@ -126,6 +126,7 @@ HEADLINE = [
     "ann_recall_at_k",
     "training_corpus_build",
     "fuzzy_name_pairs_d2",
+    "streaming_cdc_apply",
 ]
 
 

@@ -89,7 +89,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "embedding_neardup_lsh_scaled",
     "ann_topk_ivf_kmeans",
     "quality_score",
-    "users_except",
     # plan changes late in round 4: streaming_interval_join floors
     # event time to whole seconds before the join (oracle-boundary
     # alignment) and streaming_rolling_sort merges per-trigger tops
@@ -139,6 +138,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # ...and one more for fuzzy_name_pairs_d2; repetition_score yields
     # (deterministic bigram-fraction scan, same risk class)
     "repetition_score",
+    # ...and one more for streaming_cdc_apply (real multi-epoch fold —
+    # new machinery); users_except yields (plain set algebra, vacuity
+    # fix r3-verified, repo-verified at sf0.01 since)
+    "users_except",
     # unique_visitor_approx was rewritten onto the portable HLL sketch
     # (it gains an oracle and leaves tier 3 → unlisted → in-window);
     # stratified_sample yields its slot — deterministic hash-gated

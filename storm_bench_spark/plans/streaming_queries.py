@@ -387,3 +387,80 @@ def streaming_hashtag_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     win = sliding_agg(tags, 60, 5, ["tag"], [F.count("*").alias("cnt")])
     return run_to_memory(win, output_mode="complete")
+
+
+# --- streaming CDC: incremental snapshot maintenance ---------------------
+
+from storm_bench_spark.plans.curation import CDC_ORACLE as _CDC_ORACLE  # noqa: E402
+
+
+@register(
+    "streaming_cdc_apply",
+    # identical final state ⇒ the batch CDC oracle verifies the
+    # incremental fold (three real micro-batches, not one availableNow
+    # epoch over a single file)
+    oracle=_CDC_ORACLE,
+    doc="cdc_apply maintained incrementally across 3 micro-batches",
+)
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cdc_apply`` as a STREAMING fold: the changelog is split into
+    three chronological files, consumed one per micro-batch
+    (``maxFilesPerTrigger=1``), each folded into an epoch-versioned
+    snapshot via ``foreachBatch`` (streaming/cdc_stream.py — the
+    checkpoint + overwrite-versioned-directory discipline that makes
+    batch retries idempotent). The final snapshot must equal the batch
+    operator's one-pass answer — which is exactly what the shared
+    oracle asserts: incremental-fold == full-recompute, the invariant
+    a production CDC pipeline lives on.
+
+    The chronological split cuts on time-range terciles, so a key's
+    later change always lands in a later-or-equal batch (the module's
+    ordering contract); within a batch the (sec, event_id) struct
+    resolves.
+    """
+    import os
+    import tempfile
+
+    from storm_bench_spark.plans.curation import cdc_changelog
+    from storm_bench_spark.sources.derived import events_sec
+    from storm_bench_spark.sources.tables import load_table
+    from storm_bench_spark.streaming.cdc_stream import apply_changes_stream
+
+    base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    ch = cdc_changelog(events_sec(spark, sf_dir))
+
+    bounds = ch.agg(F.min("sec").alias("lo"), F.max("sec").alias("hi")).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    c1 = lo + (hi - lo) // 3
+    c2 = lo + 2 * (hi - lo) // 3
+    parts = [
+        F.col("sec") <= c1,
+        (F.col("sec") > c1) & (F.col("sec") <= c2),
+        F.col("sec") > c2,
+    ]
+    data_dir = tempfile.mkdtemp(prefix="sbs_cdc_in_")
+    n_parts = len(parts)
+    for age, cond in enumerate(parts):
+        before = set(os.listdir(data_dir))
+        ch.where(cond).coalesce(1).write.mode("append").parquet(data_dir)
+        # file source orders batches by modification time: age earlier
+        # files (same mechanism as tests/test_streaming.py's watermark
+        # fixture)
+        for f in set(os.listdir(data_dir)) - before:
+            p = os.path.join(data_dir, f)
+            st = os.stat(p)
+            shift = (n_parts - age) * 3600
+            os.utime(p, (st.st_atime - shift, st.st_mtime - shift))
+
+    change_stream = (
+        spark.readStream.schema(ch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(data_dir)
+    )
+    return apply_changes_stream(
+        base,
+        change_stream,
+        keys=["c_custkey"],
+        order_key=F.struct(F.col("sec"), F.col("event_id")),
+        payload_cols=["c_name"],
+    )

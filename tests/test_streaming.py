@@ -252,3 +252,54 @@ def test_with_processing_time_stamps_arrival_seconds(spark):
     win = sliding_agg(df.select(F.col("proc_sec").alias("sec"), "id"), 60, 10, [], [F.count("*").alias("c")])
     total = sum(r["c"] for r in win.collect())
     assert total == 5 * (60 // 10)  # every row in all 6 overlapping windows
+
+
+def test_streaming_cdc_folds_across_real_epochs(spark, tmp_path):
+    """apply_changes_stream must process MULTIPLE micro-batches (one per
+    input file) and leave one versioned snapshot per epoch, with the
+    final fold equal to the batch operator over the full changelog."""
+    import os
+
+    from pyspark.sql import Row
+
+    from storm_bench_spark.operators.cdc import apply_changes
+    from storm_bench_spark.streaming.cdc_stream import apply_changes_stream
+
+    base = spark.createDataFrame([Row(k=i, val=f"base{i}") for i in range(5)])
+    batches = [
+        [Row(k=1, sec=10, cid=1, op="upsert", val="v1")],
+        [Row(k=2, sec=20, cid=2, op="delete", val=None),
+         Row(k=1, sec=21, cid=3, op="upsert", val="v2")],
+        [Row(k=9, sec=30, cid=4, op="upsert", val="new9")],
+    ]
+    data_dir = tmp_path / "cdc_in"
+    data_dir.mkdir()
+    for age, rows in enumerate(batches):
+        before = set(os.listdir(data_dir))
+        spark.createDataFrame(rows).coalesce(1).write.mode("append").parquet(
+            str(data_dir)
+        )
+        for f in set(os.listdir(data_dir)) - before:
+            p = data_dir / f
+            shift = (len(batches) - age) * 3600
+            os.utime(p, (p.stat().st_mtime - shift, p.stat().st_mtime - shift))
+
+    schema = spark.createDataFrame(batches[1]).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(data_dir))
+    )
+    workdir = str(tmp_path / "snapshots")
+    os.makedirs(workdir)
+    got = apply_changes_stream(
+        base, stream, ["k"], F.struct("sec", "cid"), ["val"], workdir=workdir
+    )
+    versions = [d for d in os.listdir(workdir) if d.startswith("snapshot_v")]
+    assert len(versions) == 3, versions  # one epoch per file — real increments
+    want = apply_changes(
+        base.select("k", F.col("val")),
+        spark.createDataFrame([r for b in batches for r in b]),
+        ["k"], F.struct("sec", "cid"), ["val"],
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
