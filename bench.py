@@ -127,6 +127,9 @@ HEADLINE = [
     "training_corpus_build",
     "fuzzy_name_pairs_d2",
     "streaming_cdc_apply",
+    "cohort_retention",
+    "source_centroids_q8",
+    "source_similarity_q8",
 ]
 
 

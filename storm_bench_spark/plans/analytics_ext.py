@@ -198,6 +198,46 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- cohort retention -----------------------------------------------------
+
+_COHORT_ORACLE = f"""
+WITH es AS ({D.EVENTS_SEC_SQL}),
+act AS (SELECT DISTINCT user_id, sec // 86400 AS day FROM es),
+cohort AS (SELECT user_id, min(day) AS c_day FROM act GROUP BY user_id)
+SELECT cohort.c_day AS cohort_day, act.day - cohort.c_day AS day_offset,
+       COUNT(*) AS n_users
+FROM act JOIN cohort USING (user_id)
+GROUP BY cohort.c_day, act.day - cohort.c_day
+"""
+
+
+@register("cohort_retention", oracle=_COHORT_ORACLE)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention matrix: users grouped by first-active
+    day, counted on each later active day (offset in days) — the
+    product-analytics query every events warehouse serves. Three keyed
+    aggregations, all on user_id or (cohort, offset): the per-(user,
+    day) distinct collapses raw events first (map-side combine absorbs
+    within-day repeats), the cohort table is one row per user
+    (broadcast side of the join), and each (user, day) pair lands in
+    exactly one (cohort, offset) cell — so count(*) IS the distinct
+    user count, no second distinct shuffle.
+    """
+    es = D.events_sec(spark, sf_dir).select(
+        "user_id", F.expr("sec DIV 86400").alias("day")
+    )
+    act = es.distinct()
+    cohort = act.groupBy("user_id").agg(F.min("day").alias("c_day"))
+    return (
+        act.join(F.broadcast(cohort), "user_id")
+        .groupBy(
+            F.col("c_day").alias("cohort_day"),
+            (F.col("day") - F.col("c_day")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 # --- multi-resolution (continuous-aggregate) rollup ----------------------
 
 _MULTIRES_ORACLE = f"""

@@ -863,3 +863,112 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cnt").cast("bigint").alias("est_cnt"))
     )
     return est.where(F.col("est_cnt") >= CMS_MIN_EST)
+
+
+# --- per-source quantized centroids + source-pair similarity -------------
+# Corpus drift analytics over the int8-quantized embeddings: integer
+# sums are associative, so the centroid math is EXACT and order-free —
+# the reason these aggregate the quantized vectors and not the raw
+# floats (a per-(source,dim) float sum is partition-order-dependent;
+# the int8 path trades ~0.4% quantization error for bit determinism,
+# the same trade ann_topk_quantized documents).
+
+_SRC_SUMS_SQL = f"""
+  SELECT d.source, t.i AS dim,
+         SUM(q.qarr[t.i]) AS s, COUNT(*) AS n
+  FROM ({_QV_CTE}) q
+  JOIN documents d ON d.doc_id = q.vec_id
+  CROSS JOIN (SELECT unnest(range(1, {EMB_DIM + 1})) AS i) t
+  GROUP BY d.source, t.i
+"""
+
+
+@register(
+    "source_centroids_q8",
+    oracle=f"""
+SELECT source, CAST(dim AS BIGINT) AS dim,
+       CAST(s AS DOUBLE) / n AS centroid
+FROM ({_SRC_SUMS_SQL})
+""",
+)
+def source_centroids_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean embedding per document source (long form:
+    one row per (source, dim)) over int8-quantized vectors — the
+    corpus-drift dashboard query. Integer dimension sums are exact
+    under ANY partition order (|s| ≤ 127·n stays far inside int64 up
+    to ~10^16 docs/source), and the one divide to a double is
+    IEEE-deterministic; no float accumulation anywhere. Plan:
+    posexplode (narrow) + one keyed aggregation with full map-side
+    combine — |sources|·dim result rows regardless of corpus size.
+    """
+    emb = _quantized(load_table(spark, sf_dir, "embeddings"))
+    src = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    exploded = emb.join(src, "vec_id").select(
+        "source", F.posexplode("qarr").alias("pos", "q")
+    )
+    return (
+        exploded.groupBy("source", (F.col("pos") + 1).alias("dim"))
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "source",
+            F.col("dim").cast("bigint").alias("dim"),
+            (F.col("s").cast("double") / F.col("n")).alias("centroid"),
+        )
+    )
+
+
+@register(
+    "source_similarity_q8",
+    oracle=f"""
+WITH sums AS ({_SRC_SUMS_SQL}),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         SUM(a.s * b.s) AS num, SUM(a.s * a.s) AS na, SUM(b.s * b.s) AS nb
+  FROM sums a JOIN sums b ON a.dim = b.dim AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b,
+       round(CAST(num AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cos
+FROM pairs
+""",
+)
+def source_similarity_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine similarity between every pair of source centroids —
+    which sub-corpora look alike. The count cancels in cosine
+    (mean = s/n ⇒ cos(means) == cos(sums)), so the whole computation
+    stays in EXACT integer arithmetic (Σ s_a·s_b over 64 dims; the
+    int64 envelope |Σ| ≤ 64·(127n)² holds to ~3·10^6 docs/source —
+    past that, widen to DECIMAL(38) partials) until one deterministic
+    divide+sqrt at the end. Plan: the 64·|sources|-row sums table
+    self-joins on dim — broadcast-tiny both sides, output
+    |sources|²/2 rows.
+    """
+    # the exact-integer sums table (not the divided centroids)
+    emb = _quantized(load_table(spark, sf_dir, "embeddings"))
+    src = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    s = (
+        emb.join(src, "vec_id")
+        .select("source", F.posexplode("qarr").alias("pos", "q"))
+        .groupBy("source", "pos")
+        .agg(F.sum("q").alias("s"))
+    )
+    a = s.select(F.col("source").alias("source_a"), "pos", F.col("s").alias("sa"))
+    b = s.select(F.col("source").alias("source_b"), "pos", F.col("s").alias("sb"))
+    pairs = (
+        a.join(b, "pos")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.col("sa") * F.col("sb")).alias("num"),
+            F.sum(F.col("sa") * F.col("sa")).alias("na"),
+            F.sum(F.col("sb") * F.col("sb")).alias("nb"),
+        )
+    )
+    cos = F.col("num").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return pairs.select("source_a", "source_b", F.round(cos, 6).alias("cos"))

@@ -77,9 +77,6 @@ def _ensure_loaded() -> None:
 # by definition ungated. Within a tier, registration order is kept.
 _GATE_PRIORITY: tuple[str, ...] = (
     # tier 1 — NEW in round 4 (never gated) or touched in round 4
-    "streaming_dedup",
-    "streaming_dedup_watermarked",
-    "asof_click_purchase",
     "rolling_flight_dist",
     "rolling_flight_dist_bucketed",
     "streaming_flight_dist",
@@ -142,6 +139,16 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # new machinery); users_except yields (plain set algebra, vacuity
     # fix r3-verified, repo-verified at sf0.01 since)
     "users_except",
+    # ...and three more for cohort_retention + the two quantized
+    # source-centroid queries; the streaming dedup twins yield
+    # (dropDuplicates plans with trivial oracles — global DISTINCT —
+    # and engine-side parity tests) and asof_click_purchase yields
+    # (independently compared against DuckDB's NATIVE ASOF JOIN in
+    # tests/test_asof.py on every pytest run, the strongest
+    # non-driver check in the suite)
+    "streaming_dedup",
+    "streaming_dedup_watermarked",
+    "asof_click_purchase",
     # unique_visitor_approx was rewritten onto the portable HLL sketch
     # (it gains an oracle and leaves tier 3 → unlisted → in-window);
     # stratified_sample yields its slot — deterministic hash-gated
