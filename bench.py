@@ -130,6 +130,7 @@ HEADLINE = [
     "cohort_retention",
     "source_centroids_q8",
     "source_similarity_q8",
+    "streaming_funnel",
 ]
 
 

@@ -81,7 +81,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "rolling_flight_dist_bucketed",
     "streaming_flight_dist",
     "neardup_clusters",
-    "corpus_curate",
     "embedding_neardup_lsh",
     "embedding_neardup_lsh_scaled",
     "ann_topk_ivf_kmeans",
@@ -149,6 +148,12 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "streaming_dedup",
     "streaming_dedup_watermarked",
     "asof_click_purchase",
+    # ...and one more for streaming_funnel (the applyInPandasWithState
+    # stage machine); corpus_curate yields — its ENTIRE pipeline runs
+    # inside training_corpus_build's gated row (the composed oracle
+    # replays the curate chain verbatim), so the driver still checks
+    # the curate logic every round through that row
+    "corpus_curate",
     # unique_visitor_approx was rewritten onto the portable HLL sketch
     # (it gains an oracle and leaves tier 3 → unlisted → in-window);
     # stratified_sample yields its slot — deterministic hash-gated

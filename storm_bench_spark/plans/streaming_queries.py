@@ -464,3 +464,50 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_key=F.struct(F.col("sec"), F.col("event_id")),
         payload_cols=["c_name"],
     )
+
+
+# --- streaming funnel: sequential-pattern keyed state ---------------------
+
+from storm_bench_spark.plans.analytics_ext import _FUNNEL_ORACLE as _SF_ORACLE  # noqa: E402
+
+
+@register(
+    "streaming_funnel",
+    # identical final state ⇒ the batch funnel's oracle verifies the
+    # state machine
+    oracle=_SF_ORACLE,
+    doc="funnel_conversion via an applyInPandasWithState stage machine",
+)
+def streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``funnel_conversion`` through ARBITRARY keyed state: a per-user
+    view→click→purchase machine in ``applyInPandasWithState``
+    (streaming/stateful.py:funnel_state) — the sequential-pattern
+    class no built-in windowed aggregation expresses, because stage
+    k's predicate depends on stage k−1's match TIME. The greedy
+    in-order pass equals the batch funnel's chained minima, so the
+    batch oracle certifies the state machine. Finalization maxes the
+    set-once stage columns per user (robust to per-batch re-emission)
+    and counts stages.
+    """
+    from storm_bench_spark.streaming.stateful import funnel_state
+
+    e = stream_table(spark, sf_dir, "events").withColumn(
+        "sec", F.col("ts").cast("long")
+    )
+    snap = run_to_memory(
+        funnel_state(e), output_mode="append", query_name=None
+    )
+    per_user = snap.groupBy("user_id").agg(
+        F.max("v").alias("v"), F.max("c").alias("c"), F.max("p").alias("p")
+    )
+
+    def _stage(col: str, stage: str) -> DataFrame:
+        return per_user.where(F.col(col).isNotNull()).agg(
+            F.lit(stage).alias("stage"), F.count(F.lit(1)).alias("users")
+        )
+
+    return (
+        _stage("v", "view")
+        .unionByName(_stage("c", "click"))
+        .unionByName(_stage("p", "purchase"))
+    )

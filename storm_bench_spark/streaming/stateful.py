@@ -51,3 +51,70 @@ def running_count(keyed: DataFrame, key_col: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- sequential-pattern state machine: funnel stage tracking -------------
+
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("v", LongType()),
+        StructField("c", LongType()),
+        StructField("p", LongType()),
+    ]
+)
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("v", LongType()),
+        StructField("c", LongType()),
+        StructField("p", LongType()),
+    ]
+)
+
+
+def _update_funnel(key, pdfs, state):
+    """Advance the per-user view→click→purchase machine.
+
+    Greedy single pass over the batch's events in (sec, event_id)
+    order: first view, then first click at-or-after it, then first
+    purchase at-or-after that click — the greedy matches are the
+    minima the batch funnel computes, so final state == batch answer.
+    Cross-batch correctness needs chronologically ordered batches
+    (the same contract as streaming/cdc_stream.py); within a batch the
+    explicit sort handles arbitrary arrival order.
+    """
+    import pandas as pd
+
+    v, c, p = state.get if state.exists else (None, None, None)
+    rows = pd.concat(list(pdfs))
+    rows = rows.sort_values(["sec", "event_id"])
+    for sec, et in zip(rows["sec"].tolist(), rows["event_type"].tolist()):
+        if et == "view" and v is None:
+            v = sec
+        elif et == "click" and v is not None and c is None and sec >= v:
+            c = sec
+        elif et == "purchase" and c is not None and p is None and sec >= c:
+            p = sec
+    state.update((v, c, p))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "v": [v], "c": [c], "p": [p]}, dtype="object"
+    )
+
+
+def funnel_state(events: DataFrame) -> DataFrame:
+    """Per-user funnel stage timestamps as arbitrary keyed state.
+
+    ``events`` must be a streaming DataFrame with (user_id, sec,
+    event_id, event_type). Emits the current (v, c, p) stage
+    timestamps per user per batch — a sequential-pattern matcher that
+    no built-in windowed aggregation expresses (stage k's predicate
+    depends on stage k−1's MATCH TIME, not on a fixed window).
+    """
+    sel = events.select("user_id", "sec", "event_id", "event_type")
+    return sel.groupBy("user_id").applyInPandasWithState(
+        _update_funnel,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
