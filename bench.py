@@ -131,6 +131,8 @@ HEADLINE = [
     "source_centroids_q8",
     "source_similarity_q8",
     "streaming_funnel",
+    "user_event_pivot",
+    "streaming_enriched_revenue",
 ]
 
 

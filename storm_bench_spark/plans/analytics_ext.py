@@ -373,3 +373,38 @@ def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.abs(F.col("z")) > Z_CUT)
         .select("event_id", "event_type", "value", "z")
     )
+
+
+# --- pivot / wide-format analytics ----------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_ORACLE = f"""
+WITH es AS ({D.EVENTS_SEC_SQL})
+SELECT user_id,
+       {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES)}
+FROM es GROUP BY user_id
+"""
+
+
+@register("user_event_pivot", oracle=_PIVOT_ORACLE)
+def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users × event-type count matrix via ``groupBy().pivot()`` — the
+    wide-format reporting surface. The pivot values are DECLARED (the
+    five known types), so Catalyst plans a single-pass pivot
+    aggregation with no distinct-values pre-query — the form that
+    scales (an undeclared pivot first scans for distinct keys and can
+    explode the column count). Counts are exact integers; the oracle
+    spells the same matrix as FILTERed aggregates.
+    """
+    es = D.events_sec(spark, sf_dir).select("user_id", "event_type")
+    out = (
+        es.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+    return renamed

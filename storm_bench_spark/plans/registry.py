@@ -154,6 +154,15 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # replays the curate chain verbatim), so the driver still checks
     # the curate logic every round through that row
     "corpus_curate",
+    # Two late additions PINNED OUT of the window by choice (inverting
+    # the new-queries-first default): integer pivot counts and a
+    # stream-static join over the already-gated decimal-sum discipline
+    # are the lowest-risk class in the registry, and both are
+    # repo-verified at sf0.01 + sf0.001-pytest; the window rows they
+    # would displace (flight/LSH/CC reworks) carry real cross-engine
+    # risk.
+    "user_event_pivot",
+    "streaming_enriched_revenue",
     # unique_visitor_approx was rewritten onto the portable HLL sketch
     # (it gains an oracle and leaves tier 3 → unlisted → in-window);
     # stratified_sample yields its slot — deterministic hash-gated

@@ -511,3 +511,43 @@ def streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_stage("c", "click"))
         .unionByName(_stage("p", "purchase"))
     )
+
+
+# --- stream-static join (dimension enrichment) ----------------------------
+
+@register(
+    "streaming_enriched_revenue",
+    oracle="""
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def streaming_enriched_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join — the dimension-enrichment capability: the
+    orders STREAM joins the static customer table (planned as a
+    broadcast per micro-batch; the static side re-resolves each
+    trigger, which is how slowly-refreshing dims stay current), then a
+    complete-mode grouped aggregation holds segment revenue in the
+    state store. Exact-decimal sums (tpch.py discipline) keep the
+    incremental accumulation equal to the one-shot batch join the
+    oracle runs — covering the one Structured Streaming join mode the
+    interval-join and CDC queries don't (stream-stream and
+    foreachBatch respectively).
+    """
+    from storm_bench_spark.sources.tables import load_table
+
+    o = stream_table(spark, sf_dir, "orders")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = o.join(dim, "o_custkey")
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+    return run_to_memory(agg, output_mode="complete")
