@@ -133,16 +133,20 @@ def _perturb_embeddings(df, k: int):
 
 
 def _perturb_customer(df, k: int):
-    """Copy k>0: suffix every name with ``~kk`` (copy digit doubled).
+    """Copy k>0: suffix every name with ``~kkk`` (copy digit tripled).
 
     Within-copy edit distances are preserved exactly (shared suffix);
-    cross-copy suffixes differ in ≥2 positions, so no cross-copy pair
-    can sit at levenshtein ≤ 1 — the fuzzy-pair count scales with R
-    (one match set per copy), not R² (the cloned-data artifact the
-    documents perturbation also avoids)."""
+    cross-copy suffixes differ in ≥3 positions, so no cross-copy pair
+    can sit at levenshtein ≤ 2 — both fuzzy probes (d1 AND d2) scale
+    with R (one match set per copy), not R² (the cloned-data artifact
+    the documents perturbation also avoids; the earlier doubled-digit
+    suffix only protected distance 1 and made the d2 probe quadratic
+    in R)."""
     if k == 0:
         return df
-    return df.withColumn("c_name", F.concat(F.col("c_name"), F.lit(f"~{k}{k}")))
+    return df.withColumn(
+        "c_name", F.concat(F.col("c_name"), F.lit(f"~{k}{k}{k}"))
+    )
 
 
 PERTURB = {

@@ -341,7 +341,16 @@ def fuzzy_pairs(
     # exchange carries 8-byte keys instead of L-char strings. At depth
     # 2 each name emits ~L²/2 variants, so key width is the dominant
     # shuffle cost. The variant table is persisted so the self-join's
-    # two sides share one explode.
+    # two sides share one explode, and REPARTITIONED ON THE JOIN KEY
+    # first: without the explicit exchange, the static planner sizes
+    # the exploded side from the input FILE (explode keeps child
+    # stats), decides it is broadcast-small, and at scale the
+    # broadcast build collects the whole variant table to the driver
+    # — the 100× smoke failed exactly there (maxResultSize at 285M
+    # variant rows). Behind a real exchange, AQE picks the strategy
+    # from ACTUAL sizes: broadcast at fixture scale, shuffled join at
+    # 100×, and the co-partitioning means the self-join adds no
+    # further shuffle either way.
     from pyspark.storagelevel import StorageLevel
 
     v = df.select(
@@ -350,7 +359,7 @@ def fuzzy_pairs(
         F.explode(variants).alias("_var"),
     ).select(
         *block_cols, "_n", F.xxhash64("_var").alias("_vh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).repartition(*block_cols, "_vh").persist(StorageLevel.MEMORY_AND_DISK)
     left = v.select(*block_cols, F.col("_n").alias("name1"), "_vh")
     right = v.select(*block_cols, F.col("_n").alias("name2"), "_vh")
     cand = (

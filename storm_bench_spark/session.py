@@ -61,7 +61,12 @@ def get_spark(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Keep the UI off for test/bench runs (driver runs headless).
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Single-JVM local mode: this is the WHOLE memory budget, shared
+        # by 32 task threads (execution + storage). 8g meant ~250 MB per
+        # concurrent task and the 100× scale smoke OOMed in the sorter;
+        # the box has 128 GiB, so default to a 100×-capable share. On a
+        # real cluster this knob is per-executor and set by spark-submit.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
