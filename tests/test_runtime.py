@@ -111,3 +111,48 @@ def test_metrics_recorder_counts_rows(spark):
         assert rec.dump_jsonl()  # one JSON line per progress event
     finally:
         spark.streams.removeListener(rec)
+
+
+def test_task_retry_yields_identical_results():
+    """Fault tolerance: a task that fails on its first attempt must
+    produce the SAME result on retry — the determinism contract every
+    oracle comparison silently relies on (Spark recomputes lost/failed
+    partitions from lineage; if any operator were
+    partition-order-sensitive, a retry would change answers).
+
+    Runs in a SUBPROCESS: retries need master ``local[4,2]`` (plain
+    local never retries), and the master is fixed at JVM launch — an
+    in-process getOrCreate would silently reuse (and a stop() would
+    kill) the shared session fixture.
+    """
+    import subprocess
+    import sys
+
+    code = """
+from pyspark import TaskContext
+from pyspark.sql import SparkSession, functions as F
+
+spark = (SparkSession.builder.master("local[4,2]").appName("sbs-retry")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+df = spark.range(0, 10_000, numPartitions=4)
+
+def flaky(iterator):
+    tc = TaskContext.get()
+    if tc.partitionId() == 2 and tc.attemptNumber() == 0:
+        raise RuntimeError("injected first-attempt failure")
+    for pdf in iterator:
+        yield pdf
+
+agg = lambda d: d.groupBy((F.col("id") % 7).alias("k")).agg(
+    F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+got = sorted(map(tuple, agg(df.mapInPandas(flaky, schema="id long")).collect()))
+want = sorted(map(tuple, agg(df).collect()))
+assert got == want, (got, want)
+print("RETRY_OK")
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
+    )
+    assert "RETRY_OK" in r.stdout, (r.stdout[-2000:], r.stderr[-2000:])
