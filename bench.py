@@ -133,6 +133,7 @@ HEADLINE = [
     "streaming_funnel",
     "user_event_pivot",
     "streaming_enriched_revenue",
+    "asof_click_purchase_tol",
 ]
 
 

@@ -38,10 +38,18 @@ def asof_join(
     sec_col: str,
     value_cols: Sequence[str],
     suffix: str = "_r",
+    tolerance_sec: int | None = None,
 ) -> DataFrame:
     """Backward as-of LEFT join: each left row gains the ``value_cols``
     of the latest right row with ``right.sec <= left.sec`` per key
     (inclusive — a right row at the same instant matches).
+
+    ``tolerance_sec`` (pandas ``merge_asof``-style) bounds the lookback:
+    a match older than ``left.sec − tolerance_sec`` is discarded — the
+    whole struct nulls out at once, so the all-columns-from-one-row
+    invariant survives the filter. Applied AFTER the window (a plain
+    post-projection conditional), so the join shape and cost are
+    unchanged.
 
     ``right`` must be unique per (key, sec) — pre-reduce it (e.g.
     ``latest_by``) if it is not; with duplicates the winner would be
@@ -80,6 +88,9 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     u = u.withColumn("_rv", F.last("_rv", ignorenulls=True).over(w))
+    if tolerance_sec is not None:
+        fresh = F.col(f"_rv.{sec_col}{suffix}") >= F.col(sec_col) - tolerance_sec
+        u = u.withColumn("_rv", F.when(fresh, F.col("_rv")))
     return u.where(F.col("_tag") == 1).select(
         *left.columns,
         *[F.col(f"_rv.{c}").alias(c) for c in out_cols],

@@ -84,7 +84,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "embedding_neardup_lsh",
     "embedding_neardup_lsh_scaled",
     "ann_topk_ivf_kmeans",
-    "quality_score",
     # plan changes late in round 4: streaming_interval_join floors
     # event time to whole seconds before the join (oracle-boundary
     # alignment) and streaming_rolling_sort merges per-trigger tops
@@ -163,6 +162,12 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # risk.
     "user_event_pivot",
     "streaming_enriched_revenue",
+    # ...and one slot for asof_click_purchase_tol (new null-out
+    # tolerance semantics — real cross-engine CASE/NULL risk);
+    # quality_score yields: its round-4 delta is oracle-TEXT-only
+    # (char-class alignment), the plan is untouched since the gated r3
+    # translate rewrite, and it is pytest- and repo-sf0.01-verified
+    "quality_score",
     # unique_visitor_approx was rewritten onto the portable HLL sketch
     # (it gains an oracle and leaves tier 3 → unlisted → in-window);
     # stratified_sample yields its slot — deterministic hash-gated

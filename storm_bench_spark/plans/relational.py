@@ -57,6 +57,49 @@ def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(a, b, ["user_id"], "sec", ["value"])
 
 
+ASOF_TOLERANCE_SEC = 3600  # 1 h lookback cap for the tolerant variant
+
+
+@register(
+    "asof_click_purchase_tol",
+    oracle=f"""
+WITH es AS ({D.EVENTS_SEC_SQL}),
+bsrc AS (SELECT user_id, sec, value, event_id FROM es WHERE event_type = 'purchase'),
+b AS (
+  SELECT s.user_id, s.sec, s.value FROM bsrc s
+  JOIN (SELECT user_id, sec, max(event_id) AS me FROM bsrc GROUP BY user_id, sec) m
+    ON s.user_id = m.user_id AND s.sec = m.sec AND s.event_id = m.me
+),
+a AS (SELECT event_id, user_id, sec FROM es WHERE event_type = 'click')
+SELECT a.event_id, a.user_id, a.sec,
+       CASE WHEN b.sec >= a.sec - {ASOF_TOLERANCE_SEC} THEN b.value END AS value_r,
+       CASE WHEN b.sec >= a.sec - {ASOF_TOLERANCE_SEC} THEN b.sec END AS sec_r
+FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND b.sec <= a.sec
+""",
+)
+def asof_click_purchase_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``asof_click_purchase`` with a pandas-``merge_asof``-style
+    1-hour tolerance: a preceding purchase older than an hour no
+    longer qualifies as point-in-time context, and BOTH matched
+    columns null out together (the whole-row struct discards at once —
+    the same invariant the NULL-handling fix pinned for plain asof).
+    Same single-shuffle union-sort plan; the tolerance is a
+    post-window conditional, not a join-shape change. The oracle nulls
+    DuckDB's native ASOF match under the same cutoff.
+    """
+    es = D.events_sec(spark, sf_dir)
+    purchases = es.where(F.col("event_type") == "purchase")
+    b = (
+        purchases.groupBy("user_id", "sec")
+        .agg(F.max(F.struct("event_id", "value")).alias("m"))
+        .select("user_id", "sec", F.col("m.value").alias("value"))
+    )
+    a = es.where(F.col("event_type") == "click").select("event_id", "user_id", "sec")
+    return asof_join(
+        a, b, ["user_id"], "sec", ["value"], tolerance_sec=ASOF_TOLERANCE_SEC
+    )
+
+
 # --- interval join: errors within ±10 min of a click ---------------------
 
 INTERVAL_CLICK_ERROR_ORACLE = f"""

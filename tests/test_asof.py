@@ -113,3 +113,25 @@ def test_asof_join_ignores_null_right_timestamps(spark):
     right2 = _df(spark, [(1, None, 7.0)], "k long, sec long, v double")
     out2 = asof_join(left, right2, ["k"], "sec", ["v"]).collect()
     assert out2[0]["v_r"] is None and out2[0]["sec_r"] is None
+
+
+def test_asof_tolerance_nulls_whole_match(spark):
+    """A match older than the tolerance nulls BOTH emitted columns
+    (whole-struct discard); a fresh match survives untouched."""
+    from pyspark.sql import Row
+
+    from storm_bench_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [Row(k="a", sec=100), Row(k="a", sec=5000), Row(k="b", sec=50)]
+    )
+    right = spark.createDataFrame([Row(k="a", sec=90, val="x")])
+    out = {
+        (r["k"], r["sec"]): (r["val_r"], r["sec_r"])
+        for r in asof_join(
+            left, right, ["k"], "sec", ["val"], tolerance_sec=1000
+        ).collect()
+    }
+    assert out[("a", 100)] == ("x", 90)      # gap 10 ≤ 1000: fresh
+    assert out[("a", 5000)] == (None, None)  # gap 4910 > 1000: discarded whole
+    assert out[("b", 50)] == (None, None)    # no right row at all
