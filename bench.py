@@ -134,6 +134,7 @@ HEADLINE = [
     "user_event_pivot",
     "streaming_enriched_revenue",
     "asof_click_purchase_tol",
+    "user_event_unpivot",
 ]
 
 

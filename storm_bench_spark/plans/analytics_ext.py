@@ -408,3 +408,33 @@ def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}") for t in _EVENT_TYPES],
     )
     return renamed
+
+
+_UNPIVOT_ORACLE = f"""
+WITH es AS ({D.EVENTS_SEC_SQL})
+SELECT user_id, event_type, COUNT(*) AS n
+FROM es GROUP BY user_id, event_type
+"""
+
+
+@register("user_event_unpivot", oracle=_UNPIVOT_ORACLE)
+def user_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pivot round trip: melt the wide users × event-type matrix
+    (``user_event_pivot``'s output) back to long form with
+    ``unpivot``, dropping the zero cells the wide form materialized.
+    The oracle is the plain long-form groupBy — so the green cell
+    certifies that pivot→unpivot is lossless (wide↔long round trips
+    are how reporting marts exchange shapes with pipelines).
+    """
+    wide = user_event_pivot(spark, sf_dir)
+    long = wide.unpivot(
+        ids=["user_id"],
+        values=[f"n_{t}" for t in _EVENT_TYPES],
+        variableColumnName="event_type",
+        valueColumnName="n",
+    )
+    return long.where(F.col("n") > 0).select(
+        "user_id",
+        F.expr("substring(event_type, 3)").alias("event_type"),
+        "n",
+    )

@@ -162,6 +162,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # risk.
     "user_event_pivot",
     "streaming_enriched_revenue",
+    "user_event_unpivot",
     # ...and one slot for asof_click_purchase_tol (new null-out
     # tolerance semantics — real cross-engine CASE/NULL risk);
     # quality_score yields: its round-4 delta is oracle-TEXT-only
