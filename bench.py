@@ -135,6 +135,7 @@ HEADLINE = [
     "streaming_enriched_revenue",
     "asof_click_purchase_tol",
     "user_event_unpivot",
+    "props_json_stats",
 ]
 
 

@@ -438,3 +438,36 @@ def user_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substring(event_type, 3)").alias("event_type"),
         "n",
     )
+
+
+_PROPS_ORACLE = f"""
+WITH es AS ({D.EVENTS_SEC_SQL}),
+x AS (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM es)
+SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+       COUNT(DISTINCT k) AS n_distinct_k
+FROM x GROUP BY event_type
+"""
+
+
+@register("props_json_stats", oracle=_PROPS_ORACLE)
+def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction over the semi-structured ``props`` JSON column
+    (the one fixture column no other query touches): ``from_json`` with
+    a DECLARED schema — the production path for event-property bags,
+    because a declared schema parses once into a typed struct the
+    optimizer can prune/push, where per-path ``get_json_object`` calls
+    re-parse the document per path. Integer aggregates keep the
+    cross-engine comparison exact; the oracle extracts the same path
+    with DuckDB's JSON reader.
+    """
+    es = D.events_sec(spark, sf_dir).select("event_type", "props")
+    k = F.from_json("props", "k BIGINT").getField("k")
+    return (
+        es.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+    )

@@ -80,7 +80,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "rolling_flight_dist",
     "rolling_flight_dist_bucketed",
     "streaming_flight_dist",
-    "neardup_clusters",
     "embedding_neardup_lsh",
     "embedding_neardup_lsh_scaled",
     "ann_topk_ivf_kmeans",
@@ -147,6 +146,13 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "streaming_dedup",
     "streaming_dedup_watermarked",
     "asof_click_purchase",
+    # ...and one slot for props_json_stats (JSON parsing has real
+    # cross-engine risk); neardup_clusters yields — like
+    # corpus_curate, its complete chain (minhash pairs + iterative CC)
+    # replays inside training_corpus_build's gated row via the
+    # recursive-CTE oracle, so the driver still checks the CC logic
+    # every round through that row
+    "neardup_clusters",
     # ...and one more for streaming_funnel (the applyInPandasWithState
     # stage machine); corpus_curate yields — its ENTIRE pipeline runs
     # inside training_corpus_build's gated row (the composed oracle
