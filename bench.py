@@ -171,14 +171,42 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s (min of {runs})", file=sys.stderr)
+        # Release every DataFrame.persist the query planted (fuzzy
+        # variant tables, shingle arrays, prefix-sum blocks, ...): the
+        # operators are lazy so they cannot unpersist their own
+        # intermediates, and across 100+ queries the cached blocks
+        # otherwise accumulate in executor storage. Between-queries,
+        # so no timed run loses its cache.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    # Full per-query detail goes to a FILE; stdout ends with a compact
+    # line that fits the driver's 2 KB stdout-tail capture (at 103
+    # queries the full dict is >2 KB, which made BENCH_r04 parse as
+    # null — the driver recorded rc=0 but no numbers). The compact
+    # line carries totals + the 5 slowest rows so round-over-round
+    # regression diffing works from the driver record alone;
+    # BENCH_DETAIL.json has everything.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump({
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "runs": runs,
+        }, f, indent=1, sort_keys=True)
+    worst = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
+        "n_queries": len(timings),
+        "queries": worst,
+        "detail": "BENCH_DETAIL.json",
     }))
 
 

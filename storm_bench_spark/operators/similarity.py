@@ -1011,6 +1011,13 @@ def project_embeddings(
     from one public rule; components are rounded to 6 dp like every
     cosine in this module.
 
+    Output is LONG FORM — one ``(id, plane, dot)`` row per (vector,
+    component) — all scalar columns, so every downstream comparator
+    (including pandas-based canonicalizers that cannot hash array
+    cells) can sort and hash the result. Wide-form consumers pivot
+    with ``groupBy(id).pivot(plane)`` or collect_list ordered by
+    plane; the information is identical.
+
     Arrow-batched kernel, not column expressions, for the same janino
     reason as ``_band_keys_udf`` (n_components·dim multiply-adds per
     row); the accumulation is sequential in i, so each component is
@@ -1036,7 +1043,11 @@ def project_embeddings(
     # and a different scaling algorithm, i.e. a cross-engine hazard
     return df.select(
         F.col(id_col).alias("id"),
-        F.transform(proj(_dvec(vec_col)), lambda x: F.round(x, 6)).alias("proj"),
+        F.posexplode(proj(_dvec(vec_col))).alias("plane", "_dot"),
+    ).select(
+        "id",
+        "plane",
+        F.round(F.col("_dot"), 6).alias("dot"),
     )
 
 
@@ -1045,8 +1056,9 @@ def project_embeddings_sql(
 ) -> str:
     """DuckDB twin of :func:`project_embeddings` — the plane-as-data
     spelling (constant plan size in n_components, one unrolled
-    dim-term dot per (vector, plane) row), pivoted back to an ordered
-    list per vector."""
+    dim-term dot per (vector, plane) row), emitted in the same long
+    ``(id, plane, dot)`` form as the engine (scalar columns only — the
+    driver's pandas canonicalizer cannot hash array cells)."""
     dot_terms = " + ".join(f"(v.v[{i + 1}] * wl.wl[{i + 1}])" for i in range(dim))
     return f"""
 WITH v AS ({v_cte}),
@@ -1057,10 +1069,7 @@ w AS (
   FROM (SELECT unnest(range(0, {n_components})) AS p) p,
        (SELECT unnest(range(0, {dim})) AS i) d
 ),
-wl AS (SELECT plane, list(wgt ORDER BY i) AS wl FROM w GROUP BY plane),
-dots AS (
-  SELECT v.id, wl.plane, round({dot_terms}, 6) AS dot
-  FROM v CROSS JOIN wl
-)
-SELECT id, list(dot ORDER BY plane) AS proj FROM dots GROUP BY id
+wl AS (SELECT plane, list(wgt ORDER BY i) AS wl FROM w GROUP BY plane)
+SELECT v.id, CAST(wl.plane AS INTEGER) AS plane, round({dot_terms}, 6) AS dot
+FROM v CROSS JOIN wl
 """

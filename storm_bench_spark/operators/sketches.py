@@ -328,6 +328,14 @@ def fuzzy_pairs(
     its own depth). The exact levenshtein predicate runs AFTER
     ``distinct()`` so each surviving pair pays one edit-distance
     evaluation, not one per shared variant.
+
+    Cache lifetime: the variant table is persisted (the self-join's
+    two sides must share one explode) but this function returns a LAZY
+    plan, so it cannot unpersist its own intermediate. Long-lived
+    sessions running many queries must release between queries —
+    ``spark.catalog.clearCache()`` (bench.py does; the blocks are
+    MEMORY_AND_DISK, so an unreleased session degrades to disk spill,
+    never OOM).
     """
     if max_dist == 1:
         variants = deletion_variants(F.col(name_col))

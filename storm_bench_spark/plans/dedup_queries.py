@@ -278,6 +278,9 @@ def embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched kernel with sequential-in-dim accumulation, rounded
     JVM-side, so the oracle's unrolled left-assoc dots match bitwise
     before rounding (operators/similarity.py:project_embeddings).
+    Long-form output (id, plane, dot) — scalar columns only, per the
+    gate-compatibility invariant (driver canonicalizers cannot hash
+    array cells; see tests/test_plan_shapes.py scalar-schema check).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.project_embeddings(emb)

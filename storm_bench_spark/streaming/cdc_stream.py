@@ -56,7 +56,27 @@ def apply_changes_stream(
     """
     workdir = workdir or tempfile.mkdtemp(prefix="sbs_cdc_stream_")
     spark = base.sparkSession
-    state = {"path": None}
+    # Recovery: if workdir is reused across runs, the checkpoint makes
+    # Spark SKIP already-committed batches — so the fold must resume
+    # from the highest existing snapshot, not from `base`, or the
+    # prior epochs' changes are silently discarded. Scan for the
+    # latest snapshot_v* ON ENTRY (batch ids are monotone per
+    # checkpoint, so max-by-id is the latest committed fold).
+    latest = None
+    if os.path.isdir(workdir):
+        versions = [
+            int(d.rsplit("_v", 1)[1])
+            for d in os.listdir(workdir)
+            if d.startswith("snapshot_v")
+            and d.rsplit("_v", 1)[1].isdigit()
+            # a crashed mid-write snapshot has no commit marker; its
+            # batch will re-run (checkpoint uncommitted), so resume
+            # from the last COMMITTED snapshot only
+            and os.path.exists(os.path.join(workdir, d, "_SUCCESS"))
+        ]
+        if versions:
+            latest = os.path.join(workdir, f"snapshot_v{max(versions)}")
+    state = {"path": latest}
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         cur = (
@@ -69,16 +89,26 @@ def apply_changes_stream(
         new.write.mode("overwrite").parquet(out)
         state["path"] = out
 
-    q = (
-        change_stream.writeStream.foreachBatch(fold)
-        .option(
-            "checkpointLocation",
-            os.path.join(workdir, "_checkpoint"),
+    # Trim shuffle width for the fold's epoch jobs (changelog-sized
+    # joins; same rationale + restore discipline as
+    # streams.run_to_memory's state_partitions).
+    from storm_bench_spark.streaming.streams import STREAM_STATE_PARTITIONS
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            change_stream.writeStream.foreachBatch(fold)
+            .option(
+                "checkpointLocation",
+                os.path.join(workdir, "_checkpoint"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     if state["path"] is None:  # empty stream: snapshot is the base
         return base.select(*keys, *payload_cols)
     return spark.read.parquet(state["path"]).select(*keys, *payload_cols)

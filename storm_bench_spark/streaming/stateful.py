@@ -68,6 +68,10 @@ FUNNEL_STATE_SCHEMA = StructType(
         StructField("v", LongType()),
         StructField("c", LongType()),
         StructField("p", LongType()),
+        # high-water mark of processed (sec, event_id): the machine's
+        # cross-batch ordering precondition, enforced, not assumed
+        StructField("max_sec", LongType()),
+        StructField("max_eid", LongType()),
     ]
 )
 
@@ -81,21 +85,41 @@ def _update_funnel(key, pdfs, state):
     minima the batch funnel computes, so final state == batch answer.
     Cross-batch correctness needs chronologically ordered batches
     (the same contract as streaming/cdc_stream.py); within a batch the
-    explicit sort handles arbitrary arrival order.
+    explicit sort handles arbitrary arrival order. The precondition is
+    ENFORCED: state carries the high-water (sec, event_id) mark, and a
+    batch containing any earlier event RAISES instead of silently
+    diverging from the batch oracle (an out-of-order view after a
+    click would never be matched — fail loudly, not wrongly).
     """
     import pandas as pd
 
-    v, c, p = state.get if state.exists else (None, None, None)
+    if state.exists:
+        v, c, p, max_sec, max_eid = state.get
+    else:
+        v, c, p, max_sec, max_eid = None, None, None, None, None
     rows = pd.concat(list(pdfs))
     rows = rows.sort_values(["sec", "event_id"])
-    for sec, et in zip(rows["sec"].tolist(), rows["event_type"].tolist()):
+    secs = rows["sec"].tolist()
+    eids = rows["event_id"].tolist()
+    if max_sec is not None and secs and (secs[0], eids[0]) < (max_sec, max_eid):
+        raise RuntimeError(
+            f"funnel_state: out-of-order micro-batch for key {key}: event "
+            f"({secs[0]}, {eids[0]}) arrived after high-water mark "
+            f"({max_sec}, {max_eid}). The stage machine requires "
+            f"chronologically ordered batches (single-file source or an "
+            f"event-time-ordered feed); results would silently diverge "
+            f"from the batch funnel otherwise."
+        )
+    for sec, et in zip(secs, rows["event_type"].tolist()):
         if et == "view" and v is None:
             v = sec
         elif et == "click" and v is not None and c is None and sec >= v:
             c = sec
         elif et == "purchase" and c is not None and p is None and sec >= c:
             p = sec
-    state.update((v, c, p))
+    if secs:
+        max_sec, max_eid = secs[-1], eids[-1]
+    state.update((v, c, p, max_sec, max_eid))
     yield pd.DataFrame(
         {"user_id": [key[0]], "v": [v], "c": [c], "p": [p]}, dtype="object"
     )

@@ -5,9 +5,13 @@ a 100 TB run regardless of how fast they are on fixtures:
 
 - ``CartesianProduct`` — an unbroadcast cross join replicates both
   sides across the cluster; never acceptable.
-- ``Exchange SinglePartition`` feeding a ``Window`` — a global ordered
-  window funnels the whole table through one task (the reason
-  operators/prefix.py exists); never acceptable.
+- ``Exchange SinglePartition`` feeding a ``Window``, ``Sort``, or a
+  non-pre-aggregated ``Aggregate`` — a global funnel pushes O(N) rows
+  through one task (the reason operators/prefix.py exists). A final
+  global aggregate whose exchange CHILD is a partial aggregate is
+  benign (only one pre-aggregated row per upstream partition crosses
+  the wire) and is not flagged; anything funneling raw rows must be
+  in the top-k allowlist with a bounded-by-construction argument.
 - ``BroadcastNestedLoopJoin`` — acceptable ONLY where the broadcast
   side is bounded by construction; every such query is allowlisted
   with its justification, so a new unjustified theta-join or
@@ -47,6 +51,17 @@ ALLOW_BNLJ = {
     "ann_recall_at_k": "composes ann_topk + ann_topk_ivf (both allowlisted)",
 }
 
+# Single-partition-funnel allowlist: query -> why the rows funneled
+# through one task are bounded by construction (NOT data-dependent).
+ALLOW_SINGLE_PARTITION = {
+    # global cum-sum window over the distinct-value HISTOGRAM, not the
+    # corpus: ≤ max-document-token-count rows (thousands) regardless of
+    # corpus size. The old Window-only regex missed this shape (the
+    # exchange's direct consumer is the window's Sort) — kept as the
+    # documented example the tree-walk lint now sees.
+    "quality_quantile_filter": "cum window over bounded (nt, freq) histogram",
+}
+
 _SKIP_PREFIXES = ("streaming_", "trident_", "stateful_")
 
 _BATCH_QUERIES = [
@@ -62,13 +77,94 @@ def _plan(spark, name):
     return buf.getvalue()
 
 
+def _tree_edges(plan_text: str):
+    """Parse the formatted-explain tree diagram into (node_num ->
+    {name, parent_num, child_nums}). The diagram is the indented block
+    between '== Physical Plan ==' and the first blank line; each line
+    ends with '(N)'. Parent = nearest preceding line with smaller
+    indent — exact for the tree rendering Spark emits."""
+    lines = plan_text.split("== Physical Plan ==", 1)[-1].splitlines()
+    nodes: dict[int, dict] = {}
+    stack: list[tuple[int, int]] = []  # (indent, num)
+    for ln in lines:
+        m = re.match(r"^([ :+\-*]*)([A-Za-z][\w .]*?)\s*\((\d+)\)\s*$", ln)
+        if not m:
+            if ln.strip() == "" and nodes:
+                break  # end of diagram
+            continue
+        indent, name, num = len(m.group(1)), m.group(2).strip(), int(m.group(3))
+        while stack and stack[-1][0] >= indent:
+            stack.pop()
+        parent = stack[-1][1] if stack else None
+        nodes[num] = {"name": name, "parent": parent, "children": []}
+        if parent is not None:
+            nodes[parent]["children"].append(num)
+        stack.append((indent, num))
+    return nodes
+
+
+# Transparent wrappers between an Exchange and its real consumer/child
+# in the AQE-formatted tree.
+_WRAPPERS = ("AQEShuffleRead", "ShuffleQueryStage", "InputAdapter",
+             "WholeStageCodegen", "ReusedExchange", "Subquery")
+
+
+def _real_parent(nodes, num):
+    p = nodes[num]["parent"]
+    while p is not None and nodes[p]["name"].startswith(_WRAPPERS):
+        p = nodes[p]["parent"]
+    return p
+
+
+def _real_child(nodes, num):
+    kids = nodes[num]["children"]
+    while len(kids) == 1 and nodes[kids[0]]["name"].startswith(_WRAPPERS):
+        kids = nodes[kids[0]]["children"]
+    return kids[0] if len(kids) == 1 else None
+
+
+def _detail_block(plan_text: str, num: int) -> str:
+    m = re.search(rf"^\({num}\) [^\n]*\n((?:(?!^\(\d+\) ).*\n?)*)",
+                  plan_text, re.M)
+    return m.group(1) if m else ""
+
+
+def _single_partition_funnels(plan_text: str) -> list[str]:
+    """Return a violation string per Exchange SinglePartition that
+    funnels raw (non-pre-aggregated) rows into a Window, Sort, or
+    Aggregate — the three global-funnel shapes."""
+    nodes = _tree_edges(plan_text)
+    out = []
+    for num, nd in nodes.items():
+        if not nd["name"].startswith("Exchange"):
+            continue
+        if "SinglePartition" not in _detail_block(plan_text, num):
+            continue
+        parent = _real_parent(nodes, num)
+        consumer = nodes[parent]["name"] if parent is not None else "?"
+        if not re.search(r"Window|Sort|Aggregate", consumer):
+            continue
+        child = _real_child(nodes, num)
+        child_detail = _detail_block(plan_text, child) if child else ""
+        # final global agg over map-side partials: one row per upstream
+        # partition crosses the exchange — not a funnel
+        if "Aggregate" in consumer and "partial_" in child_detail:
+            continue
+        out.append(f"Exchange SinglePartition ({num}) -> {consumer} ({parent})")
+    return out
+
+
 @pytest.mark.parametrize("name", _BATCH_QUERIES)
 def test_no_scale_killers_in_plan(name, spark):
     s = _plan(spark, name)
     assert "CartesianProduct" not in s, f"{name}: unbroadcast cross join"
-    assert not re.search(r"Exchange SinglePartition[\s\S]{0,400}?Window", s), (
-        f"{name}: global single-partition window"
-    )
+    funnels = _single_partition_funnels(s)
+    if funnels and name not in ALLOW_SINGLE_PARTITION:
+        raise AssertionError(
+            f"{name}: global single-partition funnel(s) {funnels} — "
+            f"repartition on a key, use operators/prefix.py's blocked "
+            f"scan, or allowlist with a bounded-rows justification"
+        )
     if "BroadcastNestedLoopJoin" in s:
         assert name in ALLOW_BNLJ, (
             f"{name}: BroadcastNestedLoopJoin not allowlisted — either make "
@@ -82,3 +178,5 @@ def test_bnlj_allowlist_is_not_stale(spark):
     # plans no longer need the exemption (keeps the list honest).
     missing = set(ALLOW_BNLJ) - set(all_queries())
     assert not missing, f"allowlist references unknown queries: {missing}"
+    missing_sp = set(ALLOW_SINGLE_PARTITION) - set(all_queries())
+    assert not missing_sp, f"allowlist references unknown queries: {missing_sp}"

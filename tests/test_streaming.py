@@ -3,6 +3,7 @@ generator spouts (SURVEY.md §5.2 streaming level)."""
 
 import time
 
+import pytest
 from pyspark.sql import functions as F
 
 from storm_bench_spark.plans.registry import all_queries
@@ -239,6 +240,53 @@ def test_processing_time_mode_reaches_same_final_state(spark):
     assert_frames_match(via_proc, batch, "processing-time wordcount")
 
 
+def test_funnel_state_raises_on_out_of_order_batches(spark, tmp_path):
+    """The funnel stage machine's cross-batch precondition is enforced:
+    a micro-batch delivering an event EARLIER than the high-water
+    (sec, event_id) mark of a prior batch must raise, not silently
+    diverge from the batch oracle (a view arriving after its click was
+    processed would never match)."""
+    import os
+
+    from pyspark.sql import Row
+
+    from storm_bench_spark.streaming.stateful import funnel_state
+
+    batches = [
+        # batch 1 (newest mtime → read FIRST... mtime order: Spark
+        # reads oldest-first, so make the LATER seconds the OLDER file)
+        [Row(user_id=1, sec=100, event_id=2, event_type="click")],
+        [Row(user_id=1, sec=50, event_id=1, event_type="view")],
+    ]
+    data_dir = tmp_path / "funnel_in"
+    data_dir.mkdir()
+    for age, rows in enumerate(batches):
+        before = set(os.listdir(data_dir))
+        spark.createDataFrame(rows).coalesce(1).write.mode("append").parquet(str(data_dir))
+        for f in set(os.listdir(data_dir)) - before:
+            p = data_dir / f
+            shift = (len(batches) - age) * 3600
+            os.utime(p, (p.stat().st_mtime - shift, p.stat().st_mtime - shift))
+
+    schema = spark.createDataFrame(batches[0]).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(data_dir))
+    )
+    q = (
+        funnel_state(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_ooo")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="out-of-order micro-batch"):
+        q.awaitTermination()
+
+
 def test_with_processing_time_stamps_arrival_seconds(spark):
     from storm_bench_spark.streaming.streams import with_processing_time
 
@@ -303,3 +351,27 @@ def test_streaming_cdc_folds_across_real_epochs(spark, tmp_path):
         ["k"], F.struct("sec", "cid"), ["val"],
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # Recovery contract: re-running with the SAME workdir must NOT
+    # discard the applied epochs. The checkpoint skips the committed
+    # batches, so a fresh call's in-memory state starts empty — the
+    # fold must resume from the highest committed snapshot_v*, not
+    # silently return `base` (the round-4 ADVICE data-loss trap).
+    again = apply_changes_stream(
+        base, stream, ["k"], F.struct("sec", "cid"), ["val"], workdir=workdir
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, want.collect()))
+
+    # And new changes arriving after the restart fold ON TOP of the
+    # recovered snapshot (not on top of base).
+    extra = [Row(k=3, sec=40, cid=5, op="upsert", val="v3late")]
+    spark.createDataFrame(extra).coalesce(1).write.mode("append").parquet(str(data_dir))
+    third = apply_changes_stream(
+        base, stream, ["k"], F.struct("sec", "cid"), ["val"], workdir=workdir
+    )
+    want_all = apply_changes(
+        base.select("k", F.col("val")),
+        spark.createDataFrame([r for b in batches for r in b] + extra),
+        ["k"], F.struct("sec", "cid"), ["val"],
+    )
+    assert sorted(map(tuple, third.collect())) == sorted(map(tuple, want_all.collect()))
