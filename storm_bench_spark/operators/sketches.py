@@ -325,9 +325,28 @@ def fuzzy_pairs(
 
     Candidates come from the deletion-variant equi-join (depth-matched
     to ``max_dist`` 1 or 2 — the SymSpell neighborhood is lossless at
-    its own depth). The exact levenshtein predicate runs AFTER
-    ``distinct()`` so each surviving pair pays one edit-distance
+    its own depth). The exact levenshtein predicate runs AFTER the
+    pair ``distinct()`` so each surviving pair pays one edit-distance
     evaluation, not one per shared variant.
+
+    The candidate machinery runs on 8-byte NAME IDS, never strings:
+    the depth-2 variant table is ~L²/2 rows per name, and at 100×
+    scale carrying the name string through the explode made the
+    persisted table spill-and-GC-bound (the superlinear term the scale
+    smoke measured — strings tripled the row width). Names are hashed
+    once (``xxhash64``), the explode/shuffle/join/distinct all move
+    ``(block, nid, vh)`` longs, and the strings come back via one
+    keyed join of the distinct PAIR table (match-set-sized) against
+    the names table before the levenshtein verify. An nid collision
+    inside a block cannot lose a pair: colliding names are caught by
+    the dedicated same-nid branch below (a names-table self-join on
+    (block, nid) — group sizes are 1 absent collisions, so it costs
+    one names-table shuffle and usually yields zero rows), and a
+    collision elsewhere only merges candidate rows the re-attach
+    expands back out, with the levenshtein verify dropping any false
+    combination. Variant hashes share the argument: equal variants
+    hash equal (no lost candidate), unequal variants colliding only
+    add a candidate the verify removes.
 
     Cache lifetime: the variant table is persisted (the self-join's
     two sides must share one explode) but this function returns a LAZY
@@ -338,19 +357,21 @@ def fuzzy_pairs(
     never OOM).
     """
     if max_dist == 1:
-        variants = deletion_variants(F.col(name_col))
+        variants = deletion_variants(F.col("_n"))
     elif max_dist == 2:
-        variants = deletion_variants2(F.col(name_col))
+        variants = deletion_variants2(F.col("_n"))
     else:
         raise ValueError("deletion-neighborhood blocking supports max_dist 1 or 2")
-    # Join on the variant's 64-bit hash, not the string: equal variants
-    # hash equal (no lost candidates) and a hash collision only adds a
-    # false candidate the levenshtein verify removes — while the
-    # exchange carries 8-byte keys instead of L-char strings. At depth
-    # 2 each name emits ~L²/2 variants, so key width is the dominant
-    # shuffle cost. The variant table is persisted so the self-join's
-    # two sides share one explode, and REPARTITIONED ON THE JOIN KEY
-    # first: without the explicit exchange, the static planner sizes
+    from pyspark.storagelevel import StorageLevel
+
+    names = (
+        df.select(*block_cols, F.col(name_col).alias("_n"))
+        .distinct()
+        .withColumn("_nid", F.xxhash64("_n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # The variant table is REPARTITIONED ON THE JOIN KEY before the
+    # persist: without the explicit exchange, the static planner sizes
     # the exploded side from the input FILE (explode keeps child
     # stats), decides it is broadcast-small, and at scale the
     # broadcast build collects the whole variant table to the driver
@@ -359,21 +380,40 @@ def fuzzy_pairs(
     # from ACTUAL sizes: broadcast at fixture scale, shuffled join at
     # 100×, and the co-partitioning means the self-join adds no
     # further shuffle either way.
-    from pyspark.storagelevel import StorageLevel
-
-    v = df.select(
+    v = names.select(
         *block_cols,
-        F.col(name_col).alias("_n"),
+        "_nid",
         F.explode(variants).alias("_var"),
     ).select(
-        *block_cols, "_n", F.xxhash64("_var").alias("_vh")
+        *block_cols, "_nid", F.xxhash64("_var").alias("_vh")
     ).repartition(*block_cols, "_vh").persist(StorageLevel.MEMORY_AND_DISK)
-    left = v.select(*block_cols, F.col("_n").alias("name1"), "_vh")
-    right = v.select(*block_cols, F.col("_n").alias("name2"), "_vh")
+    left = v.select(*block_cols, F.col("_nid").alias("_nid1"), "_vh")
+    right = v.select(*block_cols, F.col("_nid").alias("_nid2"), "_vh")
     cand = (
         left.join(right, [*block_cols, "_vh"])
-        .where(F.col("name1") < F.col("name2"))
-        .select(*block_cols, "name1", "name2")
+        .where(F.col("_nid1") < F.col("_nid2"))
+        .select(*block_cols, "_nid1", "_nid2")
         .distinct()
     )
-    return cand.where(F.levenshtein("name1", "name2") <= max_dist)
+    n1 = names.select(*block_cols, F.col("_nid").alias("_nid1"), F.col("_n").alias("_na"))
+    n2 = names.select(*block_cols, F.col("_nid").alias("_nid2"), F.col("_n").alias("_nb"))
+    attached = (
+        cand.join(n1, [*block_cols, "_nid1"])
+        .join(n2, [*block_cols, "_nid2"])
+        .select(
+            *block_cols,
+            F.least("_na", "_nb").alias("name1"),
+            F.greatest("_na", "_nb").alias("name2"),
+        )
+    )
+    # same-nid branch: pairs of DISTINCT names sharing one hash inside
+    # a block — the only candidates the nid1 < nid2 filter can drop
+    eq = (
+        names.select(*block_cols, "_nid", F.col("_n").alias("_na"))
+        .join(names.select(*block_cols, "_nid", F.col("_n").alias("_nb")), [*block_cols, "_nid"])
+        .where(F.col("_na") < F.col("_nb"))
+        .select(*block_cols, F.col("_na").alias("name1"), F.col("_nb").alias("name2"))
+    )
+    return attached.unionByName(eq).where(
+        F.levenshtein("name1", "name2") <= max_dist
+    )

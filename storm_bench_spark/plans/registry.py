@@ -64,144 +64,115 @@ def _ensure_loaded() -> None:
 # VERDICT r3 #8): any query whose code, shared helper, or oracle changed
 # in the current round MUST sit in the first 50 positions — rotate
 # long-stable rows out to make room and record the rotation in the
-# commit message. Three tiers:
-#   1. touched THIS round (round 4: asof struct-pack; flightdist grid
-#      respec; connected-components pointer-jumping → clusters/curation;
-#      neardup_lsh persist + the scaled-config rework; kmeans integer
-#      partials + new oracle; quality_score oracle char-class align;
-#      users_except docstring);
-#   2. green in r3 and untouched since, kept inside the window;
-#   3. long-stable rows (green since r1/r2, untouched), absorbing the
-#      20-position overflow beyond the gate window.
-# Names not listed here (future additions) sort FIRST — new queries are
-# by definition ungated. Within a tier, registration order is kept.
+# commit message. Names not listed here (future additions) sort FIRST —
+# new queries are by definition ungated. Within a tier, listing order is
+# kept.
+#
+# ROUND-5 WINDOW (exactly 50): closes the cumulative-coverage gap — the
+# 22 rows that had NEVER been driver-gated through r4 (13 tpch_ext
+# adaptations repeatedly demoted for higher-risk rows, plus the
+# pinned-out round-4 additions) all enter the window this round, giving
+# cumulative driver coverage 131/131 across r1-r5. They share it with:
+#   - every row TOUCHED in round 5: embedding_project (long-form
+#     reshape + oracle rewrite), the fuzzy family (fuzzy_pairs
+#     rewritten onto 8-byte name ids with a collision-recovery
+#     branch), and ALL streaming twins (run_to_memory now trims
+#     shuffle width to the state-partitions knob — a shared-helper
+#     change; streaming_funnel additionally gained the ordering
+#     guard, streaming_cdc_apply the snapshot-recovery scan);
+#   - 12 r4-green rows carrying the registry's highest cross-engine
+#     risk (float/bit arithmetic, window boundary semantics), kept
+#     in-window as regression sentinels: semdedup,
+#     training_corpus_build, ann_recall_at_k, unique_visitor_approx,
+#     rolling_latlong, cdc_apply, the flight-dist pair, the
+#     neardup-LSH pair, ann_topk_ivf_kmeans, asof_click_purchase_tol.
+# Every row rotated OUT is r2-r4 green with code untouched this round,
+# and stays covered by the sf0.001 oracle replay on every pytest run
+# plus the repo-side sf0.01 full-registry sweep (COVERAGE.md).
 _GATE_PRIORITY: tuple[str, ...] = (
-    # tier 1 — NEW in round 4 (never gated) or touched in round 4
-    "rolling_flight_dist",
-    "rolling_flight_dist_bucketed",
-    "streaming_flight_dist",
-    "embedding_neardup_lsh",
-    "embedding_neardup_lsh_scaled",
-    "ann_topk_ivf_kmeans",
-    # plan changes late in round 4: streaming_interval_join floors
-    # event time to whole seconds before the join (oracle-boundary
-    # alignment) and streaming_rolling_sort merges per-trigger tops
-    # instead of trusting the last batch
-    "streaming_interval_join",
-    "streaming_rolling_sort",
-    # moved to tier 1 late in round 4: the latest-wins order key became
-    # a struct (overflow-safe) and the oracle's max-key join became a
-    # row_number QUALIFY; rolling_latlong's windowed argmax got the
-    # same struct-key + QUALIFY rework
-    "cdc_apply",
-    "rolling_latlong",
-    # tier 1.5 — four pure-SQL TPC-H adaptations EXPLICITLY demoted out
-    # of the window to make room for the four sketch_queries additions
-    # (hll/bloom/fuzzy/salted — unlisted, so they rank first). The
-    # sketch ops carry cross-engine float/bit-arithmetic risk and need
-    # the driver's gate; these four are plain SQL twins whose risk is
-    # typo-level, and they stay covered at sf0.001 by
-    # tests/test_correctness.py on every pytest run. Rotate them back
-    # into the window next round.
+    # ---- the 50-row round-5 gate window ----
     "tpch_q13",
     "tpch_q15",
     "tpch_q16",
     "tpch_q22",
-    # ...and four more for the analytics_ext additions (gap-fill /
-    # SCD2 / funnel / z-score — window+join plans with cross-engine
-    # float discipline, which need the gate more than plain SQL twins)
     "tpch_q2",
     "tpch_q7",
     "tpch_q8",
     "tpch_q9",
-    # ...and two more for the streaming HLL twin + range-frame moving avg
     "tpch_q11",
     "tpch_q17",
-    # ...and two more for embedding_project + fuzzy_triangles
     "tpch_q18",
     "tpch_q20",
-    # ...and one more for multires_rollup
     "tpch_q21",
-    # ...and one more for ann_recall_at_k (composes two already-gated
-    # queries, but the metric join itself is new)
     "text_normalize",
-    # ...and one more for training_corpus_build (the capstone
-    # composition); pii_mask yields — deterministic regex scan, same
-    # risk class as text_normalize, repo-verified at sf0.01
     "pii_mask",
-    # ...and one more for fuzzy_name_pairs_d2; repetition_score yields
-    # (deterministic bigram-fraction scan, same risk class)
     "repetition_score",
-    # ...and one more for streaming_cdc_apply (real multi-epoch fold —
-    # new machinery); users_except yields (plain set algebra, vacuity
-    # fix r3-verified, repo-verified at sf0.01 since)
-    "users_except",
-    # ...and three more for cohort_retention + the two quantized
-    # source-centroid queries; the streaming dedup twins yield
-    # (dropDuplicates plans with trivial oracles — global DISTINCT —
-    # and engine-side parity tests) and asof_click_purchase yields
-    # (independently compared against DuckDB's NATIVE ASOF JOIN in
-    # tests/test_asof.py on every pytest run, the strongest
-    # non-driver check in the suite)
     "streaming_dedup",
     "streaming_dedup_watermarked",
-    "asof_click_purchase",
-    # ...and one slot for props_json_stats (JSON parsing has real
-    # cross-engine risk); neardup_clusters yields — like
-    # corpus_curate, its complete chain (minhash pairs + iterative CC)
-    # replays inside training_corpus_build's gated row via the
-    # recursive-CTE oracle, so the driver still checks the CC logic
-    # every round through that row
-    "neardup_clusters",
-    # ...and one more for streaming_funnel (the applyInPandasWithState
-    # stage machine); corpus_curate yields — its ENTIRE pipeline runs
-    # inside training_corpus_build's gated row (the composed oracle
-    # replays the curate chain verbatim), so the driver still checks
-    # the curate logic every round through that row
-    "corpus_curate",
-    # Two late additions PINNED OUT of the window by choice (inverting
-    # the new-queries-first default): integer pivot counts and a
-    # stream-static join over the already-gated decimal-sum discipline
-    # are the lowest-risk class in the registry, and both are
-    # repo-verified at sf0.01 + sf0.001-pytest; the window rows they
-    # would displace (flight/LSH/CC reworks) carry real cross-engine
-    # risk.
     "user_event_pivot",
     "streaming_enriched_revenue",
     "user_event_unpivot",
-    # ...and one slot for asof_click_purchase_tol (new null-out
-    # tolerance semantics — real cross-engine CASE/NULL risk);
-    # quality_score yields: its round-4 delta is oracle-TEXT-only
-    # (char-class alignment), the plan is untouched since the gated r3
-    # translate rewrite, and it is pytest- and repo-sf0.01-verified
-    "quality_score",
-    # unique_visitor_approx was rewritten onto the portable HLL sketch
-    # (it gains an oracle and leaves tier 3 → unlisted → in-window);
-    # stratified_sample yields its slot — deterministic hash-gated
-    # scan, the lowest-risk tier-1 row, repo-verified at sf0.01 +
-    # sf0.001 pytest
     "stratified_sample",
-    # NOTE (late round 4): the \s+ -> explicit-char-class alignment of
-    # every word-split oracle (RE2's \s excludes \x0b; Java's includes
-    # it) textually touches ~25 oracles — more than the 50-row window
-    # can absorb. Values are provably identical on \x0b-free text; the
-    # WHOLE registry was re-verified repo-side at sf0.01 after the
-    # change (see the commit introducing this note), and every query
-    # with a changed PLAN is inside the window. The word-split-only
-    # rows left outside (wordcount, rolling_count, token_count,
-    # lang_id, doc_fingerprint, minhash/ngram/simhash family,
-    # library_ops) are additionally covered at sf0.001 by
-    # tests/test_correctness.py on every pytest run. user_sessions and
-    # rolling_hashtag_count (oracle text IDENTICAL, only the
-    # registration site moved to a shared constant) yield their slots
-    # to the two plan-changed streaming twins above — the weakest
-    # possible claim gives way to the strongest.
-    # tier 2 — r3-green and untouched; HIGHER gate priority than tier 3
-    # but not guaranteed a slot: the ~29 unlisted round-4 additions
-    # rank first, so only the leading few tier-2 rows still land inside
-    # the 50-row window — the rest are pushed out, which the rotation
-    # rule permits (they are untouched; their green cells are r3/r2
-    # signal)
+    "embedding_project",
+    "fuzzy_name_pairs",
+    "fuzzy_name_pairs_d2",
+    "fuzzy_triangles",
+    "streaming_rolling_count",
+    "streaming_sol",
+    "streaming_rolling_sort",
+    "streaming_interval_join",
+    "streaming_flight_dist",
+    "streaming_user_sessions",
+    "streaming_hashtag_count",
+    "streaming_hll_visitors",
+    "streaming_funnel",
+    "streaming_cdc_apply",
+    "trident_wordcount",
+    "stateful_running_count",
+    "semdedup",
+    "training_corpus_build",
+    "ann_recall_at_k",
+    "unique_visitor_approx",
+    "rolling_latlong",
+    "cdc_apply",
+    "rolling_flight_dist",
+    "rolling_flight_dist_bucketed",
+    "embedding_neardup_lsh",
+    "embedding_neardup_lsh_scaled",
+    "ann_topk_ivf_kmeans",
+    "asof_click_purchase_tol",
+    # ---- outside the window: r2-r4 green, untouched this round ----
+    "gap_fill_hourly",
+    "scd2_customer_history",
+    "funnel_conversion",
+    "cohort_retention",
+    "multires_rollup",
+    "user_moving_avg",
+    "value_zscore_outliers",
+    "props_json_stats",
+    "decontaminate",
+    "pack_sequences",
+    "quality_quantile_filter",
+    "bigram_lm_score",
+    "chunk_documents",
+    "chunk_dedup",
+    "domain_mix_sample",
+    "embedding_quantize",
+    "ann_topk_quantized",
+    "inverted_index",
+    "bm25_rank",
+    "textrank_keywords",
+    "heavy_hitters_cms",
+    "source_centroids_q8",
+    "source_similarity_q8",
+    "hll_users_per_type",
+    "bloom_high_value_orders",
+    "salted_segment_revenue",
+    "users_except",
+    "asof_click_purchase",
+    "neardup_clusters",
+    "corpus_curate",
+    "quality_score",
     "multimodal_features",
     "multimodal_audio_meta",
     "multimodal_audio_chunks",
@@ -234,12 +205,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "simhash",
     "simhash_pairs",
     "unique_visitor",
-    "trident_wordcount",
-    "streaming_rolling_count",
-    "streaming_sol",
-    "stateful_running_count",
     "tpch_q5",
-    # tier 3 — long-stable, demoted out of the 50-row gate window
     "wordcount",
     "grep",
     "rolling_count",
