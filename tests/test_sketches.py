@@ -167,6 +167,52 @@ def test_fuzzy_pairs_d2_equals_bruteforce(spark, names):
     assert got == want
 
 
+def _lev(a, b):
+    d = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, d[0] = d[0], i
+        for j, cb in enumerate(b, 1):
+            prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+    return d[len(b)]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("max_dist", [1, 2])
+def test_fuzzy_pairs_randomized_bruteforce(spark, seed, max_dist):
+    """Randomized exactness check of the id-keyed blocking rewrite: a
+    2-letter alphabet over lengths 2-7 makes near-matches DENSE (many
+    true pairs, many shared variants, duplicate input rows), so the
+    candidate generator, the nid re-attach joins, and the least/
+    greatest pair ordering all get exercised against ground truth."""
+    import itertools
+    import random
+
+    rng = random.Random(seed)
+    names = list(
+        {
+            "".join(rng.choice("ab") for _ in range(rng.randint(2, 7)))
+            for _ in range(40)
+        }
+    )
+    rows = [Row(b=rng.randint(1, 2), name=n) for n in names]
+    rows += rng.sample(rows, 5)  # duplicate input rows must not dup pairs
+    df = spark.createDataFrame(rows).repartition(4)
+    got = sorted(
+        (r["b"], r["name1"], r["name2"])
+        for r in fuzzy_pairs(df, ["b"], "name", max_dist=max_dist).collect()
+    )
+    by_block = {}
+    for r in rows:
+        by_block.setdefault(r.b, set()).add(r.name)
+    want = sorted(
+        (blk, *sorted(p))
+        for blk, ns in by_block.items()
+        for p in itertools.combinations(sorted(ns), 2)
+        if _lev(*p) <= max_dist
+    )
+    assert got == want
+
+
 def test_fuzzy_pairs_blocking_respects_blocks(spark):
     df = spark.createDataFrame(
         [Row(b=1, name="abc"), Row(b=2, name="abd"), Row(b=1, name="abe")]
