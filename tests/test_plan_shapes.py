@@ -157,6 +157,15 @@ def _single_partition_funnels(plan_text: str) -> list[str]:
 @pytest.mark.parametrize("name", _BATCH_QUERIES)
 def test_no_scale_killers_in_plan(name, spark):
     s = _plan(spark, name)
+    # The tree walk below only parses the MAIN plan. No engine query
+    # emits a scalar/IN-subquery section (every scalar fan-in is an
+    # explicit broadcast crossJoin, so it lives in the main tree) —
+    # keep it that way, or extend _tree_edges to walk each section.
+    assert "Subquer" not in s, (
+        f"{name}: plan contains a subquery section the funnel lint "
+        f"does not scan — spell the scalar as an explicit broadcast "
+        f"crossJoin, or extend _tree_edges to parse subquery sections"
+    )
     assert "CartesianProduct" not in s, f"{name}: unbroadcast cross join"
     funnels = _single_partition_funnels(s)
     if funnels and name not in ALLOW_SINGLE_PARTITION:
