@@ -136,6 +136,10 @@ HEADLINE = [
     "asof_click_purchase_tol",
     "user_event_unpivot",
     "props_json_stats",
+    # round 5: shuffle / budget-select / fuzzy decontamination
+    "epoch_shuffle",
+    "token_budget_select",
+    "decontaminate_minhash",
 ]
 
 

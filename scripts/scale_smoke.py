@@ -79,6 +79,10 @@ QUERIES = [
     # analytics / graph / capstone (round 4, late): the data-sized ones
     "fuzzy_name_pairs_d2", "fuzzy_triangles", "gap_fill_hourly",
     "user_moving_avg", "training_corpus_build", "embedding_project",
+    # round-5 additions (documents-table ops; the word-bijection
+    # perturbation keeps cross-copy shingles disjoint, so the fuzzy
+    # decontamination candidate set scales linearly by construction)
+    "epoch_shuffle", "token_budget_select", "decontaminate_minhash",
 ]
 
 EMB_DIM_SMOKE = 64

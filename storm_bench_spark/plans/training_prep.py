@@ -255,3 +255,194 @@ def training_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.floor(F.col("cum") / _SEQ_LEN).cast("bigint").alias("seq_id"),
     )
+
+
+# --- round-5 additions: shuffle / fuzzy decontamination / budget select --
+
+_SHUFFLE_BUCKETS = 64  # training-shard count; cluster-scale = shard size knob
+_SHUFFLE_EPOCH = 1  # fixed epoch salt (each epoch is a fresh permutation)
+
+
+@register(
+    "epoch_shuffle",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id,
+         {hash64_sql(f"concat(CAST(doc_id AS VARCHAR), ':', CAST({_SHUFFLE_EPOCH} AS VARCHAR))")} AS k
+  FROM documents
+)
+SELECT CAST(k % {_SHUFFLE_BUCKETS} AS BIGINT) AS bucket,
+       CAST(row_number() OVER (PARTITION BY k % {_SHUFFLE_BUCKETS}
+                               ORDER BY k, doc_id) AS BIGINT) AS pos,
+       doc_id
+FROM keyed
+""",
+)
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle for one epoch: every
+    document gets a portable-hash key salted by the epoch number, lands
+    in one of 64 shards (``bucket``), and takes its position within the
+    shard from the key order — the reproducible corpus permutation a
+    training run consumes (epoch 2 = change the salt, a fresh
+    permutation, no data movement beyond the same one shuffle).
+
+    This is THE scalable spelling of "shuffle 100 TB": no global sort,
+    no single-partition funnel — one hash-partitioned exchange and a
+    per-shard (windowed, partitionBy bucket) rank, each shard sorting
+    ~1/64th of the corpus in parallel. Shard count is the scale knob:
+    size it so a shard fits an executor's sort buffer. hash64 is
+    md5-derived (functions/hashing.py), so engine and oracle agree on
+    every key; pos ties break on doc_id (hash collisions).
+    """
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    keyed = docs.select(
+        "doc_id",
+        hash64(
+            F.concat_ws(":", F.col("doc_id").cast("string"),
+                        F.lit(str(_SHUFFLE_EPOCH)))
+        ).alias("k"),
+    )
+    w = Window.partitionBy(F.col("k") % _SHUFFLE_BUCKETS).orderBy("k", "doc_id")
+    return keyed.select(
+        (F.col("k") % _SHUFFLE_BUCKETS).cast("bigint").alias("bucket"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+        "doc_id",
+    )
+
+
+_BUDGET_DENOM = 4  # select the top-token quarter of the corpus budget
+_ORD_SHIFT = 1 << 33  # doc_id < 2^33 (documented); n_tokens * 2^33 < 2^63
+
+
+@register(
+    "token_budget_select",
+    oracle=f"""
+WITH t AS (SELECT doc_id, CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens FROM documents),
+o AS (
+  SELECT doc_id, n_tokens, doc_id - n_tokens * {_ORD_SHIFT} AS ord FROM t
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY ord
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM o
+),
+b AS (SELECT CAST(sum(n_tokens) / {_BUDGET_DENOM} AS BIGINT) AS budget FROM t)
+SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum
+FROM c, b
+WHERE cum < b.budget
+""",
+)
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy corpus selection under a token budget: rank documents
+    longest-first (the ordering criterion is pluggable — any exact
+    integer score works identically) and keep documents until the
+    running total reaches 1/4 of the corpus' tokens. The last document
+    whose PRECEDING total is under budget is kept whole — the
+    concat-and-chunk packer downstream (``pack_sequences``) owns
+    truncation.
+
+    The ranking and the running total never funnel through one task:
+    the (n_tokens DESC, doc_id) order is encoded as ONE integer key
+    (``doc_id - n_tokens·2^33`` — exact while doc_id < 2^33 and
+    n_tokens < 2^30, both corpus invariants the composite-key trick
+    documents), so the cumulative sum is the distributed two-phase
+    prefix sum (operators/prefix.py) over that key, and the budget is
+    a broadcast one-row threshold — same shapes as
+    ``quality_quantile_filter``.
+    """
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.size(word_split("text")).cast("bigint").alias("n_tokens")
+    ).withColumn("ord", F.col("doc_id") - F.col("n_tokens") * F.lit(_ORD_SHIFT))
+    cum = exclusive_prefix_sum(tok, "ord", "n_tokens", out_col="cum")
+    budget = tok.agg(
+        (F.sum("n_tokens") / _BUDGET_DENOM).cast("bigint").alias("budget")
+    )
+    return (
+        cum.crossJoin(F.broadcast(budget))
+        .where(F.col("cum") < F.col("budget"))
+        .select("doc_id", "n_tokens", F.col("cum").cast("bigint").alias("cum"))
+    )
+
+
+_FUZZY_DECON_T = 0.5  # near-dup Jaccard threshold vs the eval slice
+# The fuzzy rule uses its own, larger benchmark slice (mod 13, ~7.7% of
+# docs, vs the exact rule's mod 97): near-dup leakage is rarer than
+# exact-gram leakage, and the mod-97 slice has ZERO near-dup partners at
+# the driver's sf0.01 scale — a 0-row query verifies nothing. At mod 13
+# the query returns real hits at every fixture scale (2 @ sf0.01,
+# 36 @ sf0.1).
+_FUZZY_EVAL_MOD = 13
+
+
+def _fuzzy_decon_oracle() -> str:
+    from storm_bench_spark.operators import dedup as DD
+
+    return f"""
+WITH sh AS ({DD.SHINGLES_SQL}),
+sig AS ({DD.minhash_signature_sql()}),
+bands AS ({DD.band_digests_sql()}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.digest = r.digest
+  WHERE l.doc_id % {_FUZZY_EVAL_MOD} <> 0 AND r.doc_id % {_FUZZY_EVAL_MOD} = 0
+),
+ver AS ({DD.verify_jaccard_sql('cand', _FUZZY_DECON_T)})
+SELECT a AS doc_id, CAST(count(*) AS BIGINT) AS n_eval_matches,
+       max(jaccard) AS max_jaccard
+FROM ver GROUP BY a
+"""
+
+
+@register("decontaminate_minhash", oracle=_fuzzy_decon_oracle())
+def decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination: flag training docs
+    whose shingle-set Jaccard vs ANY eval-slice doc is ≥ 0.5 — catches
+    the paraphrased/reformatted eval leakage the exact-4-gram rule
+    (``decontaminate``) misses. Same MinHash 32-perm / 8×4-band
+    machinery as ``minhash_lsh``; candidates are (train, eval) band
+    collisions instead of a self-join, so the (small, benchmark-sized)
+    eval band table broadcasts into the train-side probe and the
+    train corpus never shuffles for candidate generation. Exact
+    Jaccard verify over the persisted shingle arrays; output is one
+    row per contaminated train doc with its match count and worst
+    (highest) overlap.
+    """
+    from pyspark import StorageLevel
+
+    from storm_bench_spark.operators import dedup as DD
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    arr = DD.shingle_arrays(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = arr.select("doc_id", F.explode("shs").alias("sh"))
+    # repartitioned on the bucket key THEN persisted: the train filter
+    # and the eval filter are two consumers of the same shingle→
+    # signature→digest pipeline (uncached, each re-derives it from the
+    # arr cache), and the repartition both dedups that work behind one
+    # exchange and lands the train probe pre-partitioned on the join
+    # key (measured: 2.05 s plain → 1.54 s repart+persist at sf0.1;
+    # 8 small rows per doc, the cheap thing to keep)
+    bands = (
+        DD.band_digests(DD.minhash_signature(sh))
+        .repartition("band", "digest")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    is_eval = F.col("doc_id") % _FUZZY_EVAL_MOD == 0
+    train_b = bands.where(~is_eval).select(
+        F.col("doc_id").alias("a"), "band", "digest"
+    )
+    eval_b = bands.where(is_eval).select(
+        F.col("doc_id").alias("b"), "band", "digest"
+    )
+    cand = (
+        train_b.join(F.broadcast(eval_b), ["band", "digest"])
+        .select("a", "b")
+        .distinct()
+    )
+    ver = DD.verify_jaccard_arrays(cand, arr, _FUZZY_DECON_T)
+    return ver.groupBy(F.col("a").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_eval_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    )

@@ -42,6 +42,7 @@ ALLOW_BNLJ = {
     "top_terms": "broadcast doc-count row",
     "tpch_q11": "broadcast global value-threshold row",
     "tpch_q22": "broadcast avg-acctbal row",
+    "token_budget_select": "broadcast one-row token-budget threshold",
     "bloom_high_value_orders": "broadcast ~1 KB bitmap row",
     # bounded-side theta/cross joins
     "rolling_flight_dist": "A-row latest-state pair join, A = live aircraft",
