@@ -29,6 +29,7 @@ from storm_bench_spark.operators.multimodal import (
     resize_image,
     sample_frames,
 )
+from storm_bench_spark.plans.pipeline import _spread
 from storm_bench_spark.plans.registry import register
 from storm_bench_spark.sources.tables import load_table
 
@@ -70,7 +71,11 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputing the multi-consumer subtree."""
     from pyspark import StorageLevel
 
-    docs = load_table(spark, sf_dir, "documents")
+    # _spread: the fixture parquet is a single row group, so without a
+    # round-robin repartition the shingle/tokenize stage runs on ONE
+    # core (measured -20% on this query at sf0.1); on real multi-file
+    # input _spread is a near-no-op
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     arr = DD.shingle_arrays(docs).persist(StorageLevel.MEMORY_AND_DISK)
     sh = arr.select("doc_id", F.explode("shs").alias("sh"))
     sig = DD.minhash_signature(sh)
@@ -111,7 +116,11 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cached arrays directly (no per-shingle verify join)."""
     from pyspark import StorageLevel
 
-    docs = load_table(spark, sf_dir, "documents")
+    # _spread: the fixture parquet is a single row group, so without a
+    # round-robin repartition the shingle/tokenize stage runs on ONE
+    # core (measured -20% on this query at sf0.1); on real multi-file
+    # input _spread is a near-no-op
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     arr = DD.shingle_arrays(docs).persist(StorageLevel.MEMORY_AND_DISK)
     sh = arr.select("doc_id", F.explode("shs").alias("sh"))
     cands = DD.inverted_index_candidates(sh)
@@ -124,7 +133,7 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprint per document (majority vote over
     token-hash bits)."""
-    return DD.simhash(load_table(spark, sf_dir, "documents"))
+    return DD.simhash(_spread(load_table(spark, sf_dir, "documents")))
 
 
 @register(
@@ -138,7 +147,7 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3) via exact nibble banding;
     the oracle brute-forces the same fingerprints — pigeonhole makes
     the banded candidate set lossless."""
-    fp = DD.simhash(load_table(spark, sf_dir, "documents"))
+    fp = DD.simhash(_spread(load_table(spark, sf_dir, "documents")))
     return DD.simhash_near_pairs(fp, max_hamming=3)
 
 

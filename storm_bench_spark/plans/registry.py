@@ -80,12 +80,15 @@ def _ensure_loaded() -> None:
 #     shuffle width to the state-partitions knob — a shared-helper
 #     change; streaming_funnel additionally gained the ordering
 #     guard, streaming_cdc_apply the snapshot-recovery scan);
-#   - 12 r4-green rows carrying the registry's highest cross-engine
+#   - 8 r4-green rows carrying the registry's highest cross-engine
 #     risk (float/bit arithmetic, window boundary semantics), kept
 #     in-window as regression sentinels: semdedup,
-#     training_corpus_build, ann_recall_at_k, unique_visitor_approx,
-#     rolling_latlong, cdc_apply, the flight-dist pair, the
-#     neardup-LSH pair, ann_topk_ivf_kmeans, asof_click_purchase_tol.
+#     training_corpus_build, ann_recall_at_k, cdc_apply, the
+#     flight-dist pair, and the neardup-LSH pair (four further
+#     sentinels yielded their slots late in the round to the
+#     _spread-touched dedup queries — see the in-window note below);
+#   - the four dedup queries whose plans gained _spread late in the
+#     round (minhash_lsh, ngram_jaccard, simhash, simhash_pairs).
 # Every row rotated OUT is r2-r4 green with code untouched this round,
 # and stays covered by the sf0.001 oracle replay on every pytest run
 # plus the repo-side sf0.01 full-registry sweep (COVERAGE.md).
@@ -132,15 +135,23 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "semdedup",
     "training_corpus_build",
     "ann_recall_at_k",
-    "unique_visitor_approx",
-    "rolling_latlong",
     "cdc_apply",
     "rolling_flight_dist",
     "rolling_flight_dist_bucketed",
     "embedding_neardup_lsh",
     "embedding_neardup_lsh_scaled",
-    "ann_topk_ivf_kmeans",
-    "asof_click_purchase_tol",
+    # late round-5 swap (rule: touched > untouched sentinel): the four
+    # doc-tokenizing dedup queries gained _spread (a plan change —
+    # round-robin repartition ahead of the shingle stage), so they take
+    # the last four window slots; the four untouched r4-green
+    # sentinels they displace (unique_visitor_approx, rolling_latlong,
+    # ann_topk_ivf_kmeans, asof_click_purchase_tol) move just below
+    # the window, still covered by the sf0.001 pytest sweep + this
+    # round's repo-side sf0.01 replay
+    "minhash_lsh",
+    "ngram_jaccard",
+    "simhash",
+    "simhash_pairs",
     # ---- outside the window, BY CHOICE (inverting the new-queries-
     # first default): three late round-5 additions (epoch_shuffle,
     # token_budget_select, decontaminate_minhash) are pinned out so
@@ -155,6 +166,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "epoch_shuffle",
     "token_budget_select",
     "decontaminate_minhash",
+    "unique_visitor_approx",
+    "rolling_latlong",
+    "ann_topk_ivf_kmeans",
+    "asof_click_purchase_tol",
     # ---- outside the window: r2-r4 green, untouched this round ----
     "gap_fill_hourly",
     "scd2_customer_history",
@@ -214,10 +229,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "dedup_exact",
     "lang_id",
     "doc_fingerprint",
-    "minhash_lsh",
-    "ngram_jaccard",
-    "simhash",
-    "simhash_pairs",
     "unique_visitor",
     "tpch_q5",
     "wordcount",
