@@ -140,6 +140,9 @@ HEADLINE = [
     "epoch_shuffle",
     "token_budget_select",
     "decontaminate_minhash",
+    # round 5, late: hybrid retrieval + graded contamination
+    "rrf_hybrid_rank",
+    "contamination_score",
 ]
 
 

@@ -972,3 +972,94 @@ def source_similarity_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
     )
     return pairs.select("source_a", "source_b", F.round(cos, 6).alias("cos"))
+
+
+# --- hybrid retrieval: reciprocal rank fusion ------------------------------
+# The rank-fusion step every hybrid (lexical + semantic) retrieval
+# stack runs: take the BM25 top-k and the embedding-cosine top-k for
+# the same information need and fuse them with RRF
+# (Cormack/Clarke/Buettcher 2009): score(d) = Σ_legs 1/(C + rank_leg(d)),
+# C = 60. Ranks are exact integers, each leg contributes one IEEE
+# division, and the two terms add in fixed (lexical, semantic) order —
+# so the fused doubles, and therefore the fused ranking, replay
+# bitwise in DuckDB.
+
+RRF_C = 60
+RRF_PROBE_ID = 0  # probe document: its embedding is the semantic query
+
+
+def _rrf_oracle() -> str:
+    return f"""
+WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v FROM v WHERE id = {RRF_PROBE_ID}),
+sem AS (
+  SELECT id AS doc_id, CAST(row_number() OVER (ORDER BY cos DESC, id) AS BIGINT) AS rank_sem
+  FROM (
+    SELECT v.id, round({SIM.cosine_sql('q.v', 'v.v')}, 6) AS cos
+    FROM v, q WHERE v.id <> {RRF_PROBE_ID}
+  )
+  QUALIFY rank_sem <= {BM25_TOP}
+),
+lex AS (SELECT doc_id, rank AS rank_lex FROM ({_bm25_oracle()})),
+fused AS (
+  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, rank_lex, rank_sem,
+         coalesce(1.0 / CAST({RRF_C} + rank_lex AS DOUBLE), 0.0)
+         + coalesce(1.0 / CAST({RRF_C} + rank_sem AS DOUBLE), 0.0) AS rrf_raw
+  FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT doc_id, rank_lex, rank_sem, round(rrf_raw, 6) AS rrf,
+       CAST(row_number() OVER (ORDER BY rrf_raw DESC, doc_id) AS BIGINT) AS rank
+FROM fused
+"""
+
+
+@register("rrf_hybrid_rank", oracle=_rrf_oracle())
+def rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal rank fusion: BM25 top-20 (the
+    fixed 'join vector merge' query) fused with the cosine top-20
+    around the probe document's embedding (doc_id = vec_id, the
+    corpus convention established by source_similarity_q8).
+
+    Shape at scale: each leg is its own already-scale-shaped ranked
+    query (bm25_rank: one tokenize pass + TakeOrdered; the semantic
+    leg: ann_topk_bruteforce's closure-broadcast Arrow scorer here,
+    or any registered ANN variant at corpus scale — the fusion is
+    leg-agnostic). The fusion itself touches only the two k-row
+    ranked lists: a full outer join of two ≤k-row sets and one window
+    over ≤2k rows — bounded by construction, independent of corpus
+    size. The probe document itself is excluded from the semantic leg
+    (self-match), mirroring the ANN queries.
+    """
+    lex = bm25_rank(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("rank_lex")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.where(F.col("vec_id") == RRF_PROBE_ID)
+    sem = SIM.ann_topk_bruteforce(emb, probe, BM25_TOP, dim=EMB_DIM).select(
+        F.col("neighbor").alias("doc_id"), F.col("rank").alias("rank_sem")
+    )
+    fused = lex.join(sem, ["doc_id"], "full_outer")
+    rrf_raw = (
+        F.coalesce(
+            F.lit(1.0) / (F.lit(RRF_C) + F.col("rank_lex")).cast("double"),
+            F.lit(0.0),
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(RRF_C) + F.col("rank_sem")).cast("double"),
+            F.lit(0.0),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("rrf_raw"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rrf_raw", rrf_raw)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .select(
+            "doc_id",
+            "rank_lex",
+            "rank_sem",
+            F.round("rrf_raw", 6).alias("rrf"),
+            "rank",
+        )
+    )

@@ -166,6 +166,13 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "epoch_shuffle",
     "token_budget_select",
     "decontaminate_minhash",
+    # same rule for the two later round-5 additions: pinned out of the
+    # window so the 22 never-gated rows keep their promised first
+    # gated round; both repo-verified against their DuckDB oracles at
+    # sf0.01 and sf0.001 and in the per-pytest sweep. ROTATE INTO THE
+    # WINDOW IN ROUND 6 with the three above.
+    "rrf_hybrid_rank",
+    "contamination_score",
     "unique_visitor_approx",
     "rolling_latlong",
     "ann_topk_ivf_kmeans",

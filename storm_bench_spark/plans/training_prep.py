@@ -446,3 +446,73 @@ def decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_eval_matches"),
         F.max("jaccard").alias("max_jaccard"),
     )
+
+
+# --- graded contamination scoring -----------------------------------------
+
+_CONTAM_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, {hash64_sql("array_to_string(w[i:i+" + str(_GRAM_N - 1) + "], ' ')")} AS g
+  FROM toks, UNNEST(range(1, len(w) - {_GRAM_N - 2})) AS t(i)
+  WHERE len(w) >= {_GRAM_N}
+),
+evalg AS (SELECT DISTINCT g FROM grams WHERE doc_id % {_EVAL_MOD} = 0),
+per AS (
+  SELECT grams.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(coalesce(sum(CASE WHEN evalg.g IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hits
+  FROM grams LEFT JOIN evalg ON grams.g = evalg.g
+  WHERE grams.doc_id % {_EVAL_MOD} <> 0
+  GROUP BY grams.doc_id
+)
+SELECT doc_id, n_grams, n_hits,
+       CAST(n_hits AS DOUBLE) / CAST(n_grams AS DOUBLE) AS contamination
+FROM per
+"""
+
+
+@register("contamination_score", oracle=_CONTAM_ORACLE)
+def contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded decontamination: instead of ``decontaminate``'s binary
+    any-hit flag, score EVERY training document by the fraction of its
+    distinct word-4-grams that appear in the eval slice — the signal a
+    pipeline thresholds when it wants "drop verbatim leaks, keep docs
+    that merely quote a benchmark question" (the usual policy knob).
+
+    Scale shape: same as ``decontaminate`` — the benchmark gram set is
+    small by nature and BROADCASTS into the train-side probe, so the
+    100-TB gram stream never shuffles for the membership test; grams
+    travel as hash64 BIGINTs. The per-doc distinct-gram set needs one
+    keyed shuffle on (doc_id, g); the LEFT join against the broadcast
+    set preserves misses so the ratio's denominator is the doc's full
+    gram vocabulary and zero-hit docs score an exact 0.0. The ratio is
+    an exact int/int IEEE division — bitwise replayable. Documents
+    with < 4 tokens have no grams and no row (same rule as the oracle).
+    """
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(bind(word_split("text"), _gram_hashes)).alias("g"),
+    ).distinct()
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    eval_grams = (
+        grams.where(is_eval).select("g").distinct().withColumn("hit", F.lit(1))
+    )
+    per = (
+        grams.where(~is_eval)
+        .join(F.broadcast(eval_grams), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_hits"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.col("n_grams").cast("double")).alias(
+            "contamination"
+        ),
+    )

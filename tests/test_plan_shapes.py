@@ -50,6 +50,7 @@ ALLOW_BNLJ = {
     "ann_topk_ivf": "broadcast centroid table (C rows) + probe rows (queries × n_probe)",
     "ann_topk_ivf_kmeans": "same as ann_topk_ivf with k-means centroids",
     "ann_recall_at_k": "composes ann_topk + ann_topk_ivf (both allowlisted)",
+    "rrf_hybrid_rank": "composes bm25_rank (allowlisted scalar-row crossJoins)",
 }
 
 # Single-partition-funnel allowlist: query -> why the rows funneled
@@ -61,6 +62,9 @@ ALLOW_SINGLE_PARTITION = {
     # exchange's direct consumer is the window's Sort) — kept as the
     # documented example the tree-walk lint now sees.
     "quality_quantile_filter": "cum window over bounded (nt, freq) histogram",
+    # fused-rank window over the full outer join of two ≤k-row ranked
+    # lists (k = 20): ≤ 2k rows regardless of corpus size
+    "rrf_hybrid_rank": "RRF window over ≤2k fused rank rows",
 }
 
 _SKIP_PREFIXES = ("streaming_", "trident_", "stateful_")
