@@ -140,9 +140,10 @@ HEADLINE = [
     "epoch_shuffle",
     "token_budget_select",
     "decontaminate_minhash",
-    # round 5, late: hybrid retrieval + graded contamination
+    # round 5, late: hybrid retrieval + graded contamination + CMS twin
     "rrf_hybrid_rank",
     "contamination_score",
+    "streaming_heavy_hitters",
 ]
 
 

@@ -795,9 +795,19 @@ def _cms_bucket_sql(r: str, term: str) -> str:
     return f"({hash64_sql(key)}) % {CMS_WIDTH}"
 
 
-@register(
-    "heavy_hitters_cms",
-    oracle=f"""
+def _cms_bucket_col() -> F.Column:
+    """Spark twin of ``_cms_bucket_sql`` over columns ``r`` and ``term``."""
+    return (
+        hash64(
+            F.concat(
+                F.lit("cms"), F.col("r").cast("string"), F.lit(":"), F.col("term")
+            )
+        )
+        % CMS_WIDTH
+    )
+
+
+_CMS_ORACLE = f"""
 WITH tok AS (SELECT unnest({_WORDS_SQL}) AS term FROM documents),
 cells AS (
   SELECT r, {_cms_bucket_sql('r', 'term')} AS b, count(*) AS cnt
@@ -814,8 +824,10 @@ est AS (
 )
 SELECT term, CAST(est_cnt AS BIGINT) AS est_cnt
 FROM est WHERE est_cnt >= {CMS_MIN_EST}
-""",
-)
+"""
+
+
+@register("heavy_hitters_cms", oracle=_CMS_ORACLE)
 def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via a Count-Min Sketch (depth 4 × width 1024,
     portable-hash rows): report every term whose CMS estimate — the
@@ -844,10 +856,7 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         StorageLevel.MEMORY_AND_DISK
     )
     rows = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("r")
-    bucket = (
-        hash64(F.concat(F.lit("cms"), F.col("r").cast("string"), F.lit(":"), F.col("term")))
-        % CMS_WIDTH
-    )
+    bucket = _cms_bucket_col()
     cells = (
         tok.select("term", rows)
         .select("r", bucket.alias("b"))
@@ -855,6 +864,52 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
     )
     cand = tok.distinct()
+    est = (
+        cand.select("term", rows)
+        .select("term", "r", bucket.alias("b"))
+        .join(F.broadcast(cells), ["r", "b"])
+        .groupBy("term")
+        .agg(F.min("cnt").cast("bigint").alias("est_cnt"))
+    )
+    return est.where(F.col("est_cnt") >= CMS_MIN_EST)
+
+
+@register("streaming_heavy_hitters", oracle=_CMS_ORACLE)
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``heavy_hitters_cms`` through the streaming engine: the CMS
+    CELL TABLE is the streaming aggregation — ``count`` per (row,
+    bucket) lives in the state store, which is exactly what a
+    frequency sketch wants from micro-batches: counts sum
+    incrementally, and the keyed state is BOUNDED at depth·width cells
+    (4×1024 here) no matter how long the stream runs — the state-
+    budget guarantee that makes heavy-hitter tracking viable where an
+    exact per-term count table grows with the vocabulary. The
+    candidate probe then runs in batch against the complete-mode
+    snapshot (broadcast-small sketch), the same state→probe split as
+    ``streaming_hll_visitors``. Identical final cells ⇒ the batch
+    oracle verifies the streaming path bit-for-bit.
+    """
+    from pyspark import StorageLevel
+
+    from storm_bench_spark.streaming.streams import run_to_memory, stream_table
+
+    rows = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("r")
+    bucket = _cms_bucket_col()
+    docs = stream_table(spark, sf_dir, "documents")
+    tok_stream = docs.select(F.explode(word_split("text")).alias("term"))
+    cells_stream = (
+        tok_stream.select("term", rows)
+        .select("r", bucket.alias("b"))
+        .groupBy("r", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cells = run_to_memory(cells_stream, output_mode="complete")
+    cand = (
+        _words(spark, sf_dir)
+        .select(F.explode("w").alias("term"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     est = (
         cand.select("term", rows)
         .select("term", "r", bucket.alias("b"))

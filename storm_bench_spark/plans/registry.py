@@ -173,6 +173,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # WINDOW IN ROUND 6 with the three above.
     "rrf_hybrid_rank",
     "contamination_score",
+    "streaming_heavy_hitters",
     "unique_visitor_approx",
     "rolling_latlong",
     "ann_topk_ivf_kmeans",
