@@ -83,6 +83,11 @@ QUERIES = [
     # perturbation keeps cross-copy shingles disjoint, so the fuzzy
     # decontamination candidate set scales linearly by construction)
     "epoch_shuffle", "token_budget_select", "decontaminate_minhash",
+    # round 5, late: RRF touches only two k-row ranked lists after its
+    # legs, so it should scale like bm25_rank; contamination_score and
+    # the CMS probe are gram-/token-stream-linear with broadcast-small
+    # membership sides
+    "rrf_hybrid_rank", "contamination_score", "heavy_hitters_cms",
 ]
 
 EMB_DIM_SMOKE = 64
