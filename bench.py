@@ -144,6 +144,7 @@ HEADLINE = [
     "rrf_hybrid_rank",
     "contamination_score",
     "streaming_heavy_hitters",
+    "lsh_recall_pairs",
 ]
 
 

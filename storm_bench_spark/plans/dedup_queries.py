@@ -127,6 +127,60 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.verify_jaccard_arrays(cands, arr, JACCARD_T)
 
 
+@register(
+    "lsh_recall_pairs",
+    oracle=f"""
+WITH truth AS (
+  SELECT a, b, jaccard FROM (
+    WITH sh AS ({DD.SHINGLES_SQL}),
+    rare AS (
+      SELECT s.doc_id, s.sh FROM sh s
+      JOIN (SELECT sh AS shv, count(*) AS df FROM sh GROUP BY sh) d
+        ON s.sh = d.shv AND d.df <= {DD.DF_CAP}
+    ),
+    cand AS (
+      SELECT l.doc_id AS a, r.doc_id AS b
+      FROM rare l JOIN rare r ON l.sh = r.sh AND l.doc_id < r.doc_id
+      GROUP BY l.doc_id, r.doc_id
+      HAVING count(*) >= {DD.MIN_SHARED}
+    )
+    {DD.verify_jaccard_sql('cand', JACCARD_T)}
+  )
+),
+lsh AS (SELECT a, b FROM ({MINHASH_PAIRS_SQL}))
+SELECT t.a, t.b, t.jaccard,
+       CAST(CASE WHEN l.a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS found_by_lsh
+FROM truth t LEFT JOIN lsh l ON t.a = l.a AND t.b = l.b
+""",
+)
+def lsh_recall_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index evaluation for the dedup family — ``ann_recall_at_k``'s
+    counterpart for MinHash: every exact near-dup pair (the DF-capped
+    inverted-index join, the strongest exact method in the engine)
+    flagged with whether the 8×4 MinHash banding ALSO surfaced it.
+    Aggregate recall is sum(found_by_lsh)/count(*); the per-pair grain
+    is kept so misses are attributable (they concentrate just above
+    the 0.5 threshold, where band-collision probability is lowest —
+    the recall-curve shape the LSH sizing rule predicts).
+
+    Shape at scale: composes two already-scale-shaped candidate
+    generators (both equi-joins on constructed keys, never all-pairs)
+    plus a keyed left join on the pair id — the evaluation adds one
+    linear join over the verified-pair sets, which are tiny relative
+    to the corpus.
+    """
+    truth = ngram_jaccard(spark, sf_dir)
+    cand = minhash_lsh(spark, sf_dir).select("a", "b").withColumn(
+        "hit", F.lit(1)
+    )
+    return truth.join(cand, ["a", "b"], "left").select(
+        "a",
+        "b",
+        "jaccard",
+        F.coalesce("hit", F.lit(0)).cast("bigint").alias("found_by_lsh"),
+    )
+
+
 # --- SimHash -------------------------------------------------------------
 
 @register("simhash", oracle=DD.simhash_sql())

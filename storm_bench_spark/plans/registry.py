@@ -174,6 +174,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "rrf_hybrid_rank",
     "contamination_score",
     "streaming_heavy_hitters",
+    "lsh_recall_pairs",
     "unique_visitor_approx",
     "rolling_latlong",
     "ann_topk_ivf_kmeans",
