@@ -145,6 +145,7 @@ HEADLINE = [
     "contamination_score",
     "streaming_heavy_hitters",
     "lsh_recall_pairs",
+    "events_cube",
 ]
 
 

@@ -175,6 +175,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "contamination_score",
     "streaming_heavy_hitters",
     "lsh_recall_pairs",
+    "events_cube",
     "unique_visitor_approx",
     "rolling_latlong",
     "ann_topk_ivf_kmeans",

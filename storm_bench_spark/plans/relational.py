@@ -286,6 +286,40 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_cube",
+    oracle=f"""
+WITH es AS (SELECT event_type, user_id % 8 AS user_band, value FROM events)
+SELECT event_type, user_band,
+       CAST(GROUPING(event_type, user_band) AS BIGINT) AS gid,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       count(*) AS n_events
+FROM es
+GROUP BY CUBE (event_type, user_band)
+""",
+)
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (event_type, user band): all four grouping sets
+    — per-cell, both one-dimension marginals, and the grand total — in
+    ONE Expand + single aggregation (the remaining GROUPING SETS shape
+    after ``orders_rollup``'s hierarchy). ``grouping_id`` is emitted so
+    a NULL grouping value is distinguishable from a NULL data value;
+    Spark's bit order (first column = most significant) matches
+    DuckDB/Postgres GROUPING(), which the oracle certifies. Decimal
+    two-phase sums keep the double totals engine-exact. At scale this
+    is one shuffle whose key set is the union of the grouping sets —
+    Expand multiplies rows 4× BEFORE the map-side partial aggregation,
+    so the exchange still carries only aggregated cells."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 8).alias("user_band"), "value"
+    )
+    return e.cube("event_type", "user_band").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        F.count("*").alias("n_events"),
+    ).select("event_type", "user_band", "gid", "total_value", "n_events")
+
+
 # --- analytic window functions over the event stream ----------------------
 
 @register(
