@@ -166,11 +166,14 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "epoch_shuffle",
     "token_budget_select",
     "decontaminate_minhash",
-    # same rule for the two later round-5 additions: pinned out of the
-    # window so the 22 never-gated rows keep their promised first
-    # gated round; both repo-verified against their DuckDB oracles at
-    # sf0.01 and sf0.001 and in the per-pytest sweep. ROTATE INTO THE
-    # WINDOW IN ROUND 6 with the three above.
+    # same rule for the five later round-5 additions (hybrid RRF
+    # retrieval, graded contamination, streaming CMS twin, LSH recall
+    # eval, CUBE grouping sets): pinned out of the window so the 22
+    # never-gated rows keep their promised first gated round; each is
+    # repo-verified against its DuckDB oracle at sf0.01 AND sf0.001
+    # (via the vanilla-session driver path) and runs in the per-pytest
+    # sweep. ROTATE ALL EIGHT PINNED ADDITIONS INTO THE WINDOW IN
+    # ROUND 6 with the three above.
     "rrf_hybrid_rank",
     "contamination_score",
     "streaming_heavy_hitters",
