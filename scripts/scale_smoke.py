@@ -88,6 +88,13 @@ QUERIES = [
     # the CMS probe are gram-/token-stream-linear with broadcast-small
     # membership sides
     "rrf_hybrid_rank", "contamination_score", "heavy_hitters_cms",
+    # round 5, tail (tokenizer prep / data selection): all four are
+    # token- or gram-stream-linear with vocabulary-sized (or
+    # 4096-feature-sized) join sides; the word bijection keeps each
+    # copy's gram/vocab structure intact while copy vocabularies stay
+    # disjoint, so vocab-sized stages grow R× and corpus stages ~R
+    "boilerplate_ngram_ratio", "vocab_oov_rate", "dsir_select",
+    "bpe_merge_steps",
 ]
 
 EMB_DIM_SMOKE = 64
