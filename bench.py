@@ -146,11 +146,12 @@ HEADLINE = [
     "streaming_heavy_hitters",
     "lsh_recall_pairs",
     "events_cube",
-    # round 5, tail: tokenizer prep + DSIR data selection
+    # round 5, tail: tokenizer prep + DSIR data selection + 2-stage ANN
     "boilerplate_ngram_ratio",
     "vocab_oov_rate",
     "dsir_select",
     "bpe_merge_steps",
+    "ann_rerank",
 ]
 
 

@@ -95,6 +95,10 @@ QUERIES = [
     # disjoint, so vocab-sized stages grow R× and corpus stages ~R
     "boilerplate_ngram_ratio", "vocab_oov_rate", "dsir_select",
     "bpe_merge_steps",
+    # two-stage ANN: the quantized scan is corpus-linear; the re-rank
+    # joins broadcast a queries×SHORTLIST_K shortlist, so stage-2 cost
+    # is shortlist-sized at any corpus size
+    "ann_rerank",
 ]
 
 EMB_DIM_SMOKE = 64

@@ -498,6 +498,107 @@ def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ann_topk_bruteforce(q, queries, ANN_K, vec_col="qv", dim=EMB_DIM)
 
 
+# --- two-stage ANN serving: quantized shortlist → exact re-rank ----------
+
+SHORTLIST_K = 20
+
+
+def _rerank_oracle() -> str:
+    dot, sumsq = SIM._dot_sql_builders(EMB_DIM)
+    exact_cos = (
+        f"({dot('fq.fv', 'fn.fv')}) / "
+        f"(sqrt({sumsq('fq.fv')}) * sqrt({sumsq('fn.fv')}))"
+    )
+    return f"""
+WITH qv AS (SELECT vec_id AS id,
+                   list_transform(qarr, x -> CAST(x AS DOUBLE)) AS qd,
+                   v AS fv
+            FROM ({_QV_CTE})),
+q AS (SELECT * FROM qv WHERE id < {ANN_QUERIES}),
+short AS (
+  SELECT qid, neighbor, cos_q FROM (
+    SELECT qid, neighbor, cos_q,
+           row_number() OVER (PARTITION BY qid ORDER BY cos_q DESC, neighbor)
+             AS r
+    FROM (SELECT q.id AS qid, qv.id AS neighbor,
+                 round({SIM.cosine_sql('q.qd', 'qv.qd')}, 6) AS cos_q
+          FROM q JOIN qv ON q.id <> qv.id)
+  ) WHERE r <= {SHORTLIST_K}
+),
+rer AS (
+  SELECT s.qid, s.neighbor, s.cos_q, round({exact_cos}, 6) AS cos
+  FROM short s
+  JOIN qv fq ON fq.id = s.qid
+  JOIN qv fn ON fn.id = s.neighbor
+)
+SELECT qid, neighbor, cos_q, cos, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT qid, neighbor, cos_q, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor)
+           AS rank
+  FROM rer
+) WHERE rank <= {ANN_K}
+"""
+
+
+@register("ann_rerank", oracle=_rerank_oracle())
+def ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN serving — the production compressed-index
+    pattern: stage 1 scans the int8-quantized index for a top-
+    SHORTLIST_K candidate list per query (cheap, 1 byte/dim, and
+    bitwise engine-exact — integer dot products), stage 2 re-scores
+    ONLY the shortlist against the full-precision vectors and emits
+    the exact top-ANN_K. Both scores are returned so the refinement
+    is visible (``cos_q`` quantized, ``cos`` exact).
+
+    FP discipline: the exact cosine is the left-assoc dimension-order
+    unrolled sum (`SIM._pair_cos` with fixed dim), replayed in the
+    oracle with the matching unrolled term chain — the
+    embedding_neardup spelling, no aggregation-order dependence.
+
+    Shape at scale: the shortlist is queries × SHORTLIST_K rows —
+    small by construction — so BOTH re-rank joins broadcast it
+    against a (vec_id, v) projection of the vector table: full-
+    precision vectors are read where they live and never cross an
+    exchange; only shortlist-sized rows move. The final window
+    partitions by qid over ≤ SHORTLIST_K rows per key.
+    """
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _quantized(emb).select(
+        "vec_id", F.col("qarr").cast("array<double>").alias("qv")
+    )
+    queries = q.where(F.col("vec_id") < ANN_QUERIES)
+    shortlist = SIM.ann_topk_bruteforce(
+        q, queries, SHORTLIST_K, vec_col="qv", dim=EMB_DIM
+    ).select("qid", "neighbor", F.col("cos").alias("cos_q"))
+
+    vn = SIM._with_norm(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")),
+        "v", "nrm", EMB_DIM,
+    )
+    s1 = vn.select(
+        F.col("vec_id").alias("neighbor"),
+        F.col("v").alias("nv"),
+        F.col("nrm").alias("nn"),
+    ).join(F.broadcast(shortlist), "neighbor")
+    s2 = vn.select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qvf"),
+        F.col("nrm").alias("nq"),
+    ).join(F.broadcast(s1), "qid")
+    rer = s2.select(
+        "qid", "neighbor", "cos_q",
+        F.round(SIM._pair_cos("qvf", "nv", "nq", "nn", EMB_DIM), 6).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("neighbor"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_K)
+        .select("qid", "neighbor", "cos_q", "cos", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
 # --- inverted index -------------------------------------------------------
 
 MIN_DF = 5

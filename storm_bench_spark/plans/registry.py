@@ -186,12 +186,15 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # steps): pinned out so the 22 never-gated rows keep their
     # promised first gated round; each is repo-verified against its
     # DuckDB oracle at sf0.01 AND sf0.001 and runs in the per-pytest
-    # sweep. ROTATE ALL TWELVE PINNED ROUND-5 ADDITIONS INTO THE
-    # ROUND-6 WINDOW (the eight above plus these four).
+    # sweep. ROTATE ALL THIRTEEN PINNED ROUND-5 ADDITIONS INTO THE
+    # ROUND-6 WINDOW (the eight above plus these five — ann_rerank is
+    # the two-stage quantized-shortlist → exact-re-rank serving query,
+    # verified the same way on landing).
     "boilerplate_ngram_ratio",
     "vocab_oov_rate",
     "dsir_select",
     "bpe_merge_steps",
+    "ann_rerank",
     "unique_visitor_approx",
     "rolling_latlong",
     "ann_topk_ivf_kmeans",

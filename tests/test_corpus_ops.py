@@ -110,6 +110,47 @@ def test_ann_topk_quantized_recall_vs_exact(spark):
     assert len(quant) == len(exact) == ANN_K * 10
 
 
+def test_ann_rerank_refines_the_quantized_shortlist(spark):
+    from storm_bench_spark.operators import similarity as SIM
+    from storm_bench_spark.plans.corpus_ops import (
+        EMB_DIM,
+        SHORTLIST_K,
+        _quantized,
+        ann_rerank,
+    )
+    from pyspark.sql import functions as F
+
+    q = _quantized(load_table(spark, SF_DIR, "embeddings")).select(
+        "vec_id", F.col("qarr").cast("array<double>").alias("qv")
+    )
+    shortlist = {
+        (r["qid"], r["neighbor"])
+        for r in SIM.ann_topk_bruteforce(
+            q, q.where(F.col("vec_id") < 10), SHORTLIST_K, vec_col="qv", dim=EMB_DIM
+        ).collect()
+    }
+    rer = ann_rerank(spark, SF_DIR).collect()
+    assert len(rer) == ANN_K * 10
+    by_q = {}
+    for r in rer:
+        # stage-2 candidates come from the stage-1 shortlist only
+        assert (r["qid"], r["neighbor"]) in shortlist
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, ANN_K + 1))
+        # the emitted rank order IS the exact-cosine order
+        assert all(a["cos"] >= b["cos"] for a, b in zip(rows, rows[1:]))
+    # two-stage recall vs exact brute force is at least quantized-only
+    # recall (re-ranking can only fix orderings inside the shortlist)
+    exact = {(r["qid"], r["neighbor"]) for r in ann_topk(spark, SF_DIR).collect()}
+    quant = {
+        (r["qid"], r["neighbor"]) for r in ann_topk_quantized(spark, SF_DIR).collect()
+    }
+    rr = {(r["qid"], r["neighbor"]) for r in rer}
+    assert len(exact & rr) >= len(exact & quant)
+
+
 def test_bm25_rank_is_ordered_and_positive(spark):
     rows = bm25_rank(spark, SF_DIR).collect()
     assert [r["rank"] for r in rows] == list(range(1, BM25_TOP + 1))
