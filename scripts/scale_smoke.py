@@ -228,6 +228,14 @@ def run(spark, queries, sf_dir: str) -> dict[str, float]:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         out[name] = round(time.perf_counter() - t0, 3)
         print(f"# {sf_dir} {name}: {out[name]}s", file=sys.stderr)
+        # Same discipline as bench.py: release every operator persist
+        # between queries. At 100× the accumulated MEMORY_AND_DISK
+        # blocks (shingle arrays, signatures, variant tables) otherwise
+        # crowd executor storage and later queries measure the eviction
+        # pressure, not their own plan — a sequential-session artifact
+        # (first seen as fuzzy_name_pairs_d2 at 540 s in a 52-query
+        # R=100 sweep vs 144.6 s clean).
+        spark.catalog.clearCache()
     return out
 
 
