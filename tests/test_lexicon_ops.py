@@ -99,6 +99,63 @@ def test_dsir_select_matches_python_replay(spark):
     assert all(langs[r["doc_id"]] != DSIR_TARGET_LANG for r in got)
 
 
+def test_lexicon_ops_edge_corpus_oracle_parity(spark, tmp_path):
+    """Cross-engine parity on a handcrafted edge corpus: empty and
+    whitespace-only docs, 1- and 2-word docs (no trigrams / one
+    bigram), overlapping-run words for the BPE greedy merge, > VOCAB_TOP
+    distinct words so OOV is non-trivial, and three docs sharing a
+    trigram so the boilerplate hit path fires. The fixture corpus has
+    none of these shapes — the CASE guards only this test exercises."""
+    import duckdb
+
+    from storm_bench_spark.plans.registry import get_spec
+    from tests.oracle_utils import assert_frames_match
+
+    many = " ".join(f"w{i}" for i in range(25))  # > VOCAB_TOP distinct
+    docs = spark.createDataFrame(
+        [
+            (0, "", "en", "s0", 0),
+            (1, "   ", "en", "s0", 3),
+            (2, "solo", "fr", "s0", 4),
+            (3, "pair word", "fr", "s1", 9),
+            (4, "aaa aaa aaa bb bb", "de", "s1", 17),
+            (5, "x y z tail one", "en", "s1", 14),
+            (6, "x y z tail two", "fr", "s2", 14),
+            (7, "x y z tail three", "de", "s2", 16),
+            (8, many, "en", "s2", len(many)),
+            (9, "x y z pair word", "es", "s3", 15),
+        ],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path)
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    for name in (
+        "boilerplate_ngram_ratio",
+        "vocab_oov_rate",
+        "dsir_select",
+        "bpe_merge_steps",
+    ):
+        spec = get_spec(name)
+        out = spec.fn(spark, sf).toPandas()
+        assert_frames_match(out, con.execute(spec.oracle).fetchdf(), f"edge:{name}")
+    # targeted spot checks on the edge shapes
+    boil = {r["doc_id"]: r for r in get_spec("boilerplate_ngram_ratio").fn(spark, sf).collect()}
+    assert boil[0]["n_grams"] == 0 and boil[0]["boilerplate_ppm"] == 0
+    assert boil[3]["n_grams"] == 0  # 2-word doc: no trigram positions
+    assert boil[5]["n_frequent"] >= 2  # "x y z" + "y z tail" occur in 3 docs
+    oov = {r["doc_id"]: r for r in get_spec("vocab_oov_rate").fn(spark, sf).collect()}
+    assert oov[1]["n_tokens"] == 0 and oov[1]["oov_ppm"] == 0
+    assert oov[8]["n_oov"] > 0  # 25 distinct words cannot all be in top-20
+    dsir = get_spec("dsir_select").fn(spark, sf).collect()
+    assert {r["doc_id"] for r in dsir} <= {3, 4, 6, 7, 9}  # non-en, >=2 words
+    assert 2 not in {r["doc_id"] for r in dsir}  # 1-word doc has no bigram
+
+
 def test_bpe_merges_match_python_replay(spark):
     docs = _doc_words(spark)
     wf = Counter(w for _, _, ws in docs for w in ws)
