@@ -298,11 +298,20 @@ def _bpe_oracle(steps: int) -> str:
     extracts weighted adjacent symbol pairs from the piped word
     representation, picks the (count DESC, pair ASC) argmax, and
     applies the merge via non-overlapping left-to-right replace —
-    byte-identical to the Spark/driver loop."""
+    byte-identical to the Spark/driver loop.
+
+    Representation: every symbol carries its OWN delimiters
+    (``'abc' -> '|a||b||c|'``), so adjacent pattern occurrences never
+    share a boundary character and one left-to-right literal replace
+    of ``|l||r|`` with ``|lr|`` is EXACTLY the greedy merge — including
+    back-to-back repeats ('papa' with (p,a), same-symbol runs 'aaaa'
+    with (a,a)), which the earlier shared-pipe form ``|a|b|c|`` merged
+    only once because each match consumed the next match's leading
+    pipe."""
     blocks = [
         f"wf AS (SELECT word, count(*) AS freq FROM "
         f"(SELECT unnest({_WORDS_SQL}) AS word FROM documents) GROUP BY word)",
-        "w0 AS (SELECT '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS rep, "
+        "w0 AS (SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS rep, "
         "freq FROM wf)",
     ]
     outs = []
@@ -320,7 +329,7 @@ def _bpe_oracle(steps: int) -> str:
         )
         blocks.append(f"""w{s} AS (
   SELECT replace(rep,
-                 '|' || (SELECT l FROM b{s}) || '|' || (SELECT r FROM b{s}) || '|',
+                 '|' || (SELECT l FROM b{s}) || '||' || (SELECT r FROM b{s}) || '|',
                  '|' || (SELECT l FROM b{s}) || (SELECT r FROM b{s}) || '|') AS rep,
          freq FROM w{p})""")
         outs.append(
@@ -341,15 +350,21 @@ _BPE_PAIRS_EXPR = (
 @register("bpe_merge_steps", oracle=_bpe_oracle(BPE_STEPS))
 def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE_STEPS merges of BPE tokenizer training (Sennrich et
-    al. 2016): words become pipe-delimited symbol sequences
-    (``'the' -> '|t|h|e|'``), each step counts adjacent symbol pairs
-    weighted by word frequency (every adjacent position counts,
-    including overlaps within a run — the reference get_stats
-    convention), learns the (count DESC, then lexicographic) argmax
-    pair, and merges it greedily left-to-right (``replace`` scans
-    non-overlapping occurrences left-to-right in both engines; the
-    pipe delimiters make a symbol boundary unambiguous, so a pair
-    pattern can never straddle two symbols).
+    al. 2016): words become symbol sequences where every symbol
+    carries its own delimiters (``'the' -> '|t||h||e|'``), each step
+    counts adjacent symbol pairs weighted by word frequency (every
+    adjacent position counts, including overlaps within a run — the
+    reference get_stats convention), learns the (count DESC, then
+    lexicographic) argmax pair, and merges it greedily left-to-right:
+    because adjacent occurrences of ``|l||r|`` occupy disjoint
+    character ranges (no shared boundary pipe), one non-overlapping
+    left-to-right literal ``replace`` IS the greedy merge — including
+    back-to-back repeats ('papa' merging (p,a) twice) and same-symbol
+    runs ('aaaa' -> 'aa','aa'), the cases the earlier shared-pipe
+    representation got wrong (each match consumed the pipe the next
+    match needed). Symbols never contain '|', and a merged symbol
+    ``|lr|`` has no interior '||', so a replace can neither split a
+    symbol nor create a new occurrence.
 
     Shape at scale — the real BPE trainer shape: ONE corpus-scale pass
     builds the word-frequency table (map-side-combined count,
@@ -366,7 +381,7 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
         .select(
-            F.concat(F.lit("|"), F.regexp_replace("word", "(.)", "$1|")).alias("rep"),
+            F.regexp_replace("word", "(.)", "|$1|").alias("rep"),
             "freq",
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -389,7 +404,7 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.call_function(
                 "replace",
                 F.col("rep"),
-                F.lit(f"|{best['l']}|{best['r']}|"),
+                F.lit(f"|{best['l']}||{best['r']}|"),
                 F.lit(f"|{best['l']}{best['r']}|"),
             ).alias("rep"),
             "freq",

@@ -124,6 +124,12 @@ def test_lexicon_ops_edge_corpus_oracle_parity(spark, tmp_path):
             (7, "x y z tail three", "de", "s2", 16),
             (8, many, "en", "s2", len(many)),
             (9, "x y z pair word", "es", "s3", 15),
+            # overlap shapes for the greedy BPE merge: 'papa' repeats
+            # the (p,a) pair back-to-back (both must merge), 'aaaa' is
+            # a same-symbol run (greedy pairs -> aa,aa), 'banana' has
+            # the l,r,l,r chain (a,n),(a,n) — the shared-pipe replace
+            # bug merged each of these only once
+            (10, "papa papa banana aaaa", "en", "s3", 21),
         ],
         schema="doc_id long, text string, lang string, source string, n_chars long",
     )
@@ -154,20 +160,36 @@ def test_lexicon_ops_edge_corpus_oracle_parity(spark, tmp_path):
     dsir = get_spec("dsir_select").fn(spark, sf).collect()
     assert {r["doc_id"] for r in dsir} <= {3, 4, 6, 7, 9}  # non-en, >=2 words
     assert 2 not in {r["doc_id"] for r in dsir}  # 1-word doc has no bigram
+    # the BPE merge log must equal the greedy replay — cross-engine
+    # parity alone can't see a flaw shared by plan and oracle, and this
+    # corpus forces the overlap merges ((a,a) runs, then (p,a) twice in
+    # 'papa') into the first BPE_STEPS argmaxes
+    wf = Counter(
+        w
+        for r in docs.select("text").collect()
+        for w in re.split(r"\s+", r["text"])
+        if w
+    )
+    expect = _bpe_greedy_replay(wf, BPE_STEPS)
+    got = sorted(get_spec("bpe_merge_steps").fn(spark, sf).collect(), key=lambda r: r["step"])
+    assert [(r["step"], r["left_sym"], r["right_sym"], r["pair_count"]) for r in got] == expect
+    assert ("p", "a") in {(l, r) for _, l, r, _ in expect}  # the papa overlap pair fired
 
 
-def test_bpe_merges_match_python_replay(spark):
-    docs = _doc_words(spark)
-    wf = Counter(w for _, _, ws in docs for w in ws)
-    words = {w: (list(w), c) for w, c in wf.items()}
-    expect = []
-    for step in range(1, BPE_STEPS + 1):
+def _bpe_greedy_replay(word_freqs, steps):
+    """Reference BPE trainer: weighted adjacent-pair counts, (count
+    DESC, pair ASC) argmax, greedy left-to-right merge — including
+    back-to-back repeats ('papa' merging (p,a) twice) and same-symbol
+    runs ('aaaa' -> aa,aa)."""
+    words = {w: (list(w), c) for w, c in word_freqs.items()}
+    log = []
+    for step in range(1, steps + 1):
         pairs = Counter()
         for syms, c in words.values():
             for i in range(len(syms) - 1):
                 pairs[(syms[i], syms[i + 1])] += c
         (bl, br), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
-        expect.append((step, bl, br, cnt))
+        log.append((step, bl, br, cnt))
         for w, (syms, c) in words.items():
             out, i = [], 0
             while i < len(syms):  # greedy left-to-right merge
@@ -178,5 +200,12 @@ def test_bpe_merges_match_python_replay(spark):
                     out.append(syms[i])
                     i += 1
             words[w] = (out, c)
+    return log
+
+
+def test_bpe_merges_match_python_replay(spark):
+    docs = _doc_words(spark)
+    wf = Counter(w for _, _, ws in docs for w in ws)
+    expect = _bpe_greedy_replay(wf, BPE_STEPS)
     got = sorted(bpe_merge_steps(spark, SF_DIR).collect(), key=lambda r: r["step"])
     assert [(r["step"], r["left_sym"], r["right_sym"], r["pair_count"]) for r in got] == expect
