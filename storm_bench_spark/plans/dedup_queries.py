@@ -73,8 +73,8 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # _spread: the fixture parquet is a single row group, so without a
     # round-robin repartition the shingle/tokenize stage runs on ONE
-    # core (measured -20% on this query at sf0.1); on real multi-file
-    # input _spread is a near-no-op
+    # core (measured -20% on this query at sf0.1); on real multi-split
+    # input _spread skips the exchange entirely (conditional since r6)
     docs = _spread(load_table(spark, sf_dir, "documents"))
     arr = DD.shingle_arrays(docs).persist(StorageLevel.MEMORY_AND_DISK)
     sh = arr.select("doc_id", F.explode("shs").alias("sh"))
@@ -118,8 +118,8 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # _spread: the fixture parquet is a single row group, so without a
     # round-robin repartition the shingle/tokenize stage runs on ONE
-    # core (measured -20% on this query at sf0.1); on real multi-file
-    # input _spread is a near-no-op
+    # core (measured -20% on this query at sf0.1); on real multi-split
+    # input _spread skips the exchange entirely (conditional since r6)
     docs = _spread(load_table(spark, sf_dir, "documents"))
     arr = DD.shingle_arrays(docs).persist(StorageLevel.MEMORY_AND_DISK)
     sh = arr.select("doc_id", F.explode("shs").alias("sh"))

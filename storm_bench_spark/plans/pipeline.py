@@ -12,6 +12,8 @@ driver's schema/value-hash comparison is stable across engines.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -37,12 +39,27 @@ _WORDS_SQL = f"list_filter(string_split_regex(text, '{WS_RUN_PATTERN}'), w -> w 
 
 def _spread(df):
     """Fan a small-file scan across the cluster for CPU-bound feature
-    extraction. The fixture's documents table is a single parquet file
-    (one scan partition), which would serialize the regex/token work
-    onto one core; at production scale the input arrives in many splits
-    and the repartition collapses to a cheap no-op relative to the
-    per-row work it parallelizes."""
+    extraction — CONDITIONALLY. The fixture's documents table is a
+    single parquet row group (one scan partition), which would
+    serialize the regex/token work onto one core, so a round-robin
+    repartition to ``defaultParallelism`` wins there. But
+    ``repartition()`` always shuffles: at production scale a
+    splittable input already arrives in >= defaultParallelism splits,
+    and the same exchange would move the entire corpus text across
+    the network for zero benefit. So: skip the repartition whenever
+    the scan already yields enough partitions (checked via the scan's
+    own split count, which costs a planning pass, not a job).
+
+    ``SPARK_GRAFT_SPREAD`` overrides: ``auto`` (default, the rule
+    above), ``always`` (unconditional repartition — the pre-round-6
+    behavior), ``never`` (scan partitioning untouched).
+    """
     sc = df.sparkSession.sparkContext
+    mode = os.environ.get("SPARK_GRAFT_SPREAD", "auto")
+    if mode == "never":
+        return df
+    if mode == "auto" and df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
     return df.repartition(sc.defaultParallelism)
 
 

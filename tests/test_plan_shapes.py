@@ -53,6 +53,30 @@ ALLOW_BNLJ = {
     "rrf_hybrid_rank": "composes bm25_rank (allowlisted scalar-row crossJoins)",
 }
 
+# Round-robin-over-scan allowlist: queries whose plan may show an
+# Exchange RoundRobinPartitioning directly over a raw scan. All of
+# them go through plans/pipeline.py:_spread, which (since round 6)
+# fires ONLY when the scan yields fewer splits than
+# defaultParallelism — true for the fixture's single-row-group
+# parquet (where the exchange parallelizes CPU-bound tokenization,
+# measured -20% on the dedup queries at sf0.1), provably skipped on
+# production multi-split input (test_spread_skips_* below). Any OTHER
+# query showing this shape is an unconditional full-corpus shuffle
+# and fails the lint.
+ALLOW_SPREAD = {
+    "lang_id", "quality_score", "repetition_score",
+    "decontaminate", "pack_sequences", "quality_quantile_filter",
+    "epoch_shuffle", "token_budget_select", "decontaminate_minhash",
+    "contamination_score",
+    "bigram_lm_score", "chunk_documents", "chunk_dedup",
+    "inverted_index", "bm25_rank", "textrank_keywords",
+    "heavy_hitters_cms", "domain_mix_sample",
+    "minhash_lsh", "ngram_jaccard", "simhash", "simhash_pairs",
+    "boilerplate_ngram_ratio", "vocab_oov_rate", "dsir_select",
+    "bpe_merge_steps",
+    "rrf_hybrid_rank",  # composes bm25_rank (a _spread user)
+}
+
 # Single-partition-funnel allowlist: query -> why the rows funneled
 # through one task are bounded by construction (NOT data-dependent).
 ALLOW_SINGLE_PARTITION = {
@@ -134,6 +158,48 @@ def _detail_block(plan_text: str, num: int) -> str:
     return m.group(1) if m else ""
 
 
+def _scan_under(nodes, plan_text, num):
+    """Walk down from node `num` through transparent wrappers and
+    ColumnarToRow to the single real child; return its node number if
+    it is a raw scan, else None. Any real operator (Filter with
+    non-pushed predicates, Project with expressions, Generate, ...)
+    between the exchange and the scan breaks the 'directly over a raw
+    scan' shape and ends the walk."""
+    passthrough = _WRAPPERS + ("ColumnarToRow",)
+    kids = nodes[num]["children"]
+    while len(kids) == 1:
+        k = kids[0]
+        kname = nodes[k]["name"]
+        if kname.startswith("Scan") or kname.startswith("BatchScan"):
+            return k
+        if not kname.startswith(passthrough):
+            return None
+        kids = nodes[k]["children"]
+    return None
+
+
+def _roundrobin_over_scan(plan_text: str) -> list[str]:
+    """Return a violation string per Exchange RoundRobinPartitioning
+    sitting directly over a raw scan — the shape _spread produces. At
+    100 TB this moves the entire input across the network once, so it
+    is only acceptable where _spread's conditional guard provably
+    skips it on multi-split input (ALLOW_SPREAD)."""
+    nodes = _tree_edges(plan_text)
+    out = []
+    for num, nd in nodes.items():
+        if not nd["name"].startswith("Exchange"):
+            continue
+        if "RoundRobinPartitioning" not in _detail_block(plan_text, num):
+            continue
+        scan = _scan_under(nodes, plan_text, num)
+        if scan is not None:
+            out.append(
+                f"Exchange RoundRobinPartitioning ({num}) over "
+                f"{nodes[scan]['name']} ({scan})"
+            )
+    return out
+
+
 def _single_partition_funnels(plan_text: str) -> list[str]:
     """Return a violation string per Exchange SinglePartition that
     funnels raw (non-pre-aggregated) rows into a Window, Sort, or
@@ -185,6 +251,14 @@ def test_no_scale_killers_in_plan(name, spark):
             f"the join an equi-join / broadcast a bounded side, or add an "
             f"explicit justification to ALLOW_BNLJ"
         )
+    rr = _roundrobin_over_scan(s)
+    if rr and name not in ALLOW_SPREAD:
+        raise AssertionError(
+            f"{name}: round-robin exchange directly over a raw scan {rr} "
+            f"— a full-input shuffle at scale. Route it through "
+            f"plans/pipeline.py:_spread (whose guard skips it on "
+            f"multi-split input) and add the query to ALLOW_SPREAD"
+        )
 
 
 def test_bnlj_allowlist_is_not_stale(spark):
@@ -194,3 +268,47 @@ def test_bnlj_allowlist_is_not_stale(spark):
     assert not missing, f"allowlist references unknown queries: {missing}"
     missing_sp = set(ALLOW_SINGLE_PARTITION) - set(all_queries())
     assert not missing_sp, f"allowlist references unknown queries: {missing_sp}"
+    missing_rr = ALLOW_SPREAD - set(all_queries())
+    assert not missing_rr, f"allowlist references unknown queries: {missing_rr}"
+
+
+# --- _spread conditional guard (plans/pipeline.py) -----------------------
+# The ALLOW_SPREAD exemption above is only sound because _spread skips
+# the exchange whenever the scan already yields >= defaultParallelism
+# splits — i.e. on any production multi-split input. These tests pin
+# that guard and its overrides.
+
+def test_spread_skips_when_scan_has_enough_splits(spark, monkeypatch):
+    from storm_bench_spark.plans.pipeline import _spread
+
+    monkeypatch.delenv("SPARK_GRAFT_SPREAD", raising=False)
+    par = spark.sparkContext.defaultParallelism
+    df = spark.range(0, 1000, 1, numPartitions=par)
+    assert _spread(df) is df  # identity — no exchange in the plan at all
+    wide = spark.range(0, 1000, 1, numPartitions=par * 2)
+    assert _spread(wide) is wide
+
+
+def test_spread_fires_on_underpartitioned_scan(spark, monkeypatch):
+    from storm_bench_spark.plans.pipeline import _spread
+
+    monkeypatch.delenv("SPARK_GRAFT_SPREAD", raising=False)
+    par = spark.sparkContext.defaultParallelism
+    df = spark.range(0, 1000, 1, numPartitions=1)
+    out = _spread(df)
+    assert out is not df
+    assert out.rdd.getNumPartitions() == par
+
+
+def test_spread_mode_overrides(spark, monkeypatch):
+    from storm_bench_spark.plans.pipeline import _spread
+
+    par = spark.sparkContext.defaultParallelism
+    one = spark.range(0, 10, 1, numPartitions=1)
+    many = spark.range(0, 10, 1, numPartitions=par)
+    monkeypatch.setenv("SPARK_GRAFT_SPREAD", "never")
+    assert _spread(one) is one
+    monkeypatch.setenv("SPARK_GRAFT_SPREAD", "always")
+    out = _spread(many)
+    assert out is not many
+    assert "RoundRobinPartitioning" in out._jdf.queryExecution().toString()
