@@ -65,36 +65,93 @@ def _ensure_loaded() -> None:
 # VERDICT r3 #8): any query whose code, shared helper, or oracle changed
 # in the current round MUST sit in the first 50 positions — rotate
 # long-stable rows out to make room and record the rotation in the
-# commit message. Names not listed here (future additions) sort FIRST —
-# new queries are by definition ungated. Within a tier, listing order is
-# kept.
+# commit message. Every registry name MUST be listed here
+# (tests/test_registry.py asserts set equality, per VERDICT r5 #2); a
+# name that somehow escapes the list sorts LAST — fail-safe: an
+# unlisted query can never displace promised window rows.
 #
-# ROUND-5 WINDOW (exactly 50): closes the cumulative-coverage gap — the
-# 22 rows that had NEVER been driver-gated through r4 (13 tpch_ext
-# adaptations repeatedly demoted for higher-risk rows, plus the
-# pinned-out round-4 additions) all enter the window this round, giving
-# cumulative driver coverage 131/131 across r1-r5. They share it with:
-#   - every row TOUCHED in round 5: embedding_project (long-form
-#     reshape + oracle rewrite), the fuzzy family (fuzzy_pairs
-#     rewritten onto 8-byte name ids with a collision-recovery
-#     branch), and ALL streaming twins (run_to_memory now trims
-#     shuffle width to the state-partitions knob — a shared-helper
-#     change; streaming_funnel additionally gained the ordering
-#     guard, streaming_cdc_apply the snapshot-recovery scan);
-#   - 8 r4-green rows carrying the registry's highest cross-engine
-#     risk (float/bit arithmetic, window boundary semantics), kept
-#     in-window as regression sentinels: semdedup,
-#     training_corpus_build, ann_recall_at_k, cdc_apply, the
-#     flight-dist pair, and the neardup-LSH pair (four further
-#     sentinels yielded their slots late in the round to the
-#     _spread-touched dedup queries — see the in-window note below);
-#   - the four dedup queries whose plans gained _spread late in the
-#     round (minhash_lsh, ngram_jaccard, simhash, simhash_pairs).
-# Every row rotated OUT is r2-r4 green with code untouched this round,
+# ROUND-6 WINDOW (exactly 50), honoring the round-5 rotation promise:
+#   - slots 1-13: the THIRTEEN round-5 additions that were pinned below
+#     the r5 window (documented promise, VERDICT r5 #1) — their first
+#     driver gating closes cumulative coverage at 144/144;
+#   - slots 14-31: the 18 other queries whose shared `_spread` helper
+#     changed this round (plans/pipeline.py: the round-robin fan-out is
+#     now conditional on the scan's split count — VERDICT r5 #3). At
+#     the gated SF the fixture still takes the repartition branch, but
+#     the rule gates changed code paths, not predicted outcomes;
+#   - slots 32-34: the fuzzy family — touched this round (d2 gains
+#     name-length bucketing, VERDICT r5 #6; shared variant-key helper);
+#   - slots 35-49: the 15 other streaming twins — touched this round
+#     (streaming/streams.py state-partition default now derives from
+#     defaultParallelism for data-sized inputs, VERDICT r5 #8; a
+#     shared run_to_memory change). streaming_heavy_hitters, the 16th,
+#     is already in slot 6;
+#   - slot 50: training_corpus_build, the capstone sentinel — r5-green,
+#     kept in-window as the registry's widest composition (dedup +
+#     clustering + curation share helpers with half the window).
+# Every row rotated OUT is r2-r5 green with code untouched this round,
 # and stays covered by the sf0.001 oracle replay on every pytest run
 # plus the repo-side sf0.01 full-registry sweep (COVERAGE.md).
 _GATE_PRIORITY: tuple[str, ...] = (
-    # ---- the 50-row round-5 gate window ----
+    # ---- the 50-row round-6 gate window ----
+    # the 13 round-5 additions, gated for the first time (the promise)
+    "epoch_shuffle",
+    "token_budget_select",
+    "decontaminate_minhash",
+    "rrf_hybrid_rank",
+    "contamination_score",
+    "streaming_heavy_hitters",
+    "lsh_recall_pairs",
+    "events_cube",
+    "boilerplate_ngram_ratio",
+    "vocab_oov_rate",
+    "dsir_select",
+    "bpe_merge_steps",  # also touched r6: exactly-greedy merge fix (2cc5986)
+    "ann_rerank",
+    # the 18 other _spread users (shared-helper change this round)
+    "lang_id",
+    "quality_score",
+    "repetition_score",
+    "decontaminate",
+    "pack_sequences",
+    "quality_quantile_filter",
+    "bigram_lm_score",
+    "chunk_documents",
+    "chunk_dedup",
+    "inverted_index",
+    "bm25_rank",
+    "textrank_keywords",
+    "heavy_hitters_cms",
+    "domain_mix_sample",
+    "minhash_lsh",
+    "ngram_jaccard",
+    "simhash",
+    "simhash_pairs",
+    # the fuzzy family (d2 bucketing this round)
+    "fuzzy_name_pairs",
+    "fuzzy_name_pairs_d2",
+    "fuzzy_triangles",
+    # the 15 other streaming twins (state-partition sizing this round)
+    "streaming_dedup",
+    "streaming_dedup_watermarked",
+    "streaming_enriched_revenue",
+    "streaming_rolling_count",
+    "streaming_sol",
+    "streaming_rolling_sort",
+    "streaming_interval_join",
+    "streaming_flight_dist",
+    "streaming_user_sessions",
+    "streaming_hashtag_count",
+    "streaming_hll_visitors",
+    "streaming_funnel",
+    "streaming_cdc_apply",
+    "trident_wordcount",
+    "stateful_running_count",
+    # capstone sentinel
+    "training_corpus_build",
+    # ---- outside the window: r2-r5 green, untouched this round ----
+    # First the rows rotated out of the r5 window (all gated green in
+    # CORRECTNESS_r05, code untouched since), then the older tail.
     "tpch_q13",
     "tpch_q15",
     "tpch_q16",
@@ -110,96 +167,21 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "tpch_q21",
     "text_normalize",
     "pii_mask",
-    "repetition_score",
-    "streaming_dedup",
-    "streaming_dedup_watermarked",
     "user_event_pivot",
-    "streaming_enriched_revenue",
     "user_event_unpivot",
     "stratified_sample",
     "embedding_project",
-    "fuzzy_name_pairs",
-    "fuzzy_name_pairs_d2",
-    "fuzzy_triangles",
-    "streaming_rolling_count",
-    "streaming_sol",
-    "streaming_rolling_sort",
-    "streaming_interval_join",
-    "streaming_flight_dist",
-    "streaming_user_sessions",
-    "streaming_hashtag_count",
-    "streaming_hll_visitors",
-    "streaming_funnel",
-    "streaming_cdc_apply",
-    "trident_wordcount",
-    "stateful_running_count",
     "semdedup",
-    "training_corpus_build",
     "ann_recall_at_k",
     "cdc_apply",
     "rolling_flight_dist",
     "rolling_flight_dist_bucketed",
     "embedding_neardup_lsh",
     "embedding_neardup_lsh_scaled",
-    # late round-5 swap (rule: touched > untouched sentinel): the four
-    # doc-tokenizing dedup queries gained _spread (a plan change —
-    # round-robin repartition ahead of the shingle stage), so they take
-    # the last four window slots; the four untouched r4-green
-    # sentinels they displace (unique_visitor_approx, rolling_latlong,
-    # ann_topk_ivf_kmeans, asof_click_purchase_tol) move just below
-    # the window, still covered by the sf0.001 pytest sweep + this
-    # round's repo-side sf0.01 replay
-    "minhash_lsh",
-    "ngram_jaccard",
-    "simhash",
-    "simhash_pairs",
-    # ---- outside the window, BY CHOICE (inverting the new-queries-
-    # first default): three late round-5 additions (epoch_shuffle,
-    # token_budget_select, decontaminate_minhash) are pinned out so
-    # they cannot displace the 22 never-gated rows in their first —
-    # and promised — gated round (cumulative 131/134 would break).
-    # All three are repo-verified against their DuckDB oracles at
-    # sf0.01 AND sf0.001 (exact integer/hash arithmetic end-to-end:
-    # portable hash64 keys, integer prefix sums, integer Jaccard
-    # ratios) and run in the per-pytest sf0.001 sweep. ROTATE THEM
-    # INTO THE WINDOW IN ROUND 6 (the same promise round 4 made for
-    # the pivot rows, honored this round).
-    "epoch_shuffle",
-    "token_budget_select",
-    "decontaminate_minhash",
-    # same rule for the five later round-5 additions (hybrid RRF
-    # retrieval, graded contamination, streaming CMS twin, LSH recall
-    # eval, CUBE grouping sets): pinned out of the window so the 22
-    # never-gated rows keep their promised first gated round; each is
-    # repo-verified against its DuckDB oracle at sf0.01 AND sf0.001
-    # (via the vanilla-session driver path) and runs in the per-pytest
-    # sweep. ROTATE ALL EIGHT PINNED ADDITIONS INTO THE WINDOW IN
-    # ROUND 6 with the three above.
-    "rrf_hybrid_rank",
-    "contamination_score",
-    "streaming_heavy_hitters",
-    "lsh_recall_pairs",
-    "events_cube",
-    # same rule again for the four tokenizer-prep / data-selection
-    # additions that closed the round (plans/lexicon_ops.py:
-    # boilerplate n-gram ratio, vocab/OOV, DSIR selection, BPE merge
-    # steps): pinned out so the 22 never-gated rows keep their
-    # promised first gated round; each is repo-verified against its
-    # DuckDB oracle at sf0.01 AND sf0.001 and runs in the per-pytest
-    # sweep. ROTATE ALL THIRTEEN PINNED ROUND-5 ADDITIONS INTO THE
-    # ROUND-6 WINDOW (the eight above plus these five — ann_rerank is
-    # the two-stage quantized-shortlist → exact-re-rank serving query,
-    # verified the same way on landing).
-    "boilerplate_ngram_ratio",
-    "vocab_oov_rate",
-    "dsir_select",
-    "bpe_merge_steps",
-    "ann_rerank",
     "unique_visitor_approx",
     "rolling_latlong",
     "ann_topk_ivf_kmeans",
     "asof_click_purchase_tol",
-    # ---- outside the window: r2-r4 green, untouched this round ----
     "gap_fill_hourly",
     "scd2_customer_history",
     "funnel_conversion",
@@ -208,19 +190,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "user_moving_avg",
     "value_zscore_outliers",
     "props_json_stats",
-    "decontaminate",
-    "pack_sequences",
-    "quality_quantile_filter",
-    "bigram_lm_score",
-    "chunk_documents",
-    "chunk_dedup",
-    "domain_mix_sample",
     "embedding_quantize",
     "ann_topk_quantized",
-    "inverted_index",
-    "bm25_rank",
-    "textrank_keywords",
-    "heavy_hitters_cms",
     "source_centroids_q8",
     "source_similarity_q8",
     "hll_users_per_type",
@@ -230,7 +201,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "asof_click_purchase",
     "neardup_clusters",
     "corpus_curate",
-    "quality_score",
     "multimodal_features",
     "multimodal_audio_meta",
     "multimodal_audio_chunks",
@@ -256,7 +226,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "top_terms",
     "token_count",
     "dedup_exact",
-    "lang_id",
     "doc_fingerprint",
     "unique_visitor",
     "tpch_q5",
@@ -282,9 +251,13 @@ _GATE_PRIORITY: tuple[str, ...] = (
 
 def _gate_ordered() -> list[QuerySpec]:
     rank = {name: i for i, name in enumerate(_GATE_PRIORITY)}
-    # unknown names rank -1: new queries are ungated until listed, so
-    # they jump the queue; ties keep registration order (sort is stable)
-    return sorted(_REGISTRY.values(), key=lambda s: rank.get(s.name, -1))
+    # unknown names sort LAST (fail-safe, changed round 6): a query
+    # missing from _GATE_PRIORITY can never silently displace promised
+    # gate-window rows. tests/test_registry.py additionally asserts the
+    # list and the registry are set-equal, so this branch is dead in a
+    # green tree; ties keep registration order (sort is stable).
+    fallback = len(_GATE_PRIORITY)
+    return sorted(_REGISTRY.values(), key=lambda s: rank.get(s.name, fallback))
 
 
 def all_queries() -> dict[str, QueryFn]:
