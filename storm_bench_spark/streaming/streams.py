@@ -31,6 +31,7 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(name)
     path = os.path.join(sf_dir, f"{name}.parquet")
     schema = spark.read.parquet(path).schema
+    _record_input_bytes(spark, _path_bytes(path))
     # The file stream source requires a directory; stream the sf dir
     # restricted to this table's file.
     df = (
@@ -53,11 +54,74 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # whenever the keyed state is small relative to the partition count.
 # Size this to the stateful-key VOLUME per epoch, not to the batch
 # shuffle width: 4 covers the fixture scales (measured: −41%/−68%/−42%
-# on the cdc/funnel/hll twins vs 32); on a cluster ingesting real
-# volume set it ≥ executor cores via the env override. Results are
+# on the cdc/funnel/hll twins vs 32). Results are
 # partition-count-invariant (the oracles certify that), only the epoch
 # overhead changes.
+#
+# SIZING RULE (VERDICT r5 #8 — the small default must not silently
+# under-parallelize a data-sized stream): ``stream_table`` records the
+# input's on-disk byte size in a session conf; ``run_to_memory`` derives
+# the state width from it via :func:`state_partitions_for` —
+#   input ≤ 4 × 32 MiB  → STREAM_STATE_PARTITIONS (the floor trim);
+#   larger              → max(defaultParallelism, input/32 MiB),
+#                         capped at 4 × defaultParallelism
+# so real ingest always gets at least core-count state partitions. The
+# env override, when set, is taken verbatim (cluster operators size to
+# their state volume directly).
 STREAM_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
+
+# Target on-disk input bytes per state partition in the data-sized
+# regime: one comfortable shuffle/state block. 4× this is the boundary
+# below which the delta-file-per-epoch overhead dominates any
+# parallelism gain (the regime the floor trim was measured in).
+STREAM_STATE_TARGET_BYTES = 32 << 20
+
+_INPUT_BYTES_KEY = "spark.sparkGraft.streamInputBytes"
+
+
+def _path_bytes(path: str) -> int:
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
+def _record_input_bytes(spark: SparkSession, n: int) -> None:
+    """Accumulate (max) the byte size of streamed inputs in the session
+    conf so ``run_to_memory`` can size the state width. Max, not sum: a
+    multi-input query (stream-stream join) keys its state off the larger
+    side. Consumed-and-reset by :func:`_take_input_bytes`."""
+    cur = int(spark.conf.get(_INPUT_BYTES_KEY, "0"))
+    if n > cur:
+        spark.conf.set(_INPUT_BYTES_KEY, str(n))
+
+
+def _take_input_bytes(spark: SparkSession) -> int:
+    n = int(spark.conf.get(_INPUT_BYTES_KEY, "0"))
+    spark.conf.set(_INPUT_BYTES_KEY, "0")
+    return n
+
+
+def state_partitions_for(spark: SparkSession, input_bytes: int) -> int:
+    """State-partition count for a stream ingesting ``input_bytes``.
+
+    Two regimes: fixture/changelog-sized input keeps the measured floor
+    trim (:data:`STREAM_STATE_PARTITIONS`); data-sized input gets at
+    least ``defaultParallelism`` stores (never fewer than the cores the
+    cluster can commit deltas on concurrently), growing with volume to
+    a 4×-cores cap. An explicit ``SPARK_GRAFT_STREAM_PARTITIONS`` wins
+    in both regimes.
+    """
+    if "SPARK_GRAFT_STREAM_PARTITIONS" in os.environ:
+        return STREAM_STATE_PARTITIONS
+    small = STREAM_STATE_PARTITIONS
+    if input_bytes <= STREAM_STATE_TARGET_BYTES * small:
+        return small
+    par = spark.sparkContext.defaultParallelism
+    by_volume = -(-input_bytes // STREAM_STATE_TARGET_BYTES)  # ceil
+    return max(par, min(by_volume, 4 * par))
 
 
 def run_to_memory(
@@ -83,7 +147,9 @@ def run_to_memory(
     the Trident topology models (TridentWordCount.java:36-52).
 
     ``spark.sql.shuffle.partitions`` is trimmed to ``state_partitions``
-    (default :data:`STREAM_STATE_PARTITIONS`) for the duration of the
+    (default: :func:`state_partitions_for` over the input bytes that
+    ``stream_table`` recorded — the floor trim for fixture-sized input,
+    ≥ core-count for data-sized ingest) for the duration of the
     stream and restored after — the streaming plan compiles at
     ``start()``, so only this query's state width is affected. The
     session-conf swap is NOT safe against a batch query compiling
@@ -99,7 +165,7 @@ def run_to_memory(
         .option("checkpointLocation", ckpt)
     )
     spark = df.sparkSession
-    n_parts = state_partitions or STREAM_STATE_PARTITIONS
+    n_parts = state_partitions or state_partitions_for(spark, _take_input_bytes(spark))
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
     try:
