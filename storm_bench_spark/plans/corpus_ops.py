@@ -52,7 +52,7 @@ ANN_K = 5
 
 
 def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _spread(load_table(spark, sf_dir, "documents"))
+    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
     return docs.select("doc_id", word_split("text").alias("w"))
 
 
@@ -339,7 +339,7 @@ def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     never (token counting rides the scan; the agg shuffle carries one
     row per domain).
     """
-    docs = _spread(load_table(spark, sf_dir, "documents"))
+    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
     dt = docs.select(
         "doc_id", "source", F.size(word_split("text")).cast("bigint").alias("n_tokens")
     )

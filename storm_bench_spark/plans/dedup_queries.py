@@ -75,7 +75,7 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-robin repartition the shingle/tokenize stage runs on ONE
     # core (measured -20% on this query at sf0.1); on real multi-split
     # input _spread skips the exchange entirely (conditional since r6)
-    docs = _spread(load_table(spark, sf_dir, "documents"))
+    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
     arr = DD.shingle_arrays(docs).persist(StorageLevel.MEMORY_AND_DISK)
     sh = arr.select("doc_id", F.explode("shs").alias("sh"))
     sig = DD.minhash_signature(sh)
@@ -120,7 +120,7 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-robin repartition the shingle/tokenize stage runs on ONE
     # core (measured -20% on this query at sf0.1); on real multi-split
     # input _spread skips the exchange entirely (conditional since r6)
-    docs = _spread(load_table(spark, sf_dir, "documents"))
+    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
     arr = DD.shingle_arrays(docs).persist(StorageLevel.MEMORY_AND_DISK)
     sh = arr.select("doc_id", F.explode("shs").alias("sh"))
     cands = DD.inverted_index_candidates(sh)
@@ -187,7 +187,7 @@ def lsh_recall_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprint per document (majority vote over
     token-hash bits)."""
-    return DD.simhash(_spread(load_table(spark, sf_dir, "documents")))
+    return DD.simhash(_spread(load_table(spark, sf_dir, "documents"), sf_dir))
 
 
 @register(
@@ -201,7 +201,7 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3) via exact nibble banding;
     the oracle brute-forces the same fingerprints — pigeonhole makes
     the banded candidate set lossless."""
-    fp = DD.simhash(_spread(load_table(spark, sf_dir, "documents")))
+    fp = DD.simhash(_spread(load_table(spark, sf_dir, "documents"), sf_dir))
     return DD.simhash_near_pairs(fp, max_hamming=3)
 
 

@@ -49,7 +49,7 @@ BPE_STEPS = 4
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _spread(load_table(spark, sf_dir, "documents"))
+    return _spread(load_table(spark, sf_dir, "documents"), sf_dir)
 
 
 def _trigram_expr():

@@ -81,7 +81,7 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     travel as hash64 BIGINTs (16× narrower than the gram strings), and
     the per-doc hit count is a map-side-combinable count distinct.
     """
-    docs = _spread(load_table(spark, sf_dir, "documents"))
+    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
     # bind() the token array so the whitespace split runs once per row
     # — inside the transform lambda Spark applies no CSE, and an
     # unbound word_split would re-tokenize once per gram (quadratic in
@@ -128,7 +128,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same numbers; the Spark plan never funnels the corpus through
     one task, which is what makes this packing valid at 100 TB.
     """
-    docs = _spread(load_table(spark, sf_dir, "documents"))
+    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
     tok = docs.select("doc_id", F.size(word_split("text")).alias("n_tokens"))
     cum = exclusive_prefix_sum(tok, "doc_id", "n_tokens", out_col="cum")
     return cum.select(
@@ -170,7 +170,7 @@ def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark import StorageLevel
 
-    docs = _spread(load_table(spark, sf_dir, "documents"))
+    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
     # consumed by the histogram build and the final filter — persist
     # so the regex tokenization runs once over the corpus
     tok = docs.select(
@@ -294,7 +294,7 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-derived (functions/hashing.py), so engine and oracle agree on
     every key; pos ties break on doc_id (hash collisions).
     """
-    docs = _spread(load_table(spark, sf_dir, "documents"))
+    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
     keyed = docs.select(
         "doc_id",
         hash64(
@@ -351,7 +351,7 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast one-row threshold — same shapes as
     ``quality_quantile_filter``.
     """
-    docs = _spread(load_table(spark, sf_dir, "documents"))
+    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
     tok = docs.select(
         "doc_id", F.size(word_split("text")).cast("bigint").alias("n_tokens")
     ).withColumn("ord", F.col("doc_id") - F.col("n_tokens") * F.lit(_ORD_SHIFT))
@@ -414,7 +414,7 @@ def decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from storm_bench_spark.operators import dedup as DD
 
-    docs = _spread(load_table(spark, sf_dir, "documents"))
+    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
     arr = DD.shingle_arrays(docs).persist(StorageLevel.MEMORY_AND_DISK)
     sh = arr.select("doc_id", F.explode("shs").alias("sh"))
     # repartitioned on the bucket key THEN persisted: the train filter
@@ -490,7 +490,7 @@ def contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact int/int IEEE division — bitwise replayable. Documents
     with < 4 tokens have no grams and no row (same rule as the oracle).
     """
-    docs = _spread(load_table(spark, sf_dir, "documents"))
+    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
     grams = docs.select(
         "doc_id",
         F.explode(bind(word_split("text"), _gram_hashes)).alias("g"),

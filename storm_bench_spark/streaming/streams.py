@@ -115,7 +115,11 @@ def state_partitions_for(spark: SparkSession, input_bytes: int) -> int:
     in both regimes.
     """
     if "SPARK_GRAFT_STREAM_PARTITIONS" in os.environ:
-        return STREAM_STATE_PARTITIONS
+        # Read at call time, not the module-import-time default: an
+        # override set after import (programmatic, monkeypatch) must
+        # win — returning the stale STREAM_STATE_PARTITIONS here was
+        # an ADVICE r6 finding.
+        return int(os.environ["SPARK_GRAFT_STREAM_PARTITIONS"])
     small = STREAM_STATE_PARTITIONS
     if input_bytes <= STREAM_STATE_TARGET_BYTES * small:
         return small
@@ -165,7 +169,13 @@ def run_to_memory(
         .option("checkpointLocation", ckpt)
     )
     spark = df.sparkSession
-    n_parts = state_partitions or state_partitions_for(spark, _take_input_bytes(spark))
+    # Consume the recorded input bytes UNCONDITIONALLY: with an
+    # explicit state_partitions an `or` short-circuit would leave the
+    # conf key set, max-inflating the NEXT query's derived width
+    # (ADVICE r6). A failed build between stream_table and here can
+    # still leak — acceptable: the very next run_to_memory drains it.
+    input_bytes = _take_input_bytes(spark)
+    n_parts = state_partitions or state_partitions_for(spark, input_bytes)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
     try:

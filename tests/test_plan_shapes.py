@@ -274,41 +274,80 @@ def test_bnlj_allowlist_is_not_stale(spark):
 
 # --- _spread conditional guard (plans/pipeline.py) -----------------------
 # The ALLOW_SPREAD exemption above is only sound because _spread skips
-# the exchange whenever the scan already yields >= defaultParallelism
-# splits — i.e. on any production multi-split input. These tests pin
-# that guard and its overrides.
+# the exchange whenever the input is big enough to scan as
+# >= defaultParallelism splits — i.e. on any production input. Since
+# round 7 the split count is estimated from on-disk bytes ÷
+# maxPartitionBytes (no `.rdd` planning probe — VERDICT r6 #3); these
+# tests pin the estimate, both branches, and the overrides.
 
-def test_spread_skips_when_scan_has_enough_splits(spark, monkeypatch):
+@pytest.fixture(scope="module")
+def spread_dir(spark, tmp_path_factory):
+    """A fake sf_dir holding a small documents.parquet (~tens of KB)."""
+    d = tmp_path_factory.mktemp("spread_sf")
+    spark.range(0, 5000, 1, numPartitions=1).selectExpr(
+        "id AS doc_id", "repeat('x', 20) AS text"
+    ).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_spread_skips_when_input_scans_wide(spark, spread_dir, monkeypatch):
+    from storm_bench_spark.plans.pipeline import _spread
+
+    monkeypatch.delenv("SPARK_GRAFT_SPREAD", raising=False)
+    # Shrink the split size so the small fixture file estimates as many
+    # splits — the production-scale regime without a production file.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "100")
+    try:
+        df = spark.read.parquet(f"{spread_dir}/documents.parquet")
+        assert _spread(df, spread_dir) is df  # identity — no exchange at all
+    finally:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+
+
+def test_spread_fires_on_small_input(spark, spread_dir, monkeypatch):
     from storm_bench_spark.plans.pipeline import _spread
 
     monkeypatch.delenv("SPARK_GRAFT_SPREAD", raising=False)
     par = spark.sparkContext.defaultParallelism
-    df = spark.range(0, 1000, 1, numPartitions=par)
-    assert _spread(df) is df  # identity — no exchange in the plan at all
-    wide = spark.range(0, 1000, 1, numPartitions=par * 2)
-    assert _spread(wide) is wide
-
-
-def test_spread_fires_on_underpartitioned_scan(spark, monkeypatch):
-    from storm_bench_spark.plans.pipeline import _spread
-
-    monkeypatch.delenv("SPARK_GRAFT_SPREAD", raising=False)
-    par = spark.sparkContext.defaultParallelism
-    df = spark.range(0, 1000, 1, numPartitions=1)
-    out = _spread(df)
+    # Default 128 MiB splits: the KB-sized file estimates 1 split.
+    df = spark.read.parquet(f"{spread_dir}/documents.parquet")
+    out = _spread(df, spread_dir)
     assert out is not df
     assert out.rdd.getNumPartitions() == par
 
 
-def test_spread_mode_overrides(spark, monkeypatch):
+def test_spread_mode_overrides(spark, spread_dir, monkeypatch):
     from storm_bench_spark.plans.pipeline import _spread
 
-    par = spark.sparkContext.defaultParallelism
-    one = spark.range(0, 10, 1, numPartitions=1)
-    many = spark.range(0, 10, 1, numPartitions=par)
+    df = spark.read.parquet(f"{spread_dir}/documents.parquet")
     monkeypatch.setenv("SPARK_GRAFT_SPREAD", "never")
-    assert _spread(one) is one
+    assert _spread(df, spread_dir) is df
     monkeypatch.setenv("SPARK_GRAFT_SPREAD", "always")
-    out = _spread(many)
-    assert out is not many
-    assert "RoundRobinPartitioning" in out._jdf.queryExecution().toString()
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "100")
+    try:
+        out = _spread(df, spread_dir)  # wide estimate, but mode=always wins
+        assert out is not df
+        assert "RoundRobinPartitioning" in out._jdf.queryExecution().toString()
+    finally:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+
+
+def test_spread_rejects_unknown_mode(spark, spread_dir, monkeypatch):
+    from storm_bench_spark.plans.pipeline import _spread
+
+    df = spark.read.parquet(f"{spread_dir}/documents.parquet")
+    monkeypatch.setenv("SPARK_GRAFT_SPREAD", "off")  # typo'd mode
+    with pytest.raises(ValueError, match="SPARK_GRAFT_SPREAD"):
+        _spread(df, spread_dir)
+
+
+def test_conf_bytes_parses_suffixes(spark):
+    from storm_bench_spark.plans.pipeline import _conf_bytes
+
+    for raw, expect in [("134217728b", 128 << 20), ("128m", 128 << 20),
+                        ("1g", 1 << 30), ("4096", 4096), ("16k", 16 << 10)]:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", raw)
+        try:
+            assert _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 0) == expect
+        finally:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")

@@ -375,3 +375,82 @@ def test_streaming_cdc_folds_across_real_epochs(spark, tmp_path):
         ["k"], F.struct("sec", "cid"), ["val"],
     )
     assert sorted(map(tuple, third.collect())) == sorted(map(tuple, want_all.collect()))
+
+
+# --- state-partition sizing (streams.py:state_partitions_for) ------------
+# The VERDICT r5 #8 rule shipped in round 6 without a test; these pin
+# both regimes, the cap, the call-time env override, and the
+# consumed-on-every-run reset of the recorded input bytes.
+
+def test_state_partitions_small_regime_floor(spark, monkeypatch):
+    from storm_bench_spark.streaming import streams as S
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_PARTITIONS", raising=False)
+    floor = S.STREAM_STATE_PARTITIONS
+    boundary = S.STREAM_STATE_TARGET_BYTES * floor
+    assert S.state_partitions_for(spark, 0) == floor
+    assert S.state_partitions_for(spark, boundary) == floor  # inclusive
+
+
+def test_state_partitions_data_sized_regime(spark, monkeypatch):
+    from storm_bench_spark.streaming import streams as S
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_PARTITIONS", raising=False)
+    par = spark.sparkContext.defaultParallelism
+    boundary = S.STREAM_STATE_TARGET_BYTES * S.STREAM_STATE_PARTITIONS
+    # Just past the boundary: never fewer stores than cores, and the
+    # by-volume count (boundary/32MiB rounds up to floor+1) only adds.
+    just_past = S.state_partitions_for(spark, boundary + 1)
+    assert just_past == max(par, min(S.STREAM_STATE_PARTITIONS + 1, 4 * par))
+    # Volume-driven growth between the floors: 2x cores worth of
+    # 32 MiB blocks yields exactly 2x cores partitions.
+    mid = S.STREAM_STATE_TARGET_BYTES * 2 * par
+    assert S.state_partitions_for(spark, mid) == 2 * par
+    # The 4x-cores cap holds no matter the volume.
+    assert S.state_partitions_for(spark, S.STREAM_STATE_TARGET_BYTES * 100 * par) == 4 * par
+
+
+def test_state_partitions_env_override_wins_both_regimes(spark, monkeypatch):
+    from storm_bench_spark.streaming import streams as S
+
+    # Set AFTER module import: the override must be read at call time
+    # (ADVICE r6 — the old code returned the import-time default).
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_PARTITIONS", "7")
+    assert S.state_partitions_for(spark, 0) == 7
+    assert S.state_partitions_for(spark, 10**12) == 7
+
+
+def test_recorded_input_bytes_reset_between_queries(spark, monkeypatch):
+    from storm_bench_spark.streaming import streams as S
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_PARTITIONS", raising=False)
+    # A data-sized recording is consumed by the take...
+    S._record_input_bytes(spark, 10**12)
+    assert S._take_input_bytes(spark) == 10**12
+    # ...and must NOT leak into the next query's sizing.
+    assert S._take_input_bytes(spark) == 0
+    # Recording accumulates by max (stream-stream join keys off the
+    # larger side), then resets again after the take.
+    S._record_input_bytes(spark, 100)
+    S._record_input_bytes(spark, 50)
+    assert S._take_input_bytes(spark) == 100
+    assert S._take_input_bytes(spark) == 0
+
+
+def test_run_to_memory_consumes_bytes_with_explicit_partitions(spark, monkeypatch):
+    """An explicit state_partitions run must still drain the recorded
+    bytes — the `or` short-circuit leak from ADVICE r6."""
+    from storm_bench_spark.streaming import streams as S
+    from pyspark.sql import Row
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_PARTITIONS", raising=False)
+    import tempfile
+    d = tempfile.mkdtemp(prefix="sbs_state_reset_")
+    spark.createDataFrame([Row(k="a"), Row(k="b")]).write.mode("overwrite").parquet(f"{d}/t.parquet")
+    schema = spark.read.parquet(f"{d}/t.parquet").schema
+    sdf = spark.readStream.schema(schema).parquet(f"{d}/t.parquet")
+    S._record_input_bytes(spark, 10**12)  # pretend a huge stream input
+    run_to_memory(sdf.groupBy("k").count(), state_partitions=2)
+    # The fake recording was consumed even though the explicit width
+    # was used; the next derived sizing sees a clean slate.
+    assert S._take_input_bytes(spark) == 0
