@@ -70,51 +70,52 @@ def _ensure_loaded() -> None:
 # name that somehow escapes the list sorts LAST — fail-safe: an
 # unlisted query can never displace promised window rows.
 #
-# ROUND-6 WINDOW (exactly 50), honoring the round-5 rotation promise:
-#   - slots 1-13: the THIRTEEN round-5 additions that were pinned below
-#     the r5 window (documented promise, VERDICT r5 #1) — their first
-#     driver gating closes cumulative coverage at 144/144;
-#   - slots 14-31: the 18 other queries whose shared `_spread` helper
-#     changed this round (plans/pipeline.py: the round-robin fan-out is
-#     now conditional on the scan's split count — VERDICT r5 #3). At
-#     the gated SF the fixture still takes the repartition branch, but
-#     the rule gates changed code paths, not predicted outcomes;
-#   - slots 32-34: the fuzzy family — touched this round (d2 gains
-#     name-length bucketing, VERDICT r5 #6; shared variant-key helper);
-#   - slots 35-49: the 15 other streaming twins — touched this round
-#     (streaming/streams.py state-partition default now derives from
-#     defaultParallelism for data-sized inputs, VERDICT r5 #8; a
-#     shared run_to_memory change). streaming_heavy_hitters, the 16th,
-#     is already in slot 6;
-#   - slot 50: training_corpus_build, the capstone sentinel — r5-green,
-#     kept in-window as the registry's widest composition (dedup +
-#     clustering + curation share helpers with half the window).
-# Every row rotated OUT is r2-r5 green with code untouched this round,
+# ROUND-7 WINDOW (exactly 50) = exactly the queries whose executed
+# code changed this round — derived MECHANICALLY, not by eyeball: the
+# three changed helpers (plans/pipeline.py:_spread — byte-estimated
+# split count, new sf_dir parameter; operators/sketches.py:fuzzy_pairs
+# — suffix-signature truncation + SHUFFLE_HASH hints;
+# streaming/streams.py:run_to_memory — unconditional input-bytes drain,
+# call-time env override) were instrumented and every registered query
+# built; 42 queries invoked at least one of them. The other 8 are the
+# remaining streaming twins in plans/streaming_queries.py, static
+# run_to_memory callers whose builds the tracing harness could not
+# complete — grep confirms the call sites. 42 + 8 = 50: the touched
+# set fills the window exactly, so no staleness fill-ins this round
+# (VERDICT r6 #8's r1/r2 cohort stays queued for round 8).
+#   - slots 1-3: the fuzzy family — candidate generation now truncates
+#     to a 12-char suffix signature, the variant self-join carries a
+#     SHUFFLE_HASH hint, and the name attach is broadcast-gated on
+#     dictionary size (VERDICT r6 #1; see sketch_queries.py:
+#     fuzzy_name_pairs_d2's docstring for why the literally-proposed
+#     name-length band is a provable no-op and what shipped instead);
+#   - slots 4-34: the 31 queries that execute _spread (directly or
+#     through a composed stage — corpus_curate, neardup_clusters,
+#     training_corpus_build, rrf_hybrid_rank, lsh_recall_pairs compose
+#     _spread users; streaming_heavy_hitters counted once, in the
+#     streaming block);
+#   - slots 35-50: the 16 streaming twins (run_to_memory state-width
+#     drain fix, ADVICE r6).
+# Every row rotated OUT is r2-r6 green with code untouched this round,
 # and stays covered by the sf0.001 oracle replay on every pytest run
 # plus the repo-side sf0.01 full-registry sweep (COVERAGE.md).
 _GATE_PRIORITY: tuple[str, ...] = (
-    # ---- the 50-row round-6 gate window ----
-    # the 13 round-5 additions, gated for the first time (the promise)
-    "epoch_shuffle",
-    "token_budget_select",
-    "decontaminate_minhash",
-    "rrf_hybrid_rank",
-    "contamination_score",
-    "streaming_heavy_hitters",
-    "lsh_recall_pairs",
-    "events_cube",
-    "boilerplate_ngram_ratio",
-    "vocab_oov_rate",
-    "dsir_select",
-    "bpe_merge_steps",  # also touched r6: exactly-greedy merge fix (2cc5986)
-    "ann_rerank",
-    # the 18 other _spread users (shared-helper change this round)
+    # ---- the 50-row round-7 gate window ----
+    # the fuzzy family (signature truncation + hash-join hints, r7)
+    "fuzzy_name_pairs",
+    "fuzzy_name_pairs_d2",
+    "fuzzy_triangles",
+    # the 31 _spread executors (byte-estimated split count, r7)
     "lang_id",
     "quality_score",
     "repetition_score",
     "decontaminate",
     "pack_sequences",
     "quality_quantile_filter",
+    "epoch_shuffle",
+    "token_budget_select",
+    "decontaminate_minhash",
+    "contamination_score",
     "bigram_lm_score",
     "chunk_documents",
     "chunk_dedup",
@@ -127,11 +128,17 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "ngram_jaccard",
     "simhash",
     "simhash_pairs",
-    # the fuzzy family (d2 bucketing this round)
-    "fuzzy_name_pairs",
-    "fuzzy_name_pairs_d2",
-    "fuzzy_triangles",
-    # the 15 other streaming twins (state-partition sizing this round)
+    "lsh_recall_pairs",
+    "rrf_hybrid_rank",
+    "boilerplate_ngram_ratio",
+    "vocab_oov_rate",
+    "dsir_select",
+    "bpe_merge_steps",
+    "corpus_curate",
+    "neardup_clusters",
+    "training_corpus_build",
+    # the 16 streaming twins (run_to_memory bytes-drain fix, r7)
+    "streaming_heavy_hitters",  # also a _spread executor
     "streaming_dedup",
     "streaming_dedup_watermarked",
     "streaming_enriched_revenue",
@@ -147,11 +154,11 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "streaming_cdc_apply",
     "trident_wordcount",
     "stateful_running_count",
-    # capstone sentinel
-    "training_corpus_build",
-    # ---- outside the window: r2-r5 green, untouched this round ----
-    # First the rows rotated out of the r5 window (all gated green in
-    # CORRECTNESS_r05, code untouched since), then the older tail.
+    # ---- outside the window: r2-r6 green, untouched this round ----
+    # First the rows rotated out of the r6 window (gated green in
+    # CORRECTNESS_r06, code untouched since), then the older tail.
+    "events_cube",
+    "ann_rerank",
     "tpch_q13",
     "tpch_q15",
     "tpch_q16",
@@ -199,8 +206,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "salted_segment_revenue",
     "users_except",
     "asof_click_purchase",
-    "neardup_clusters",
-    "corpus_curate",
     "multimodal_features",
     "multimodal_audio_meta",
     "multimodal_audio_chunks",

@@ -23,3 +23,30 @@ def test_headline_queries_are_oracle_checked():
     # without an oracle would let a wrong-but-fast plan look like a win.
     missing = [n for n in HEADLINE if n not in all_oracles()]
     assert not missing, f"HEADLINE queries without oracles: {missing}"
+
+
+def test_compact_summary_line_fits_driver_tail():
+    """The driver parses bench.py's LAST stdout line from a 2 KB tail
+    capture (bench.py:199-211 — BENCH_r04 was lost to an over-long
+    line). The compact line is top-5-only so it does not grow with
+    registry COUNT, but it does grow with query-NAME length: build the
+    worst case the current registry could emit — the five longest
+    names, max-width float values, worst total — and assert it clears
+    the 2 KB tail with headroom. Adding a verbose field or switching
+    back to the full dict fails here before it loses a round's BENCH."""
+    import json
+
+    names = sorted(all_queries(), key=len, reverse=True)[:5]
+    worst_line = json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": 99999.999,
+        "unit": "sec",
+        "sf": 0.1,
+        "n_queries": len(all_queries()),
+        "queries": {n: 99999.999 for n in names},
+        "detail": "BENCH_DETAIL.json",
+    })
+    assert len(worst_line.encode()) < 1536, (
+        f"compact bench line could reach {len(worst_line)} B; the driver "
+        f"tail-captures 2048 B — trim fields or name lengths"
+    )

@@ -220,3 +220,104 @@ def test_fuzzy_pairs_blocking_respects_blocks(spark):
     got = [(r["b"], r["name1"], r["name2"]) for r in fuzzy_pairs(df, ["b"], "name").collect()]
     # cross-block pair (abc, abd) must NOT appear; within-block (abc, abe) must.
     assert got == [(1, "abc", "abe")]
+
+
+# --- signature truncation (round 7: the candidate fan-in cut) ------------
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("max_dist,sig_len", [(1, 3), (2, 3), (2, 4)])
+def test_fuzzy_pairs_truncated_signature_exact(spark, seed, max_dist, sig_len):
+    """Randomized exactness with an AGGRESSIVELY short suffix signature
+    (far shorter than the 2-7 char names' spread): truncation must only
+    add candidates the levenshtein verify removes, never lose a pair.
+    This drives the sig-shorter-than-name path the default sig_len=12
+    never hits on short test names."""
+    import itertools
+    import random
+
+    rng = random.Random(seed)
+    names = list(
+        {
+            "".join(rng.choice("ab") for _ in range(rng.randint(2, 7)))
+            for _ in range(40)
+        }
+    )
+    df = spark.createDataFrame([Row(b=1, name=n) for n in names]).repartition(4)
+    got = sorted(
+        (r["name1"], r["name2"])
+        for r in fuzzy_pairs(df, ["b"], "name", max_dist=max_dist, sig_len=sig_len).collect()
+    )
+    want = sorted(
+        tuple(sorted(p))
+        for p in itertools.combinations(sorted(names), 2)
+        if _lev(*p) <= max_dist
+    )
+    assert got == want
+
+
+def test_fuzzy_signature_truncation_theorem():
+    """Pure-Python brute force of the losslessness theorem the Spark
+    plan relies on (sketches.py:fuzzy_pairs docstring): for any pair at
+    edit distance d <= 2 and any signature length P >= d+1, the
+    depth-d deletion sets of the length-P suffixes intersect. Random
+    short-alphabet strings make near pairs and boundary shifts dense —
+    the regime where a truncation bug would lose pairs."""
+    import random
+
+    def dels(s, depth):
+        out, frontier = {s}, {s}
+        for _ in range(depth):
+            frontier = {t[:i] + t[i + 1:] for t in frontier for i in range(len(t))}
+            out |= frontier
+        return out
+
+    rng = random.Random(11)
+    checked = 0
+    while checked < 4000:
+        p = rng.choice([2, 3, 4, 5, 6])
+        u = "".join(rng.choice("ab0") for _ in range(rng.randint(0, 9)))
+        v = "".join(rng.choice("ab0") for _ in range(rng.randint(0, 9)))
+        d = _lev(u, v)
+        if d == 0 or d > 2 or p < d + 1:
+            continue
+        checked += 1
+        su, sv = u[-p:] if len(u) > p else u, v[-p:] if len(v) > p else v
+        assert dels(su, d) & dels(sv, d), (u, v, d, p)
+
+
+def test_fuzzy_pairs_rejects_degenerate_sig_len(spark):
+    df = spark.createDataFrame([Row(b=1, name="abc")])
+    with pytest.raises(ValueError, match="sig_len"):
+        fuzzy_pairs(df, ["b"], "name", max_dist=2, sig_len=2)
+
+
+def test_fuzzy_pairs_large_dict_fallback_exact(spark, monkeypatch):
+    """Force the large-dictionary regime (broadcast gate at 0) and
+    check the shuffle-attach verify path produces the identical pair
+    set the broadcast path does — the branch the sf-sized fixtures
+    never take."""
+    import itertools
+    import random
+
+    from storm_bench_spark.operators import sketches as SK
+
+    rng = random.Random(7)
+    names = list(
+        {"".join(rng.choice("abc") for _ in range(rng.randint(3, 8))) for _ in range(60)}
+    )
+    df = spark.createDataFrame([Row(b=1, name=n) for n in names]).repartition(4)
+    want = sorted(
+        (r["name1"], r["name2"])
+        for r in fuzzy_pairs(df, ["b"], "name", max_dist=2).collect()
+    )
+    monkeypatch.setattr(SK, "VERIFY_BROADCAST_MAX_NAMES", 0)
+    got = sorted(
+        (r["name1"], r["name2"])
+        for r in fuzzy_pairs(df, ["b"], "name", max_dist=2).collect()
+    )
+    brute = sorted(
+        tuple(sorted(p))
+        for p in itertools.combinations(sorted(names), 2)
+        if _lev(*p) <= 2
+    )
+    assert got == want == brute
