@@ -70,9 +70,14 @@ HEADLINE = [
     "user_running_value",
     "value_percentiles",
     "user_sessions",
-    # curation pipeline (iterative CC + composed keep-canonical)
+    # curation pipeline (iterative CC + composed keep-canonical +
+    # near-dup graph centrality, round 7)
     "neardup_clusters",
     "corpus_curate",
+    "pagerank_neardup",
+    # span-duplication measure + boilerplate-line scrub (round 7)
+    "dup_ngram_spans",
+    "line_dedup",
     # training-data pipeline: text analysis & cleaning
     "dedup_exact",
     "doc_fingerprint",

@@ -99,6 +99,13 @@ QUERIES = [
     # joins broadcast a queries×SHORTLIST_K shortlist, so stage-2 cost
     # is shortlist-sized at any corpus size
     "ann_rerank",
+    # round 7: overlapping-window dup measure + line scrub are
+    # gram-stream-linear (digest-keyed agg + join, per-doc windows);
+    # pagerank is edge-linear per round over the near-dup graph, which
+    # the word-bijection perturbation keeps linear in R
+    "dup_ngram_spans",
+    "line_dedup",
+    "pagerank_neardup",
 ]
 
 EMB_DIM_SMOKE = 64

@@ -109,6 +109,84 @@ def connected_components(
     return labels
 
 
+PR_SCALE = 1_000_000_000_000  # rank mass fixed-point (per-node ~SCALE/N)
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact rational
+
+
+def pagerank(
+    edges: DataFrame, iters: int = 3, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """(node, rank_scaled) after ``iters`` power-iteration rounds over
+    the undirected graph ``edges``; ranks are integer fixed-point
+    (total mass ≈ ``PR_SCALE``) so a DuckDB oracle with the IDENTICAL
+    operation tree replays every round bit-for-bit — no float sums, no
+    aggregation-order dependence.
+
+    Per round: rank_new(v) = (15·(SCALE div N) + 85·Σ_{u→v} rank(u)
+    div deg(u)) div 100, all integer division. Undirected edges mean
+    every node has deg ≥ 1 — no dangling-mass correction term needed.
+
+    Scale shape (the GraphX/Pregel loop, declaratively): the
+    symmetrized edge list is built once and localCheckpoint-ed; each
+    round is ONE equi-join on node id + ONE keyed sum — shuffles carry
+    (node, bigint) only, never adjacency. ``iters`` is a bounded plan
+    unroll (no driver loop over data; the single driver-side scalar is
+    the node count, which also guards div-by-zero on an empty graph).
+    """
+    sym = edges.select(F.col(a).alias("node"), F.col(b).alias("peer")).union(
+        edges.select(F.col(b).alias("node"), F.col(a).alias("peer"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    deg = sym.groupBy("node").agg(F.count("*").alias("deg"))
+    deg = deg.localCheckpoint(eager=True)
+    n = deg.count()
+    if n == 0:
+        return deg.select("node", F.lit(0).cast("bigint").alias("rank_scaled"))
+    base = PR_SCALE // n
+    ranks = deg.withColumn("rank", F.lit(base).cast("bigint"))
+    for _ in range(iters):
+        contrib = sym.join(ranks, "node").select(
+            F.col("peer").alias("node"),
+            F.expr("rank div deg").alias("c"),
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = deg.join(sums, "node").select(
+            "node",
+            "deg",
+            F.expr(f"({PR_DAMP_DEN - PR_DAMP_NUM} * {base}L + {PR_DAMP_NUM} * s) "
+                   f"div {PR_DAMP_DEN}").alias("rank"),
+        )
+    return ranks.select("node", F.col("rank").cast("bigint").alias("rank_scaled"))
+
+
+def pagerank_oracle_sql(edges_cte: str, iters: int = 3) -> str:
+    """DuckDB twin of :func:`pagerank`: the same integer-arithmetic
+    round unrolled ``iters`` times as chained CTEs (r0 → r1 → …).
+    ``edges_cte`` must yield columns (a, b)."""
+    base = f"(SELECT {PR_SCALE} // count(*) FROM deg)"
+    ctes = [
+        f"e AS ({edges_cte})",
+        "sym AS (SELECT a AS node, b AS peer FROM e "
+        "UNION ALL SELECT b, a FROM e)",
+        "deg AS (SELECT node, count(*) AS deg FROM sym GROUP BY node)",
+        f"r0 AS (SELECT node, deg, CAST({base} AS BIGINT) AS rank FROM deg)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"r{i + 1} AS (SELECT d.node, d.deg, "
+            f"CAST(({PR_DAMP_DEN - PR_DAMP_NUM} * {base} "
+            f"+ {PR_DAMP_NUM} * s.s) // {PR_DAMP_DEN} AS BIGINT) AS rank "
+            f"FROM deg d JOIN (SELECT sym.peer AS node, "
+            f"sum(r.rank // r.deg) AS s FROM sym "
+            f"JOIN r{i} r ON sym.node = r.node GROUP BY sym.peer) s "
+            f"ON s.node = d.node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, rank AS rank_scaled FROM r{iters}"
+    )
+
+
 def cc_oracle_sql(edges_cte: str) -> str:
     """DuckDB recursive-CTE twin: min reachable node per node.
 

@@ -17,7 +17,12 @@ from pyspark.sql import functions as F
 
 from storm_bench_spark.functions.text import WS_RUN_PATTERN, word_split
 from storm_bench_spark.operators.cdc import apply_changes
-from storm_bench_spark.operators.graph import cc_oracle_sql, connected_components
+from storm_bench_spark.operators.graph import (
+    cc_oracle_sql,
+    connected_components,
+    pagerank,
+    pagerank_oracle_sql,
+)
 from storm_bench_spark.plans.dedup_queries import MINHASH_PAIRS_SQL, minhash_lsh
 from storm_bench_spark.plans.registry import register
 from storm_bench_spark.sources import derived as D
@@ -39,6 +44,22 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no orderBy: the driver's comparator is order-insensitive, and a
     # global sort would charge a range-partition exchange for nothing
     return connected_components(pairs)
+
+
+@register("pagerank_neardup", oracle=pagerank_oracle_sql(_EDGES_SQL))
+def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, rank_scaled) — 3-round integer fixed-point PageRank over
+    the minhash_lsh near-dup pair graph: the centrality complement of
+    ``neardup_clusters`` (which doc is the HUB of a duplication
+    cluster, not just its smallest id — the canonical-pick policy
+    real curation pipelines use when ids are arbitrary).
+
+    The iterative step is a bounded plan unroll of keyed join + keyed
+    sum (operators/graph.py:pagerank); the oracle replays the same
+    integer rounds as chained CTEs, so the cross-engine gate checks
+    every round's arithmetic, not just row counts."""
+    pairs = minhash_lsh(spark, sf_dir).select("a", "b")
+    return pagerank(pairs)
 
 
 CURATE_ORACLE = f"""

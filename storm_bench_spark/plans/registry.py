@@ -57,6 +57,7 @@ def _ensure_loaded() -> None:
     import storm_bench_spark.plans.sketch_queries  # noqa: F401
     import storm_bench_spark.plans.analytics_ext  # noqa: F401
     import storm_bench_spark.plans.lexicon_ops  # noqa: F401
+    import storm_bench_spark.plans.scrub_ops  # noqa: F401
 
 
 # Explicit gate order. The driver's correctness gate checks the FIRST 50
@@ -70,27 +71,34 @@ def _ensure_loaded() -> None:
 # name that somehow escapes the list sorts LAST — fail-safe: an
 # unlisted query can never displace promised window rows.
 #
-# ROUND-7 WINDOW (exactly 50) = exactly the queries whose executed
-# code changed this round — derived MECHANICALLY, not by eyeball: the
-# three changed helpers (plans/pipeline.py:_spread — byte-estimated
-# split count, new sf_dir parameter; operators/sketches.py:fuzzy_pairs
-# — suffix-signature truncation + SHUFFLE_HASH hints;
-# streaming/streams.py:run_to_memory — unconditional input-bytes drain,
-# call-time env override) were instrumented and every registered query
-# built; 42 queries invoked at least one of them. The other 8 are the
-# remaining streaming twins in plans/streaming_queries.py, static
-# run_to_memory callers whose builds the tracing harness could not
-# complete — grep confirms the call sites. 42 + 8 = 50: the touched
-# set fills the window exactly, so no staleness fill-ins this round
-# (VERDICT r6 #8's r1/r2 cohort stays queued for round 8).
-#   - slots 1-3: the fuzzy family — candidate generation now truncates
+# ROUND-7 WINDOW (exactly 50) = the queries whose executed code is NEW
+# or changed this round. The touched set was derived MECHANICALLY, not
+# by eyeball: the three changed helpers (plans/pipeline.py:_spread —
+# byte-estimated split count, new sf_dir parameter;
+# operators/sketches.py:fuzzy_pairs — suffix-signature truncation +
+# SHUFFLE_HASH hints; streaming/streams.py:run_to_memory —
+# unconditional input-bytes drain, call-time env override) were
+# instrumented and every registered query built; 42 queries invoked at
+# least one of them, plus 8 static run_to_memory callers the tracing
+# harness could not build (grep confirms the call sites). Round 7 then
+# ADDED three brand-new queries (scrub_ops.py's dup_ngram_spans and
+# line_dedup; curation.py's pagerank_neardup over operators/graph.py's
+# new pagerank) — new semantics outrank result-invariant perf changes,
+# so they take slots 1-3 and the three weakest members of the touched
+# set rotate just below the window: lang_id, quality_score,
+# repetition_score, whose ONLY round-7 change is the shared _spread
+# helper — still gated through 28 other in-window _spread executors
+# and composed inside in-window corpus_curate / training_corpus_build.
+# (VERDICT r6 #8's r1/r2 staleness cohort stays queued for round 8.)
+#   - slots 1-3: the round-7 additions (new code, never gated);
+#   - slots 4-6: the fuzzy family — candidate generation now truncates
 #     to a 12-char suffix signature, the variant self-join carries a
 #     SHUFFLE_HASH hint, and the name attach is broadcast-gated on
 #     dictionary size (VERDICT r6 #1; see sketch_queries.py:
 #     fuzzy_name_pairs_d2's docstring for why the literally-proposed
 #     name-length band is a provable no-op and what shipped instead);
-#   - slots 4-34: the 31 queries that execute _spread (directly or
-#     through a composed stage — corpus_curate, neardup_clusters,
+#   - slots 7-34: 28 of the 31 _spread executors (directly or through
+#     a composed stage — corpus_curate, neardup_clusters,
 #     training_corpus_build, rrf_hybrid_rank, lsh_recall_pairs compose
 #     _spread users; streaming_heavy_hitters counted once, in the
 #     streaming block);
@@ -101,14 +109,16 @@ def _ensure_loaded() -> None:
 # plus the repo-side sf0.01 full-registry sweep (COVERAGE.md).
 _GATE_PRIORITY: tuple[str, ...] = (
     # ---- the 50-row round-7 gate window ----
+    # the round-7 additions (new code, never gated)
+    "dup_ngram_spans",
+    "line_dedup",
+    "pagerank_neardup",
     # the fuzzy family (signature truncation + hash-join hints, r7)
     "fuzzy_name_pairs",
     "fuzzy_name_pairs_d2",
     "fuzzy_triangles",
-    # the 31 _spread executors (byte-estimated split count, r7)
-    "lang_id",
-    "quality_score",
-    "repetition_score",
+    # 28 of the 31 _spread executors (byte-estimated split count, r7;
+    # lang_id/quality_score/repetition_score rotated just below)
     "decontaminate",
     "pack_sequences",
     "quality_quantile_filter",
@@ -154,9 +164,15 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "streaming_cdc_apply",
     "trident_wordcount",
     "stateful_running_count",
-    # ---- outside the window: r2-r6 green, untouched this round ----
-    # First the rows rotated out of the r6 window (gated green in
-    # CORRECTNESS_r06, code untouched since), then the older tail.
+    # ---- outside the window: r2-r6 green ----
+    # First the three _spread executors displaced by the round-7
+    # additions (r06-green; only round-7 change is the shared helper,
+    # covered by the 28 in-window executors), then the rows rotated
+    # out of the r6 window (gated green in CORRECTNESS_r06, code
+    # untouched since), then the older tail.
+    "lang_id",
+    "quality_score",
+    "repetition_score",
     "events_cube",
     "ann_rerank",
     "tpch_q13",

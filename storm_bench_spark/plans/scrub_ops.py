@@ -1,0 +1,247 @@
+"""Span-level duplication measurement and boilerplate-line scrubbing.
+
+Two corpus-scrub shapes that the existing dedup family does not cover:
+
+- ``dup_ngram_spans`` — the exact-substring duplication MEASURE from
+  Lee et al., "Deduplicating Training Data Makes Language Models
+  Better" (ACL 2022): slide an OVERLAPPING k-token window over every
+  document, find windows whose text occurs ≥ 2 times anywhere in the
+  corpus (within- or cross-document), and report per document how many
+  tokens are covered by the UNION of duplicated windows. This is the
+  measurement stage that decides whether span-level dedup
+  (``chunk_dedup``'s non-overlapping first-wins rule) is worth running
+  on a crawl — overlapping windows catch duplicated passages at any
+  alignment, which block-aligned rules structurally miss.
+- ``line_dedup`` — the CCNet/RefinedWeb line-frequency rule: a line
+  (here: fixed 10-token segment — the fixture corpus has no newlines,
+  and the plumbing is splitter-agnostic) whose exact text appears in
+  ≥ 3 DISTINCT documents is boilerplate (headers, navigation chrome,
+  license blurbs); remove EVERY occurrence and reassemble the
+  documents. Distinct from ``chunk_dedup`` (first occurrence wins,
+  any-repeat threshold): the frequency rule keeps legitimate 2-doc
+  repeats and kills nothing until a segment is corpus-common.
+
+Scale shape (both): candidate discovery is one hash aggregation keyed
+by the segment/window digest (map-side combined; the shuffle carries
+md5 + position, never text), membership is one equi-join back on the
+digest, and every window function is partitioned BY DOCUMENT — no
+global ordering or single-partition funnel anywhere. The interval
+merge in ``dup_ngram_spans`` is the classic gaps-and-islands
+rewrite: with fixed window length K, two duplicated windows starting
+at i < j belong to the same covered island iff j - i ≤ K, so islands
+are delimited by a per-document lag() and coverage is Σ (last - first
++ K) per island — O(windows) work, no interval self-join.
+
+FP discipline (same as plans/corpus_ops.py): every cross-engine
+number is exact integer arithmetic (counts, fixed-point ppm via
+integer div); document reassembly sorts per-document only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from storm_bench_spark.plans.corpus_ops import _chunk_ids, _words
+from storm_bench_spark.plans.pipeline import _WORDS_SQL
+from storm_bench_spark.plans.registry import register
+
+NGRAM_SPAN_K = 8  # overlapping-window width (tokens)
+LINE_SEG_TOKENS = 10  # pseudo-line width (tokens)
+LINE_MIN_DOCS = 3  # segment text in >= this many distinct docs => boilerplate
+
+
+def span_coverage(words: DataFrame, k: int = NGRAM_SPAN_K) -> DataFrame:
+    """(doc_id, n_tokens, dup_tokens, dup_ppm) over a (doc_id, w)
+    token-array frame: per-document token coverage of the union of
+    ``k``-token windows whose text occurs ≥ 2 times in the corpus.
+
+    Plan: one overlapping-window explode (narrow), one digest-keyed
+    count (map-side combined), one digest equi-join, then the
+    per-document gaps-and-islands merge (lag + running sum + one
+    two-level keyed agg — all partitioned by doc_id). Shuffled bytes
+    are digest- and position-sized; window text never leaves the scan
+    stage. A 100× corpus grows every stage 100× and nothing else.
+    """
+    g = words.where(F.size("w") >= k).select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(0L, size(w) - {k})")).alias("i"),
+        "w",
+    )
+    keyed = g.select(
+        "doc_id",
+        "i",
+        F.md5(F.array_join(F.slice("w", F.col("i") + 1, k), " ")).alias("key"),
+    )
+    dup = (
+        keyed.groupBy("key").agg(F.count("*").alias("cnt")).where(F.col("cnt") >= 2)
+    )
+    d = keyed.join(dup.select("key"), "key", "left_semi").select("doc_id", "i")
+    wdoc = Window.partitionBy("doc_id").orderBy("i")
+    brk = d.select(
+        "doc_id",
+        "i",
+        F.when(
+            F.col("i") - F.coalesce(F.lag("i").over(wdoc), F.lit(-(k + 1))) > k, 1
+        ).otherwise(0).alias("b"),
+    )
+    isl = brk.select(
+        "doc_id",
+        "i",
+        F.sum("b").over(wdoc.rowsBetween(Window.unboundedPreceding, 0)).alias("isle"),
+    )
+    cov = (
+        isl.groupBy("doc_id", "isle")
+        .agg((F.max("i") - F.min("i") + k).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("dup_tokens"))
+    )
+    return (
+        words.select("doc_id", F.size("w").cast("bigint").alias("n_tokens"))
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            F.when(F.col("n_tokens") == 0, 0)
+            .otherwise(F.expr("coalesce(dup_tokens, 0L) * 1000000 div n_tokens"))
+            .cast("bigint")
+            .alias("dup_ppm"),
+        )
+    )
+
+
+def strip_common_segments(
+    words: DataFrame, seg_tokens: int = LINE_SEG_TOKENS, min_docs: int = LINE_MIN_DOCS
+) -> DataFrame:
+    """(doc_id, n_segments, n_removed, clean_text) over a (doc_id, w)
+    token-array frame: drop every occurrence of any ``seg_tokens``-wide
+    segment whose exact text appears in ≥ ``min_docs`` distinct
+    documents; reassemble survivors in order. Empty documents have no
+    segments and drop out (matching the SQL twin's unnest semantics).
+
+    Plan: segment explode (narrow), one digest-keyed distinct-doc
+    count (two-level hash agg — partial distinct on (key, doc_id)
+    map-side), one digest equi-join, one per-document reassembly agg
+    whose sort is over that document's segments only. At crawl scale
+    the boilerplate key set is tiny relative to the corpus (chrome
+    repeats, content doesn't), so the membership join's build side
+    stays far below the segment stream it filters.
+    """
+    seg = words.select(
+        "doc_id", "w", F.explode(_chunk_ids(seg_tokens)).alias("cid")
+    ).select(
+        "doc_id",
+        "cid",
+        F.array_join(
+            F.slice("w", F.col("cid") * seg_tokens + 1, seg_tokens), " "
+        ).alias("stxt"),
+    )
+    keyed = seg.withColumn("key", F.md5("stxt"))
+    boiler = (
+        keyed.groupBy("key")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("key", F.lit(True).alias("boil_"))
+    )
+    j = keyed.join(boiler, "key", "left").withColumn(
+        "boil", F.col("boil_").isNotNull()
+    )
+    kept = F.when(~F.col("boil"), F.struct(F.col("cid"), F.col("stxt")))
+    return j.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.sum(F.when(F.col("boil"), 1).otherwise(0)).cast("bigint").alias("n_removed"),
+        # collect_list drops the NULL whens, so an all-boilerplate doc
+        # yields an empty array and array_join yields '' — matching the
+        # oracle's coalesce(string_agg(...) FILTER, '')
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept)), lambda x: x["stxt"]), " "
+        ).alias("clean_text"),
+    )
+
+
+@register(
+    "dup_ngram_spans",
+    oracle=f"""
+WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+g AS (
+  SELECT doc_id, CAST(unnest(range(0, len(w) - {NGRAM_SPAN_K} + 1)) AS BIGINT) AS i, w
+  FROM words WHERE len(w) >= {NGRAM_SPAN_K}
+),
+k AS (
+  SELECT doc_id, i,
+         md5(array_to_string(list_slice(w, i + 1, i + {NGRAM_SPAN_K}), ' ')) AS key
+  FROM g
+),
+dup AS (SELECT key FROM k GROUP BY key HAVING count(*) >= 2),
+d AS (SELECT k.doc_id, k.i FROM k JOIN dup USING (key)),
+brk AS (
+  SELECT doc_id, i,
+         CASE WHEN i - coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i),
+                                -{NGRAM_SPAN_K + 1}) > {NGRAM_SPAN_K}
+              THEN 1 ELSE 0 END AS b
+  FROM d
+),
+isl AS (
+  SELECT doc_id, i,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS UNBOUNDED PRECEDING) AS isle
+  FROM brk
+),
+cov AS (
+  SELECT doc_id, sum(maxi - mini + {NGRAM_SPAN_K}) AS dup_tokens
+  FROM (SELECT doc_id, isle, min(i) AS mini, max(i) AS maxi
+        FROM isl GROUP BY doc_id, isle)
+  GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(len(w.w) AS BIGINT) AS n_tokens,
+       CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(CASE WHEN len(w.w) = 0 THEN 0
+                 ELSE coalesce(c.dup_tokens, 0) * 1000000 // len(w.w)
+            END AS BIGINT) AS dup_ppm
+FROM words w LEFT JOIN cov c ON w.doc_id = c.doc_id
+""",
+)
+def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span coverage (Lee et al. 2022's
+    exact-substring dup measure) over the documents table — see
+    :func:`span_coverage` for semantics and the scale argument."""
+    return span_coverage(_words(spark, sf_dir))
+
+
+@register(
+    "line_dedup",
+    oracle=f"""
+WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+seg AS (
+  SELECT doc_id, cid,
+         array_to_string(list_slice(w, cid * {LINE_SEG_TOKENS} + 1,
+                                    cid * {LINE_SEG_TOKENS} + {LINE_SEG_TOKENS}),
+                         ' ') AS stxt
+  FROM (SELECT doc_id, w,
+               unnest(range(0, (len(w) + {LINE_SEG_TOKENS - 1}) // {LINE_SEG_TOKENS})) AS cid
+        FROM words)
+),
+k AS (SELECT doc_id, cid, stxt, md5(stxt) AS key FROM seg),
+boiler AS (
+  SELECT key FROM k GROUP BY key
+  HAVING count(DISTINCT doc_id) >= {LINE_MIN_DOCS}
+),
+j AS (
+  SELECT k.doc_id, k.cid, k.stxt, (b.key IS NOT NULL) AS boil
+  FROM k LEFT JOIN boiler b ON k.key = b.key
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(count(*) FILTER (WHERE boil) AS BIGINT) AS n_removed,
+       coalesce(string_agg(stxt, ' ' ORDER BY cid) FILTER (WHERE NOT boil), '')
+         AS clean_text
+FROM j GROUP BY doc_id
+""",
+)
+def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate-segment removal over the documents
+    table — see :func:`strip_common_segments` for semantics and the
+    scale argument."""
+    return strip_common_segments(_words(spark, sf_dir))

@@ -75,6 +75,7 @@ ALLOW_SPREAD = {
     "boilerplate_ngram_ratio", "vocab_oov_rate", "dsir_select",
     "bpe_merge_steps",
     "rrf_hybrid_rank",  # composes bm25_rank (a _spread user)
+    "dup_ngram_spans", "line_dedup",  # corpus_ops._words (_spread user)
 }
 
 # Single-partition-funnel allowlist: query -> why the rows funneled
