@@ -75,9 +75,11 @@ HEADLINE = [
     "neardup_clusters",
     "corpus_curate",
     "pagerank_neardup",
-    # span-duplication measure + boilerplate-line scrub (round 7)
+    # span-duplication measure + boilerplate-line scrub + PII
+    # redaction (round 7)
     "dup_ngram_spans",
     "line_dedup",
+    "pii_scrub",
     # training-data pipeline: text analysis & cleaning
     "dedup_exact",
     "doc_fingerprint",

@@ -106,6 +106,9 @@ QUERIES = [
     "dup_ngram_spans",
     "line_dedup",
     "pagerank_neardup",
+    # pii_scrub is a pure narrow projection (regex count + chained
+    # replace, zero shuffles) — the flattest possible scale shape
+    "pii_scrub",
 ]
 
 EMB_DIM_SMOKE = 64

@@ -43,12 +43,28 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from storm_bench_spark.plans.corpus_ops import _chunk_ids, _words
-from storm_bench_spark.plans.pipeline import _WORDS_SQL
+from storm_bench_spark.plans.pipeline import _WORDS_SQL, _spread
 from storm_bench_spark.plans.registry import register
+from storm_bench_spark.sources.derived import DOCS_WITH_PII_SQL, docs_with_pii
+from storm_bench_spark.sources.tables import load_table
 
 NGRAM_SPAN_K = 8  # overlapping-window width (tokens)
 LINE_SEG_TOKENS = 10  # pseudo-line width (tokens)
 LINE_MIN_DOCS = 3  # segment text in >= this many distinct docs => boilerplate
+
+# PII patterns, written in the Java-regex ∩ RE2 ∩ Python-re common
+# subset (character classes, bounded repetition, no lookaround, no \b)
+# so Spark, DuckDB, and the pure-Python replay test compile the SAME
+# automaton. Ordered: the phone's +1- prefix and the SSN's 3-2-4 digit
+# grouping cannot overlap each other or the dotted IPv4, and none
+# contains '@' — so per-category counts over the ORIGINAL text and a
+# chained replace are both unambiguous.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}", "[PHONE]"),
+    ("ip", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "[IP]"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "[SSN]"),
+)
 
 
 def span_coverage(words: DataFrame, k: int = NGRAM_SPAN_K) -> DataFrame:
@@ -245,3 +261,50 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     table — see :func:`strip_common_segments` for semantics and the
     scale argument."""
     return strip_common_segments(_words(spark, sf_dir))
+
+
+def redact_pii(df: DataFrame, col: str = "pii_text") -> DataFrame:
+    """(doc_id, n_emails, n_phones, n_ips, n_ssns, clean_text) over any
+    (doc_id, ``col``) frame: count each PII category on the original
+    text, then chain-replace every occurrence with its typed marker.
+
+    Scale shape: pure per-row column expressions — a narrow project
+    over the scan, ZERO shuffles at any corpus size; the regex work is
+    JVM codegen (no Python). The category patterns are mutually
+    non-overlapping by construction (see PII_PATTERNS), so count-then-
+    replace is order-independent and both engines agree exactly.
+    """
+    counts = [
+        F.regexp_count(F.col(col), F.lit(pat)).cast("bigint").alias(f"n_{name}s")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    clean = F.col(col)
+    for _, pat, marker in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, marker)
+    return df.select("doc_id", *counts, clean.alias("clean_text"))
+
+
+def _pii_oracle() -> str:
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(pii_text, '{pat}')) AS BIGINT) AS n_{name}s"
+        for name, pat, _ in PII_PATTERNS
+    )
+    clean = "pii_text"
+    for _, pat, marker in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{marker}', 'g')"
+    return (
+        f"WITH p AS ({DOCS_WITH_PII_SQL})\n"
+        f"SELECT doc_id,\n       {counts},\n"
+        f"       {clean} AS clean_text\nFROM p"
+    )
+
+
+@register("pii_scrub", oracle=_pii_oracle())
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed PII redaction (emails / NANP phones / IPv4 / SSN-shaped
+    ids) with per-category counts, over the deterministically
+    PII-annotated documents corpus (sources/derived.py:docs_with_pii —
+    the fixture text is digit-free, so the injection is what makes the
+    scrub non-vacuous; both engines derive it identically)."""
+    d = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
+    return redact_pii(docs_with_pii(d))

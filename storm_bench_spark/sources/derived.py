@@ -209,6 +209,77 @@ FROM ({DOCUMENTS_TS_SQL})
 """
 
 
+# --- PII-annotated documents (for the redaction scrub) -------------------
+# The fixture corpus is digit-free, so a PII scrub over raw ``text``
+# would be a vacuous zero-match pass. Instead, deterministic contact
+# strings (emails, a NANP-style phone, an IPv4, an SSN-shaped id) are
+# injected from doc_id arithmetic — the same string-building in both
+# renderings, so the cross-engine gate checks the REDACTION, not the
+# fixture. Injection sites cover string start (second email), mid-doc
+# adjacency (suffix chain), multi-category docs (doc_id ≡ 9 mod 36
+# carries all four), and ~23% of docs carry nothing (the zero path).
+
+def docs_with_pii(d: DataFrame) -> DataFrame:
+    """Add ``pii_text`` to any (doc_id, text) frame. Narrow per-row
+    column expressions only — no shuffle, no UDF."""
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    email1 = F.concat(F.lit("user"), s(did), F.lit("@example.com"))
+    email2 = F.concat(F.lit("admin"), s(did), F.lit("@mail.example.org"))
+    phone = F.concat(
+        F.lit("+1-"), F.lpad(s(did * 7 % 1000), 3, "0"),
+        F.lit("-"), F.lpad(s(did * 13 % 1000), 3, "0"),
+        F.lit("-"), F.lpad(s(did * 17 % 10000), 4, "0"),
+    )
+    ip = F.concat(
+        s(did % 256), F.lit("."), s(did * 3 % 256), F.lit("."),
+        s(did * 5 % 256), F.lit("."), s(did * 11 % 256),
+    )
+    ssn = F.concat(
+        s(did % 900 + 100), F.lit("-"), s(did % 89 + 10), F.lit("-"),
+        s(did % 9000 + 1000),
+    )
+    blank = F.lit("")
+    pii_text = F.concat(
+        F.when(did % 9 == 0, F.concat(F.lit("cc "), email2, F.lit(" "))).otherwise(blank),
+        F.col("text"),
+        F.when(did % 3 == 0, F.concat(F.lit(" reach "), email1)).otherwise(blank),
+        F.when(did % 4 == 1, F.concat(F.lit(" call "), phone)).otherwise(blank),
+        F.when(did % 5 == 2, F.concat(F.lit(" from "), ip)).otherwise(blank),
+        F.when(did % 7 == 3, F.concat(F.lit(" id "), ssn)).otherwise(blank),
+    )
+    return d.withColumn("pii_text", pii_text)
+
+
+DOCS_WITH_PII_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 9 = 0
+            THEN 'cc admin' || CAST(doc_id AS VARCHAR) || '@mail.example.org '
+            ELSE '' END
+       || text
+       || CASE WHEN doc_id % 3 = 0
+               THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
+               ELSE '' END
+       || CASE WHEN doc_id % 4 = 1
+               THEN ' call +1-' || lpad(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0')
+                    || '-' || lpad(CAST(doc_id * 13 % 1000 AS VARCHAR), 3, '0')
+                    || '-' || lpad(CAST(doc_id * 17 % 10000 AS VARCHAR), 4, '0')
+               ELSE '' END
+       || CASE WHEN doc_id % 5 = 2
+               THEN ' from ' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.' || CAST(doc_id * 3 % 256 AS VARCHAR)
+                    || '.' || CAST(doc_id * 5 % 256 AS VARCHAR)
+                    || '.' || CAST(doc_id * 11 % 256 AS VARCHAR)
+               ELSE '' END
+       || CASE WHEN doc_id % 7 = 3
+               THEN ' id ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                    || '-' || CAST(doc_id % 89 + 10 AS VARCHAR)
+                    || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+               ELSE '' END AS pii_text
+FROM documents
+"""
+
+
 # --- sliding-window oracle fragment --------------------------------------
 
 def sliding_windows_sql(inner_sql: str, window_sec: int, slide_sec: int) -> str:

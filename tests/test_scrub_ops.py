@@ -196,3 +196,57 @@ def test_pagerank_tracks_float_power_iteration(spark):
 def test_pagerank_empty_graph_returns_empty(spark):
     df = spark.createDataFrame([], schema="a long, b long")
     assert pagerank(df).count() == 0
+
+
+def _brute_redact(docs):
+    """Python re replay of redact_pii — same patterns, same chain."""
+    import re
+
+    from storm_bench_spark.plans.scrub_ops import PII_PATTERNS
+
+    out = {}
+    for d, t in docs:
+        counts = tuple(len(re.findall(pat, t)) for _, pat, _ in PII_PATTERNS)
+        clean = t
+        for _, pat, marker in PII_PATTERNS:
+            clean = re.sub(pat, marker.replace("\\", "\\\\"), clean)
+        out[d] = (*counts, clean)
+    return out
+
+
+def test_redact_pii_matches_python_re(spark):
+    from storm_bench_spark.plans.scrub_ops import redact_pii
+
+    docs = [
+        (1, "mail a.b-c_d%e+f@sub.example.co today"),   # full local-part class
+        (2, "x@y.io and z@w.org twice"),                 # two emails, 'g' path
+        (3, "call +1-555-010-2030 or fax +1-555-010-2031"),
+        (4, "host 10.0.255.3 then 192.168.1.1"),
+        (5, "ssn 123-45-6789 mid text"),
+        (6, "nothing to redact here"),                   # zero path
+        (7, "almost 12-34-5678 and 1.2.3 and a@b"),      # shaped-wrong: kept
+        (8, "u@v.net +1-200-300-4000 7.8.9.10 321-54-9876"),  # all four adjacent
+        (9, "a@b.co starts the line"),                   # match at offset 0
+    ]
+    df = spark.createDataFrame(docs, schema="doc_id long, pii_text string")
+    got = {
+        r["doc_id"]: (r["n_emails"], r["n_phones"], r["n_ips"], r["n_ssns"],
+                      r["clean_text"])
+        for r in redact_pii(df).collect()
+    }
+    assert got == _brute_redact(docs)
+    assert got[6] == (0, 0, 0, 0, "nothing to redact here")
+    assert got[8][:4] == (1, 1, 1, 1)
+    assert got[8][4] == "[EMAIL] [PHONE] [IP] [SSN]"
+
+
+def test_pii_injection_covers_every_category(spark):
+    # the derived corpus must actually exercise each pattern — a
+    # regression that stops injecting (or injects unmatchable strings)
+    # would make the registered query vacuously green
+    from storm_bench_spark.plans.scrub_ops import pii_scrub
+
+    agg = pii_scrub(spark, "/root/testdata/sf0.001").groupBy().sum(
+        "n_emails", "n_phones", "n_ips", "n_ssns"
+    ).collect()[0]
+    assert all(v > 0 for v in agg), f"a PII category never fired: {agg}"
