@@ -263,25 +263,65 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_common_segments(_words(spark, sf_dir))
 
 
+PII_MAX_PPM = 100_000  # release gate: drop docs > 10% PII characters
+
+
 def redact_pii(df: DataFrame, col: str = "pii_text") -> DataFrame:
-    """(doc_id, n_emails, n_phones, n_ips, n_ssns, clean_text) over any
-    (doc_id, ``col``) frame: count each PII category on the original
-    text, then chain-replace every occurrence with its typed marker.
+    """(doc_id, n_emails, n_phones, n_ips, n_ssns, pii_ppm, keep,
+    clean_text) over any (doc_id, ``col``) frame: the AUDIT + GATE +
+    TRANSFORM triple of a PII release pipeline in one pass.
+
+    Relation to ``pii_mask`` (plans/pipeline.py, round 4): mask is the
+    transform-only pass — URL/email/phone → placeholders, with counts
+    derived AFTER the fact by splitting the masked text. This op is
+    the audit that decides whether masking suffices: per-category
+    counts measured on the ORIGINAL text (``regexp_count`` — a
+    different primitive, so a replacement bug cannot hide the
+    evidence), exact PII-character density (Σ match lengths, integer
+    ppm), a keep/drop release gate (> ``PII_MAX_PPM`` means the doc is
+    PII-dominated — a leaked address book, a credentials dump — and
+    is dropped rather than scrubbed), plus two categories mask lacks
+    (dotted IPv4, SSN-shaped ids).
 
     Scale shape: pure per-row column expressions — a narrow project
     over the scan, ZERO shuffles at any corpus size; the regex work is
     JVM codegen (no Python). The category patterns are mutually
-    non-overlapping by construction (see PII_PATTERNS), so count-then-
-    replace is order-independent and both engines agree exactly.
+    non-overlapping by construction (see PII_PATTERNS), so
+    count-then-replace is order-independent and both engines agree
+    exactly.
     """
+    c = F.col(col)
     counts = [
-        F.regexp_count(F.col(col), F.lit(pat)).cast("bigint").alias(f"n_{name}s")
+        F.regexp_count(c, F.lit(pat)).cast("bigint").alias(f"n_{name}s")
         for name, pat, _ in PII_PATTERNS
     ]
-    clean = F.col(col)
+    pii_chars = None
+    for _, pat, _m in PII_PATTERNS:
+        term = F.aggregate(
+            F.regexp_extract_all(c, F.lit(pat), F.lit(0)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + F.length(x),
+        )
+        pii_chars = term if pii_chars is None else pii_chars + term
+    ppm = F.when(F.length(c) == 0, F.lit(0).cast("bigint")).otherwise(
+        F.expr(f"_pii_chars * 1000000 div length({col})")
+    )
+    clean = c
     for _, pat, marker in PII_PATTERNS:
         clean = F.regexp_replace(clean, pat, marker)
-    return df.select("doc_id", *counts, clean.alias("clean_text"))
+    return (
+        df.withColumn("_pii_chars", pii_chars)
+        .select(
+            "doc_id",
+            *counts,
+            ppm.alias("pii_ppm"),
+            # BIGINT 0/1, not BOOLEAN: every registered output is
+            # BIGINT/DOUBLE/VARCHAR so the driver's cross-engine value
+            # hash never sees a dialect-rendered bool
+            (ppm <= PII_MAX_PPM).cast("bigint").alias("keep"),
+            clean.alias("clean_text"),
+        )
+    )
 
 
 def _pii_oracle() -> str:
@@ -289,22 +329,43 @@ def _pii_oracle() -> str:
         f"CAST(len(regexp_extract_all(pii_text, '{pat}')) AS BIGINT) AS n_{name}s"
         for name, pat, _ in PII_PATTERNS
     )
+    # per-term coalesce: list_sum([]) is NULL in DuckDB, and one empty
+    # category must not NULL the whole sum
+    chars = " + ".join(
+        f"coalesce(list_sum(list_transform(regexp_extract_all(pii_text, '{pat}'),"
+        f" x -> length(x))), 0)"
+        for _, pat, _m in PII_PATTERNS
+    )
     clean = "pii_text"
     for _, pat, marker in PII_PATTERNS:
         clean = f"regexp_replace({clean}, '{pat}', '{marker}', 'g')"
-    return (
-        f"WITH p AS ({DOCS_WITH_PII_SQL})\n"
-        f"SELECT doc_id,\n       {counts},\n"
-        f"       {clean} AS clean_text\nFROM p"
-    )
+    return f"""
+WITH p AS ({DOCS_WITH_PII_SQL}),
+a AS (
+  SELECT doc_id, pii_text,
+         CAST(coalesce({chars}, 0) AS BIGINT) AS pii_chars
+  FROM p
+)
+SELECT doc_id,
+       {counts},
+       CAST(CASE WHEN length(pii_text) = 0 THEN 0
+                 ELSE pii_chars * 1000000 // length(pii_text) END
+            AS BIGINT) AS pii_ppm,
+       CAST((CASE WHEN length(pii_text) = 0 THEN 0
+                  ELSE pii_chars * 1000000 // length(pii_text) END)
+              <= {PII_MAX_PPM} AS BIGINT) AS keep,
+       {clean} AS clean_text
+FROM a
+"""
 
 
 @register("pii_scrub", oracle=_pii_oracle())
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed PII redaction (emails / NANP phones / IPv4 / SSN-shaped
-    ids) with per-category counts, over the deterministically
+    """Typed PII audit + release gate + redaction (emails / NANP
+    phones / IPv4 / SSN-shaped ids) over the deterministically
     PII-annotated documents corpus (sources/derived.py:docs_with_pii —
     the fixture text is digit-free, so the injection is what makes the
-    scrub non-vacuous; both engines derive it identically)."""
+    scrub non-vacuous; both engines derive it identically). See
+    :func:`redact_pii` for the division of labor vs ``pii_mask``."""
     d = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
     return redact_pii(docs_with_pii(d))

@@ -202,15 +202,19 @@ def _brute_redact(docs):
     """Python re replay of redact_pii — same patterns, same chain."""
     import re
 
-    from storm_bench_spark.plans.scrub_ops import PII_PATTERNS
+    from storm_bench_spark.plans.scrub_ops import PII_MAX_PPM, PII_PATTERNS
 
     out = {}
     for d, t in docs:
         counts = tuple(len(re.findall(pat, t)) for _, pat, _ in PII_PATTERNS)
+        pii_chars = sum(
+            len(m) for _, pat, _m in PII_PATTERNS for m in re.findall(pat, t)
+        )
+        ppm = 0 if not t else pii_chars * 1_000_000 // len(t)
         clean = t
         for _, pat, marker in PII_PATTERNS:
             clean = re.sub(pat, marker.replace("\\", "\\\\"), clean)
-        out[d] = (*counts, clean)
+        out[d] = (*counts, ppm, int(ppm <= PII_MAX_PPM), clean)
     return out
 
 
@@ -223,30 +227,33 @@ def test_redact_pii_matches_python_re(spark):
         (3, "call +1-555-010-2030 or fax +1-555-010-2031"),
         (4, "host 10.0.255.3 then 192.168.1.1"),
         (5, "ssn 123-45-6789 mid text"),
-        (6, "nothing to redact here"),                   # zero path
+        (6, "nothing to redact here"),                   # zero path, ppm 0
         (7, "almost 12-34-5678 and 1.2.3 and a@b"),      # shaped-wrong: kept
-        (8, "u@v.net +1-200-300-4000 7.8.9.10 321-54-9876"),  # all four adjacent
+        (8, "u@v.net +1-200-300-4000 7.8.9.10 321-54-9876"),  # all four; >10% PII
         (9, "a@b.co starts the line"),                   # match at offset 0
+        (10, "x@example.com"),                           # 100% PII -> dropped
     ]
     df = spark.createDataFrame(docs, schema="doc_id long, pii_text string")
     got = {
         r["doc_id"]: (r["n_emails"], r["n_phones"], r["n_ips"], r["n_ssns"],
-                      r["clean_text"])
+                      r["pii_ppm"], r["keep"], r["clean_text"])
         for r in redact_pii(df).collect()
     }
     assert got == _brute_redact(docs)
-    assert got[6] == (0, 0, 0, 0, "nothing to redact here")
+    assert got[6] == (0, 0, 0, 0, 0, 1, "nothing to redact here")
     assert got[8][:4] == (1, 1, 1, 1)
-    assert got[8][4] == "[EMAIL] [PHONE] [IP] [SSN]"
+    assert got[8][6] == "[EMAIL] [PHONE] [IP] [SSN]"
+    assert got[10][4] == 1_000_000 and got[10][5] == 0  # all-PII doc dropped
 
 
-def test_pii_injection_covers_every_category(spark):
+def test_pii_injection_covers_every_category_and_both_gate_sides(spark):
     # the derived corpus must actually exercise each pattern — a
     # regression that stops injecting (or injects unmatchable strings)
     # would make the registered query vacuously green
     from storm_bench_spark.plans.scrub_ops import pii_scrub
 
-    agg = pii_scrub(spark, "/root/testdata/sf0.001").groupBy().sum(
-        "n_emails", "n_phones", "n_ips", "n_ssns"
-    ).collect()[0]
+    out = pii_scrub(spark, "/root/testdata/sf0.001")
+    agg = out.groupBy().sum("n_emails", "n_phones", "n_ips", "n_ssns").collect()[0]
     assert all(v > 0 for v in agg), f"a PII category never fired: {agg}"
+    kept = {r["keep"] for r in out.select("keep").distinct().collect()}
+    assert kept == {0, 1}, f"release gate never exercised both sides: {kept}"
