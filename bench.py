@@ -80,6 +80,8 @@ HEADLINE = [
     "dup_ngram_spans",
     "line_dedup",
     "pii_scrub",
+    # tokenizer apply (train on vocab, join-encode the corpus, round 7)
+    "bpe_encode",
     # training-data pipeline: text analysis & cleaning
     "dedup_exact",
     "doc_fingerprint",

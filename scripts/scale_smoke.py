@@ -109,6 +109,10 @@ QUERIES = [
     # pii_scrub is a pure narrow projection (regex count + chained
     # replace, zero shuffles) — the flattest possible scale shape
     "pii_scrub",
+    # bpe_encode: merges run on the vocabulary table (grows ~R under
+    # the word bijection), the corpus is touched twice (vocab build +
+    # word->token-count join) — both corpus stages are stream-linear
+    "bpe_encode",
 ]
 
 EMB_DIM_SMOKE = 64

@@ -308,10 +308,21 @@ def _bpe_oracle(steps: int) -> str:
     with (a,a)), which the earlier shared-pipe form ``|a|b|c|`` merged
     only once because each match consumed the next match's leading
     pipe."""
+    blocks, outs = _bpe_blocks(steps, carry_word=False)
+    return "WITH " + ",\n".join(blocks) + "\n" + "\nUNION ALL\n".join(outs)
+
+
+def _bpe_blocks(steps: int, carry_word: bool) -> tuple[list[str], list[str]]:
+    """The unrolled training chain as CTE blocks. ``carry_word`` keeps
+    the word column through every merge step so an APPLY stage can map
+    each vocabulary word to its final symbol sequence (the pair-count
+    and argmax sub-selects only ever read (rep, freq), so the carried
+    column cannot change any learned merge)."""
+    wcol = "word, " if carry_word else ""
     blocks = [
         f"wf AS (SELECT word, count(*) AS freq FROM "
         f"(SELECT unnest({_WORDS_SQL}) AS word FROM documents) GROUP BY word)",
-        "w0 AS (SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS rep, "
+        f"w0 AS (SELECT {wcol}regexp_replace(word, '(.)', '|\\1|', 'g') AS rep, "
         "freq FROM wf)",
     ]
     outs = []
@@ -328,7 +339,7 @@ def _bpe_oracle(steps: int) -> str:
             f"ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)"
         )
         blocks.append(f"""w{s} AS (
-  SELECT replace(rep,
+  SELECT {wcol}replace(rep,
                  '|' || (SELECT l FROM b{s}) || '||' || (SELECT r FROM b{s}) || '|',
                  '|' || (SELECT l FROM b{s}) || (SELECT r FROM b{s}) || '|') AS rep,
          freq FROM w{p})""")
@@ -336,7 +347,35 @@ def _bpe_oracle(steps: int) -> str:
             f"SELECT CAST({s} AS BIGINT) AS step, l AS left_sym, r AS right_sym, "
             f"CAST(cnt AS BIGINT) AS pair_count FROM b{s}"
         )
-    return "WITH " + ",\n".join(blocks) + "\n" + "\nUNION ALL\n".join(outs)
+    return blocks, outs
+
+
+def _bpe_encode_oracle(steps: int) -> str:
+    """Train (same chain as :func:`_bpe_oracle`, word carried through)
+    then APPLY: token count per vocabulary word from its final piped
+    representation, joined back to the corpus word stream and summed
+    per document."""
+    blocks, _ = _bpe_blocks(steps, carry_word=True)
+    chain = ",\n".join(blocks)
+    return f"""
+WITH {chain},
+tok AS (
+  SELECT word,
+         len(list_filter(string_split(rep, '|'), x -> x <> '')) AS t
+  FROM w{steps}
+),
+dw AS (
+  SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents
+)
+SELECT dw.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(length(dw.word)) AS BIGINT) AS n_chars,
+       CAST(sum(tok.t) AS BIGINT) AS n_tokens,
+       CAST(sum(tok.t) * 1000000 // sum(length(dw.word)) AS BIGINT)
+         AS tokens_per_char_ppm
+FROM dw JOIN tok ON dw.word = tok.word
+GROUP BY dw.doc_id
+"""
 
 
 _BPE_PAIRS_EXPR = (
@@ -386,9 +425,24 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    merges, _ = _bpe_train(wf, BPE_STEPS)
+    return spark.createDataFrame(
+        merges, schema="step bigint, left_sym string, right_sym string, pair_count bigint"
+    )
+
+
+def _bpe_train(cur: DataFrame, steps: int):
+    """The driver-coordinated merge loop over a (..., rep, freq) frame
+    (shared by training-only ``bpe_merge_steps`` and train-then-apply
+    ``bpe_encode``): per step, weighted adjacent-pair counts →
+    (count DESC, pair ASC) argmax collected to the driver (exactly one
+    row per step, bounded by ``steps``) → literal left-to-right
+    replace. Extra columns (e.g. the vocabulary word) pass through the
+    merges untouched — the pair-count stage reads only (rep, freq).
+    Returns ``(merge log, frame after all merges)``.
+    """
     merges = []
-    cur = wf
-    for step in range(1, BPE_STEPS + 1):
+    for step in range(1, steps + 1):
         pairs = (
             cur.select(
                 "freq",
@@ -400,15 +454,66 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         best = pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r")).limit(1).collect()[0]
         merges.append((step, best["l"], best["r"], int(best["cnt"])))
-        cur = cur.select(
+        cur = cur.withColumn(
+            "rep",
             F.call_function(
                 "replace",
                 F.col("rep"),
                 F.lit(f"|{best['l']}||{best['r']}|"),
                 F.lit(f"|{best['l']}{best['r']}|"),
-            ).alias("rep"),
-            "freq",
+            ),
         )
-    return spark.createDataFrame(
-        merges, schema="step bigint, left_sym string, right_sym string, pair_count bigint"
+    return merges, cur
+
+
+@register("bpe_encode", oracle=_bpe_encode_oracle(BPE_STEPS))
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY — the stage after ``bpe_merge_steps``'s train:
+    encode every document under the BPE_STEPS-merge tokenizer and
+    report per-document token statistics (word count, character
+    count, post-merge token count, tokens-per-char compression as
+    integer ppm).
+
+    Shape at scale — the only tokenization shape that survives 100 TB:
+    the merges are applied to the VOCABULARY (one literal replace per
+    step over the persisted word-frequency table — vocabulary-sized
+    work, not corpus-sized), and the corpus is touched exactly twice:
+    once to build that vocabulary, once to join each word occurrence
+    to its precomputed token count and sum per document. Per-token
+    work never runs on the corpus stream, and nothing is per-row
+    Python. Empty documents have no word rows and drop out (matching
+    the oracle's unnest join).
+    """
+    docs = _docs(spark, sf_dir)
+    dw = docs.select("doc_id", F.explode(word_split("text")).alias("word"))
+    vocab = (
+        dw.groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            "word", F.regexp_replace("word", "(.)", "|$1|").alias("rep"), "freq"
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _, final = _bpe_train(vocab, BPE_STEPS)
+    tok = final.select(
+        "word",
+        F.size(F.expr("filter(split(rep, '\\\\|'), x -> x <> '')")).alias("t"),
+    )
+    return (
+        dw.join(tok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+            F.sum("t").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            F.expr("n_tokens * 1000000 div n_chars")
+            .cast("bigint")
+            .alias("tokens_per_char_ppm"),
+        )
     )

@@ -81,29 +81,32 @@ def _ensure_loaded() -> None:
 # instrumented and every registered query built; 42 queries invoked at
 # least one of them, plus 8 static run_to_memory callers the tracing
 # harness could not build (grep confirms the call sites). Round 7 then
-# ADDED four brand-new queries (scrub_ops.py's dup_ngram_spans,
+# ADDED five brand-new queries (scrub_ops.py's dup_ngram_spans,
 # line_dedup, and pii_scrub; curation.py's pagerank_neardup over
-# operators/graph.py's new pagerank) — new semantics outrank
-# result-invariant perf changes, so they take slots 1-4 and the four
-# weakest members of the touched set rotate just below the window:
-# lang_id, quality_score, repetition_score, bigram_lm_score, whose
-# ONLY round-7 change is the shared _spread helper — still gated
-# through 27 other in-window _spread executors and composed inside
-# in-window corpus_curate / training_corpus_build.
+# operators/graph.py's new pagerank; lexicon_ops.py's bpe_encode —
+# whose train refactor also touches bpe_merge_steps, kept in-window) —
+# new semantics outrank result-invariant perf changes, so they take
+# slots 1-5 and the five weakest members of the touched set rotate
+# just below the window: lang_id, quality_score, repetition_score,
+# bigram_lm_score, chunk_documents, whose ONLY round-7 change is the
+# shared _spread helper — still gated through 26 other in-window
+# _spread executors and composed inside in-window corpus_curate /
+# training_corpus_build (chunk_documents' chunker also runs inside
+# in-window chunk_dedup).
 # (VERDICT r6 #8's r1/r2 staleness cohort stays queued for round 8.)
-#   - slots 1-4: the round-7 additions (new code, never gated);
-#   - slots 5-7: the fuzzy family — candidate generation now truncates
+#   - slots 1-5: the round-7 additions (new code, never gated);
+#   - slots 6-8: the fuzzy family — candidate generation now truncates
 #     to a 12-char suffix signature, the variant self-join carries a
 #     SHUFFLE_HASH hint, and the name attach is broadcast-gated on
 #     dictionary size (VERDICT r6 #1; see sketch_queries.py:
 #     fuzzy_name_pairs_d2's docstring for why the literally-proposed
 #     name-length band is a provable no-op and what shipped instead);
-#   - slots 8-34: 27 of the 31 _spread executors (directly or through
+#   - slots 9-34: 26 of the 31 _spread executors (directly or through
 #     a composed stage — corpus_curate, neardup_clusters,
 #     training_corpus_build, rrf_hybrid_rank, lsh_recall_pairs compose
 #     _spread users; streaming_heavy_hitters counted once, in the
-#     streaming block; pii_scrub, also a _spread user, counted in the
-#     additions);
+#     streaming block; pii_scrub and bpe_encode, also _spread users,
+#     counted in the additions);
 #   - slots 35-50: the 16 streaming twins (run_to_memory state-width
 #     drain fix, ADVICE r6).
 # Every row rotated OUT is r2-r6 green with code untouched this round,
@@ -116,13 +119,14 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "line_dedup",
     "pagerank_neardup",
     "pii_scrub",
+    "bpe_encode",
     # the fuzzy family (signature truncation + hash-join hints, r7)
     "fuzzy_name_pairs",
     "fuzzy_name_pairs_d2",
     "fuzzy_triangles",
-    # 27 of the 31 _spread executors (byte-estimated split count, r7;
-    # lang_id/quality_score/repetition_score/bigram_lm_score rotated
-    # just below)
+    # 26 of the 31 _spread executors (byte-estimated split count, r7;
+    # lang_id/quality_score/repetition_score/bigram_lm_score/
+    # chunk_documents rotated just below)
     "decontaminate",
     "pack_sequences",
     "quality_quantile_filter",
@@ -130,7 +134,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "token_budget_select",
     "decontaminate_minhash",
     "contamination_score",
-    "chunk_documents",
     "chunk_dedup",
     "inverted_index",
     "bm25_rank",
@@ -168,15 +171,16 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "trident_wordcount",
     "stateful_running_count",
     # ---- outside the window: r2-r6 green ----
-    # First the four _spread executors displaced by the round-7
+    # First the five _spread executors displaced by the round-7
     # additions (r06-green; only round-7 change is the shared helper,
-    # covered by the 27 in-window executors), then the rows rotated
+    # covered by the 26 in-window executors), then the rows rotated
     # out of the r6 window (gated green in CORRECTNESS_r06, code
     # untouched since), then the older tail.
     "lang_id",
     "quality_score",
     "repetition_score",
     "bigram_lm_score",
+    "chunk_documents",
     "events_cube",
     "ann_rerank",
     "tpch_q13",

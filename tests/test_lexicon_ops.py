@@ -209,3 +209,49 @@ def test_bpe_merges_match_python_replay(spark):
     expect = _bpe_greedy_replay(wf, BPE_STEPS)
     got = sorted(bpe_merge_steps(spark, SF_DIR).collect(), key=lambda r: r["step"])
     assert [(r["step"], r["left_sym"], r["right_sym"], r["pair_count"]) for r in got] == expect
+
+
+def _bpe_apply_replay(word_freqs, doc_words, steps):
+    """Train via _bpe_greedy_replay's rules, then encode each doc:
+    per-word greedy merge, summed per document."""
+    words = {w: (list(w), c) for w, c in word_freqs.items()}
+    for _ in range(steps):
+        pairs = Counter()
+        for syms, c in words.values():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        (bl, br), _cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, (syms, c) in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == bl and syms[i + 1] == br:
+                    out.append(bl + br)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = (out, c)
+    tok = {w: len(syms) for w, (syms, _c) in words.items()}
+    out = {}
+    for doc_id, ws in doc_words.items():
+        if not ws:
+            continue
+        n_chars = sum(len(w) for w in ws)
+        n_tokens = sum(tok[w] for w in ws)
+        out[doc_id] = (len(ws), n_chars, n_tokens, n_tokens * 1_000_000 // n_chars)
+    return out
+
+
+def test_bpe_encode_matches_python_replay(spark):
+    from storm_bench_spark.plans.lexicon_ops import bpe_encode
+
+    docs = _doc_words(spark)
+    wf = Counter(w for _, _, ws in docs for w in ws)
+    doc_words = {doc_id: ws for doc_id, _, ws in docs}
+    expect = _bpe_apply_replay(wf, doc_words, BPE_STEPS)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_tokens"],
+                      r["tokens_per_char_ppm"])
+        for r in bpe_encode(spark, SF_DIR).collect()
+    }
+    assert got == expect

@@ -77,6 +77,7 @@ ALLOW_SPREAD = {
     "rrf_hybrid_rank",  # composes bm25_rank (a _spread user)
     "dup_ngram_spans", "line_dedup",  # corpus_ops._words (_spread user)
     "pii_scrub",  # direct _spread over the documents scan
+    "bpe_encode",  # lexicon_ops._docs (_spread user)
 }
 
 # Single-partition-funnel allowlist: query -> why the rows funneled
