@@ -82,6 +82,12 @@ HEADLINE = [
     "pii_scrub",
     # tokenizer apply (train on vocab, join-encode the corpus, round 7)
     "bpe_encode",
+    # incremental admission, split census, table profile, TF-IDF
+    # keywords (late round 7)
+    "incremental_dedup",
+    "corpus_split",
+    "table_profile",
+    "tfidf_top_terms",
     # training-data pipeline: text analysis & cleaning
     "dedup_exact",
     "doc_fingerprint",

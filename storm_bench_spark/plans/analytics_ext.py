@@ -30,6 +30,7 @@ from pyspark.sql.window import Window
 from storm_bench_spark.operators.cdc import scd2_intervals
 from storm_bench_spark.plans.curation import CDC_CH_SQL, cdc_changelog
 from storm_bench_spark.plans.registry import register
+from storm_bench_spark.sources.tables import load_table
 from storm_bench_spark.sources import derived as D
 
 _DEC = "decimal(18,6)"
@@ -471,3 +472,58 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("k").alias("n_distinct_k"),
         )
     )
+
+
+# --- per-column table profile --------------------------------------------
+
+_PROFILE_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+_TABLE_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM events"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("table_profile", oracle=_TABLE_PROFILE_ORACLE)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema profiling: per-column null count and exact distinct count
+    over the events table — the data-quality pass a pipeline runs
+    before trusting a new drop of data (nulls where none are expected,
+    a distinct count of 1 where a key should be, cardinality jumps
+    between drops).
+
+    Shape at scale: ONE pass over the table. All 12 aggregates run in
+    a single ``agg()``; Spark plans the multi-distinct via Expand
+    (each input row fans to one row per distinct-aggregate before the
+    partial agg), so the shuffle carries per-column distinct values,
+    partially deduplicated map-side — never raw rows times columns.
+    The single wide result row is pivoted to long form driver-side by
+    a 6-element array/explode, not a collect. For a 100 TB profile
+    where exact cardinality is not required, swap ``countDistinct``
+    for ``approx_count_distinct`` (HLL, fixed 2 KB state per column;
+    the engine's sketch path is gated under ``unique_visitor_approx``)
+    and the Expand disappears.
+
+    Reads through ``load_table`` (not a raw parquet scan) so the
+    fixture's TIMESTAMP(NANOS) ``ts`` gets the same ns→µs truncation
+    DuckDB applies — otherwise ``count(DISTINCT ts)`` could disagree
+    on events sharing a microsecond.
+    """
+    raw = load_table(spark, sf_dir, "events")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs.append(F.sum(F.isnull(c).cast("bigint")).alias(f"null_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"dist_{c}"))
+    wide = raw.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"null_{c}").alias("n_null"),
+            F.col(f"dist_{c}").alias("n_distinct"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    return wide.select(F.explode(F.array(*entries)).alias("p")).select("p.*")

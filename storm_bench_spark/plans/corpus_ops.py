@@ -1219,3 +1219,79 @@ def rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# --- per-document TF-IDF keywords -----------------------------------------
+
+_TFIDF_TOP = 3
+
+_TFIDF_ORACLE = f"""
+WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tfc
+  FROM (SELECT doc_id, unnest(w) AS term FROM words)
+  GROUP BY doc_id, term
+),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS dfc FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         (CAST(tfc AS DOUBLE) * CAST(n_docs AS DOUBLE)) / CAST(dfc AS DOUBLE) AS s
+  FROM tf JOIN dfs USING (term), n
+)
+SELECT doc_id, term, round(s, 6) AS tfidf,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term) AS BIGINT) AS rk
+FROM scored
+QUALIFY rk <= {_TFIDF_TOP}
+"""
+
+
+@register("tfidf_top_terms", oracle=_TFIDF_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: the top-3 terms by TF-IDF with
+    the module's rational idf (``tf · N / df`` — order-equivalent to
+    tf · idf with idf = N/df; the textbook ``ln`` is dropped per the
+    FP discipline above, since libm logs differ across engines while
+    integer products and one IEEE division are bit-exact). Ties break
+    on the term string, so the ranking is total and engine-stable.
+
+    Shape at scale: the corpus tokenizes ONCE; explode feeds a
+    map-side-combined (doc_id, term) count whose shuffle carries
+    distinct pairs, not tokens. df is a second partial-agg over that
+    compact tf table keyed by term (vocabulary-sized — NOT broadcast:
+    at 100 TB the vocabulary is large, so tf ⋈ df is a shuffle hash
+    join on term). N is a broadcast 1-row aggregate. The final top-3
+    is a per-doc window — partitioned by doc_id, never global. The tf
+    table persists across its two consumers (df build + score join)
+    so the explode runs once.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
+    tf = (
+        docs.select("doc_id", F.explode(word_split("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tfc"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfs.hint("shuffle_hash"), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (F.col("tfc").cast("double") * F.col("n_docs").cast("double"))
+                / F.col("dfc").cast("double")
+            ).alias("s"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= _TFIDF_TOP)
+        .select("doc_id", "term", F.round("s", 6).alias("tfidf"), "rk")
+    )

@@ -469,3 +469,55 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("tot", F.lit(0)).cast("bigint").alias("n_bigrams"),
         )
     )
+
+
+# --- incremental dedup (new batch vs existing corpus) ---------------------
+
+@register(
+    "incremental_dedup",
+    oracle=f"""
+SELECT text_hash,
+       min(CASE WHEN NOT in_corpus THEN doc_id END) AS keeper,
+       CAST(count(CASE WHEN NOT in_corpus THEN 1 END) AS BIGINT) AS batch_cnt
+FROM (
+  SELECT doc_id, md5(text) AS text_hash,
+         ({hash64_sql("concat('inc:', CAST(doc_id AS VARCHAR))")}) % 10 < 7
+           AS in_corpus
+  FROM documents
+)
+GROUP BY text_hash
+HAVING sum(CASE WHEN in_corpus THEN 1 ELSE 0 END) = 0
+""",
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: admit a NEW batch of documents against an
+    EXISTING corpus — the steady-state spelling of ``dedup_exact`` once
+    a pipeline runs continuously. A deterministic hash64 gate stands in
+    for the corpus/batch boundary (70% "already ingested", 30% "new");
+    a batch document survives iff its content hash appears nowhere in
+    the corpus AND it is the lowest-id copy within the batch.
+
+    Shape at scale: membership-check and in-batch dedup FUSE into one
+    keyed aggregation on md5(text) — per-hash corpus count, batch min
+    and batch count in a single pass — so there is exactly one scan
+    and one shuffle, and the shuffle carries one partially-aggregated
+    row per distinct hash, not per input row. In production the corpus
+    side is the persisted fingerprint table from the previous run (16
+    bytes/distinct doc); the fused-agg spelling shown here is what you
+    run on (fingerprints UNION new batch), which is the same plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    in_corpus = (
+        hash64(F.concat(F.lit("inc:"), F.col("doc_id").cast("string"))) % 10 < 7
+    )
+    tagged = docs.select(
+        "doc_id", F.md5("text").alias("text_hash"), in_corpus.alias("in_corpus")
+    )
+    per_hash = tagged.groupBy("text_hash").agg(
+        F.sum(F.col("in_corpus").cast("int")).alias("corpus_cnt"),
+        F.min(F.when(~F.col("in_corpus"), F.col("doc_id"))).alias("keeper"),
+        F.count(F.when(~F.col("in_corpus"), F.lit(1))).alias("batch_cnt"),
+    )
+    return per_hash.where(F.col("corpus_cnt") == 0).select(
+        "text_hash", "keeper", "batch_cnt"
+    )

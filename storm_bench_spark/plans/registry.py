@@ -94,27 +94,43 @@ def _ensure_loaded() -> None:
 # training_corpus_build (chunk_documents' chunker also runs inside
 # in-window chunk_dedup).
 # (VERDICT r6 #8's r1/r2 staleness cohort stays queued for round 8.)
-#   - slots 1-5: the round-7 additions (new code, never gated);
-#   - slots 6-8: the fuzzy family — candidate generation now truncates
+# The round later ADDED four more brand-new queries (pipeline.py's
+# incremental_dedup; training_prep.py's corpus_split; analytics_ext.py's
+# table_profile; corpus_ops.py's tfidf_top_terms — a _spread user) —
+# same rule, new semantics outrank perf-only touches, so they take
+# slots 1-4 and four more _spread-ONLY rows rotate just below the
+# window (epoch_shuffle, token_budget_select, domain_mix_sample,
+# heavy_hitters_cms — r06-green, their only round-7 change is the
+# shared helper, still gated through 23 other in-window _spread
+# executors).
+#   - slots 1-4: the late round-7 additions (new code, never gated);
+#   - slots 5-9: the early round-7 additions (new code, never gated);
+#   - slots 10-12: the fuzzy family — candidate generation now truncates
 #     to a 12-char suffix signature, the variant self-join carries a
 #     SHUFFLE_HASH hint, and the name attach is broadcast-gated on
 #     dictionary size (VERDICT r6 #1; see sketch_queries.py:
 #     fuzzy_name_pairs_d2's docstring for why the literally-proposed
 #     name-length band is a provable no-op and what shipped instead);
-#   - slots 9-34: 26 of the 31 _spread executors (directly or through
+#   - slots 13-34: 22 of the 31 _spread executors (directly or through
 #     a composed stage — corpus_curate, neardup_clusters,
 #     training_corpus_build, rrf_hybrid_rank, lsh_recall_pairs compose
 #     _spread users; streaming_heavy_hitters counted once, in the
-#     streaming block; pii_scrub and bpe_encode, also _spread users,
-#     counted in the additions);
+#     streaming block; pii_scrub, bpe_encode, and tfidf_top_terms, also
+#     _spread users, counted in the additions);
 #   - slots 35-50: the 16 streaming twins (run_to_memory state-width
 #     drain fix, ADVICE r6).
-# Every row rotated OUT is r2-r6 green with code untouched this round,
-# and stays covered by the sf0.001 oracle replay on every pytest run
+# Every row rotated OUT is r2-r6 green with code untouched this round
+# except the shared _spread helper (covered in-window as noted), and
+# stays covered by the sf0.001 oracle replay on every pytest run
 # plus the repo-side sf0.01 full-registry sweep (COVERAGE.md).
 _GATE_PRIORITY: tuple[str, ...] = (
     # ---- the 50-row round-7 gate window ----
-    # the round-7 additions (new code, never gated)
+    # the late round-7 additions (new code, never gated)
+    "incremental_dedup",
+    "corpus_split",
+    "table_profile",
+    "tfidf_top_terms",
+    # the early round-7 additions (new code, never gated)
     "dup_ngram_spans",
     "line_dedup",
     "pagerank_neardup",
@@ -124,22 +140,19 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "fuzzy_name_pairs",
     "fuzzy_name_pairs_d2",
     "fuzzy_triangles",
-    # 26 of the 31 _spread executors (byte-estimated split count, r7;
+    # 22 of the 31 _spread executors (byte-estimated split count, r7;
     # lang_id/quality_score/repetition_score/bigram_lm_score/
-    # chunk_documents rotated just below)
+    # chunk_documents, then epoch_shuffle/token_budget_select/
+    # domain_mix_sample/heavy_hitters_cms, rotated just below)
     "decontaminate",
     "pack_sequences",
     "quality_quantile_filter",
-    "epoch_shuffle",
-    "token_budget_select",
     "decontaminate_minhash",
     "contamination_score",
     "chunk_dedup",
     "inverted_index",
     "bm25_rank",
     "textrank_keywords",
-    "heavy_hitters_cms",
-    "domain_mix_sample",
     "minhash_lsh",
     "ngram_jaccard",
     "simhash",
@@ -171,9 +184,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "trident_wordcount",
     "stateful_running_count",
     # ---- outside the window: r2-r6 green ----
-    # First the five _spread executors displaced by the round-7
+    # First the nine _spread executors displaced by the round-7
     # additions (r06-green; only round-7 change is the shared helper,
-    # covered by the 26 in-window executors), then the rows rotated
+    # covered by the 22 in-window executors), then the rows rotated
     # out of the r6 window (gated green in CORRECTNESS_r06, code
     # untouched since), then the older tail.
     "lang_id",
@@ -181,6 +194,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "repetition_score",
     "bigram_lm_score",
     "chunk_documents",
+    "epoch_shuffle",
+    "token_budget_select",
+    "domain_mix_sample",
+    "heavy_hitters_cms",
     "events_cube",
     "ann_rerank",
     "tpch_q13",

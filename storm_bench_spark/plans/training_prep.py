@@ -516,3 +516,62 @@ def contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contamination"
         ),
     )
+
+
+# --- deterministic train/valid/test split --------------------------------
+
+_SPLIT_CASE = (
+    "CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'valid' ELSE 'test' END"
+)
+
+
+@register(
+    "corpus_split",
+    oracle=f"""
+WITH tagged AS (
+  SELECT lang,
+         CAST(len({_WORDS_SQL}) AS BIGINT) AS nt,
+         ({hash64_sql("concat('split:', CAST(doc_id AS VARCHAR))")}) % 100 AS b
+  FROM documents
+)
+SELECT {_SPLIT_CASE} AS split, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens
+FROM tagged
+GROUP BY 1, 2
+""",
+)
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split (90/5/5) with the per-split,
+    per-language doc and token census a data card reports.
+
+    Membership is ``hash64('split:' || doc_id) % 100`` — a pure,
+    salted function of the document id, so (a) the assignment is
+    reproducible across engines, retries, and re-runs (no ``rand()``,
+    no state); (b) ANY future re-shard or re-partition of the corpus
+    preserves it; (c) changing the salt re-draws the split without
+    touching data. That is how production pipelines pin eval
+    membership so training never silently absorbs the validation set.
+
+    Shape at scale: one scan, no joins; tokenize once per row, hash
+    once per row, then a map-side partially-aggregated groupBy whose
+    shuffle carries |splits × languages| rows — single-digit — no
+    matter the corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(b < 90, "train").when(b < 95, "valid").otherwise("test")
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            "lang",
+            F.size(word_split("text")).cast("bigint").alias("nt"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+        )
+    )

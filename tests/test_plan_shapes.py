@@ -43,6 +43,7 @@ ALLOW_BNLJ = {
     "tpch_q11": "broadcast global value-threshold row",
     "tpch_q22": "broadcast avg-acctbal row",
     "token_budget_select": "broadcast one-row token-budget threshold",
+    "tfidf_top_terms": "broadcast doc-count row (N for the idf)",
     "bloom_high_value_orders": "broadcast ~1 KB bitmap row",
     # bounded-side theta/cross joins
     "rolling_flight_dist": "A-row latest-state pair join, A = live aircraft",
@@ -78,6 +79,7 @@ ALLOW_SPREAD = {
     "dup_ngram_spans", "line_dedup",  # corpus_ops._words (_spread user)
     "pii_scrub",  # direct _spread over the documents scan
     "bpe_encode",  # lexicon_ops._docs (_spread user)
+    "tfidf_top_terms",  # direct _spread over the documents scan
 }
 
 # Single-partition-funnel allowlist: query -> why the rows funneled

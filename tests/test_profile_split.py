@@ -1,0 +1,112 @@
+"""Semantic invariants for the late round-7 operators (incremental
+admission, split census, table profile, TF-IDF keywords). The SQL-oracle
+equality for each runs in test_correctness.py; these assert what that
+comparison can't express: partition-exhaustiveness, disjointness from
+the corpus side, per-doc rank structure, and determinism.
+"""
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from storm_bench_spark.functions.hashing import hash64
+from storm_bench_spark.functions.text import word_split
+from storm_bench_spark.plans.analytics_ext import _PROFILE_COLS, table_profile
+from storm_bench_spark.plans.corpus_ops import _TFIDF_TOP, tfidf_top_terms
+from storm_bench_spark.plans.pipeline import incremental_dedup
+from storm_bench_spark.plans.training_prep import corpus_split
+from storm_bench_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_corpus_split_is_an_exhaustive_partition(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+    out = corpus_split(spark, SF_DIR).collect()
+    assert sum(r["n_docs"] for r in out) == n_docs
+    assert {r["split"] for r in out} <= {"train", "valid", "test"}
+    # 90/5/5 hash gate: train must dominate at any non-trivial corpus
+    per_split = Counter()
+    for r in out:
+        per_split[r["split"]] += r["n_docs"]
+    assert per_split["train"] > per_split["valid"]
+    assert per_split["train"] > per_split["test"]
+    # (split, lang) keys are unique — it's a census, not a log
+    keys = [(r["split"], r["lang"]) for r in out]
+    assert len(keys) == len(set(keys))
+
+
+def test_corpus_split_token_sums_match_recount(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    b = hash64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split = F.when(b < 90, "train").when(b < 95, "valid").otherwise("test")
+    expect = {
+        (r["s"], r["lang"]): r["nt"]
+        for r in docs.groupBy(split.alias("s"), "lang")
+        .agg(F.sum(F.size(word_split("text"))).alias("nt"))
+        .collect()
+    }
+    got = {
+        (r["split"], r["lang"]): r["n_tokens"]
+        for r in corpus_split(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
+def test_incremental_dedup_survivors_disjoint_from_corpus(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    in_corpus = (
+        hash64(F.concat(F.lit("inc:"), F.col("doc_id").cast("string"))) % 10 < 7
+    )
+    tagged = docs.select(
+        "doc_id", F.md5("text").alias("h"), in_corpus.alias("c")
+    ).collect()
+    corpus_hashes = {r["h"] for r in tagged if r["c"]}
+    batch = [(r["h"], r["doc_id"]) for r in tagged if not r["c"]]
+    out = {r["text_hash"]: (r["keeper"], r["batch_cnt"])
+           for r in incremental_dedup(spark, SF_DIR).collect()}
+    # no survivor's content exists in the corpus side
+    assert not (set(out) & corpus_hashes)
+    # survivors are exactly the batch hashes outside the corpus,
+    # keeper is the min batch doc_id, batch_cnt the batch multiplicity
+    expect = {}
+    for h, d in batch:
+        if h in corpus_hashes:
+            continue
+        k, c = expect.get(h, (d, 0))
+        expect[h] = (min(k, d), c + 1)
+    assert out == expect
+
+
+def test_table_profile_bounds(spark):
+    n = load_table(spark, SF_DIR, "events").count()
+    rows = {r["column_name"]: r for r in table_profile(spark, SF_DIR).collect()}
+    assert set(rows) == set(_PROFILE_COLS)
+    for c, r in rows.items():
+        assert 0 <= r["n_null"] <= n, c
+        assert 0 <= r["n_distinct"] <= n - r["n_null"], c
+    # event_id is the fixture's primary key
+    assert rows["event_id"]["n_null"] == 0
+    assert rows["event_id"]["n_distinct"] == n
+
+
+def test_tfidf_ranks_are_dense_and_terms_in_doc(spark):
+    out = tfidf_top_terms(spark, SF_DIR).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    docs = {
+        r["doc_id"]: set(r["w"])
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", word_split("text").alias("w"))
+        .collect()
+    }
+    for doc_id, rows in by_doc.items():
+        rks = sorted(r["rk"] for r in rows)
+        assert rks == list(range(1, len(rows) + 1))
+        assert len(rows) <= _TFIDF_TOP
+        for r in rows:
+            assert r["term"] in docs[doc_id]
+            assert r["tfidf"] > 0.0
+    # every doc with at least one token yields at least one keyword
+    assert set(by_doc) == {d for d, w in docs.items() if w}
