@@ -83,11 +83,13 @@ HEADLINE = [
     # tokenizer apply (train on vocab, join-encode the corpus, round 7)
     "bpe_encode",
     # incremental admission, split census, table profile, TF-IDF
-    # keywords (late round 7)
+    # keywords, source overlap, keep-best survivorship (late round 7)
     "incremental_dedup",
     "corpus_split",
     "table_profile",
     "tfidf_top_terms",
+    "source_overlap",
+    "dedup_keep_best",
     # training-data pipeline: text analysis & cleaning
     "dedup_exact",
     "doc_fingerprint",

@@ -113,6 +113,22 @@ QUERIES = [
     # the word bijection), the corpus is touched twice (vocab build +
     # word->token-count join) — both corpus stages are stream-linear
     "bpe_encode",
+    # round 7, late: incremental_dedup is one keyed agg on md5(text)
+    # (shuffle = one row per distinct doc); corpus_split is scan +
+    # tokenize + a |splits×langs|-row groupBy (flattest shape);
+    # table_profile is one Expand(×6) multi-distinct agg over events
+    # (shuffle = per-column distinct values); tfidf_top_terms is
+    # token-stream-linear tf + a vocab-sized df join (vocab grows ~R
+    # under the word bijection) + per-doc windows
+    "incremental_dedup",
+    "corpus_split",
+    "table_profile",
+    "tfidf_top_terms",
+    # source_overlap / dedup_keep_best ride minhash_lsh's sketch-bounded
+    # pair list (linear in R under the word bijection) plus keyed joins
+    # against doc-sized projections — both stages stream-linear
+    "source_overlap",
+    "dedup_keep_best",
 ]
 
 EMB_DIM_SMOKE = 64

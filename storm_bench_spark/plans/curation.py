@@ -161,3 +161,105 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_changes(
         base, ch, keys=["c_custkey"], order_key=order_key, payload_cols=["c_name"]
     )
+
+
+# --- cross-source duplication overlap -------------------------------------
+
+_SOURCE_OVERLAP_ORACLE = f"""
+WITH pairs AS ({MINHASH_PAIRS_SQL}),
+j AS (
+  SELECT least(da.source, db.source) AS src_a,
+         greatest(da.source, db.source) AS src_b
+  FROM pairs p
+  JOIN documents da ON p.a = da.doc_id
+  JOIN documents db ON p.b = db.doc_id
+)
+SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS ndup_pairs
+FROM j GROUP BY src_a, src_b
+"""
+
+
+@register("source_overlap", oracle=_SOURCE_OVERLAP_ORACLE)
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pairs (minhash_lsh)
+    attributed to their (source, source) cell — the data-governance
+    view of dedup ("how much of crawl B is already in crawl A", which
+    feeds mixture weights and crawl-dedup ordering). The pair key is
+    canonicalized with least/greatest so each unordered source pair is
+    ONE cell; the diagonal (src_a = src_b) is within-source duplication.
+
+    Shape at scale: the verified pair list is sketch-bounded (LSH
+    bucket collisions only); attributing it costs two keyed equi-joins
+    against the doc→source projection — shuffled on doc id, never
+    broadcast (the doc table is corpus-sized) — then a
+    |sources|²-bounded groupBy. Exact clones never span sources in
+    this fixture (measured), which is WHY the overlap rides the
+    near-dup pairs rather than md5 equality.
+    """
+    pairs = minhash_lsh(spark, sf_dir).select("a", "b")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = (
+        pairs.join(src.withColumnRenamed("source", "sa"), pairs.a == src.doc_id)
+        .drop("doc_id")
+        .join(
+            src.withColumnRenamed("source", "sb").withColumnRenamed("doc_id", "b_id"),
+            F.col("b") == F.col("b_id"),
+        )
+        .select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+    )
+    return j.groupBy("src_a", "src_b").agg(F.count(F.lit(1)).alias("ndup_pairs"))
+
+
+# --- quality-policy survivor selection ------------------------------------
+
+_KEEP_BEST_ORACLE = f"""
+WITH cc AS ({cc_oracle_sql(_EDGES_SQL)}),
+m AS (
+  SELECT comp, node,
+         CAST(len(list_filter(string_split_regex(d.text, '{WS_RUN_PATTERN}'), w -> w <> '')) AS BIGINT) AS nt
+  FROM cc JOIN documents d ON cc.node = d.doc_id
+)
+SELECT comp, node AS keeper, nt AS keeper_tokens, n_members FROM (
+  SELECT comp, node, nt,
+         row_number() OVER (PARTITION BY comp ORDER BY nt DESC, node) AS rn,
+         CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS n_members
+  FROM m
+) WHERE rn = 1
+"""
+
+
+@register("dedup_keep_best", oracle=_KEEP_BEST_ORACLE)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship with a QUALITY policy: per near-dup cluster, keep
+    the member with the most tokens (ties to the smaller doc_id) —
+    the third canonical-pick policy alongside min-id
+    (``neardup_clusters``/``corpus_curate``) and centrality
+    (``pagerank_neardup``). Real curation keeps the best copy, not an
+    arbitrary one; token count stands in for the quality score
+    (any per-doc scalar slots into the same argmax).
+
+    Shape at scale: clusters join their members' token counts on doc
+    id (keyed equi-join), then ONE partially-aggregable ``max_by``
+    argmax per cluster — no per-cluster window over raw members, so
+    the shuffle carries one candidate row per cluster per map
+    partition, and a pathological million-member cluster costs the
+    same as a pair.
+    """
+    pairs = minhash_lsh(spark, sf_dir).select("a", "b")
+    cc = connected_components(pairs)
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node"),
+        F.size(word_split("text")).cast("bigint").alias("nt"),
+    )
+    m = cc.join(toks, "node")
+    # argmax key: (nt, -node) so more tokens win and ties prefer the
+    # smaller id — max_by is associative, hence map-side combinable
+    key = F.struct(F.col("nt"), (-F.col("node")).alias("neg"))
+    return m.groupBy("comp").agg(
+        F.max_by("node", key).alias("keeper"),
+        F.max_by("nt", key).alias("keeper_tokens"),
+        F.count(F.lit(1)).alias("n_members"),
+    )

@@ -94,24 +94,26 @@ def _ensure_loaded() -> None:
 # training_corpus_build (chunk_documents' chunker also runs inside
 # in-window chunk_dedup).
 # (VERDICT r6 #8's r1/r2 staleness cohort stays queued for round 8.)
-# The round later ADDED four more brand-new queries (pipeline.py's
+# The round later ADDED six more brand-new queries (pipeline.py's
 # incremental_dedup; training_prep.py's corpus_split; analytics_ext.py's
-# table_profile; corpus_ops.py's tfidf_top_terms — a _spread user) —
-# same rule, new semantics outrank perf-only touches, so they take
-# slots 1-4 and four more _spread-ONLY rows rotate just below the
-# window (epoch_shuffle, token_budget_select, domain_mix_sample,
-# heavy_hitters_cms — r06-green, their only round-7 change is the
-# shared helper, still gated through 23 other in-window _spread
-# executors).
-#   - slots 1-4: the late round-7 additions (new code, never gated);
-#   - slots 5-9: the early round-7 additions (new code, never gated);
-#   - slots 10-12: the fuzzy family — candidate generation now truncates
+# table_profile; corpus_ops.py's tfidf_top_terms — a _spread user;
+# curation.py's source_overlap and dedup_keep_best — both composing
+# in-window minhash_lsh) — same rule, new semantics outrank perf-only
+# touches, so they take slots 1-6 and six more _spread-ONLY rows
+# rotate just below the window (epoch_shuffle, token_budget_select,
+# domain_mix_sample, heavy_hitters_cms, ngram_jaccard, simhash —
+# r06-green, their only round-7 change is the shared helper, still
+# gated through 20 other in-window _spread executors; simhash's
+# sketch math stays exercised by in-window simhash_pairs).
+#   - slots 1-6: the late round-7 additions (new code, never gated);
+#   - slots 7-11: the early round-7 additions (new code, never gated);
+#   - slots 12-14: the fuzzy family — candidate generation now truncates
 #     to a 12-char suffix signature, the variant self-join carries a
 #     SHUFFLE_HASH hint, and the name attach is broadcast-gated on
 #     dictionary size (VERDICT r6 #1; see sketch_queries.py:
 #     fuzzy_name_pairs_d2's docstring for why the literally-proposed
 #     name-length band is a provable no-op and what shipped instead);
-#   - slots 13-34: 22 of the 31 _spread executors (directly or through
+#   - slots 15-34: 20 of the 31 _spread executors (directly or through
 #     a composed stage — corpus_curate, neardup_clusters,
 #     training_corpus_build, rrf_hybrid_rank, lsh_recall_pairs compose
 #     _spread users; streaming_heavy_hitters counted once, in the
@@ -130,6 +132,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "corpus_split",
     "table_profile",
     "tfidf_top_terms",
+    "source_overlap",
+    "dedup_keep_best",
     # the early round-7 additions (new code, never gated)
     "dup_ngram_spans",
     "line_dedup",
@@ -140,10 +144,11 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "fuzzy_name_pairs",
     "fuzzy_name_pairs_d2",
     "fuzzy_triangles",
-    # 22 of the 31 _spread executors (byte-estimated split count, r7;
+    # 20 of the 31 _spread executors (byte-estimated split count, r7;
     # lang_id/quality_score/repetition_score/bigram_lm_score/
     # chunk_documents, then epoch_shuffle/token_budget_select/
-    # domain_mix_sample/heavy_hitters_cms, rotated just below)
+    # domain_mix_sample/heavy_hitters_cms/ngram_jaccard/simhash,
+    # rotated just below)
     "decontaminate",
     "pack_sequences",
     "quality_quantile_filter",
@@ -154,8 +159,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "bm25_rank",
     "textrank_keywords",
     "minhash_lsh",
-    "ngram_jaccard",
-    "simhash",
     "simhash_pairs",
     "lsh_recall_pairs",
     "rrf_hybrid_rank",
@@ -184,9 +187,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "trident_wordcount",
     "stateful_running_count",
     # ---- outside the window: r2-r6 green ----
-    # First the nine _spread executors displaced by the round-7
+    # First the eleven _spread executors displaced by the round-7
     # additions (r06-green; only round-7 change is the shared helper,
-    # covered by the 22 in-window executors), then the rows rotated
+    # covered by the 20 in-window executors), then the rows rotated
     # out of the r6 window (gated green in CORRECTNESS_r06, code
     # untouched since), then the older tail.
     "lang_id",
@@ -198,6 +201,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "token_budget_select",
     "domain_mix_sample",
     "heavy_hitters_cms",
+    "ngram_jaccard",
+    "simhash",
     "events_cube",
     "ann_rerank",
     "tpch_q13",

@@ -80,6 +80,7 @@ ALLOW_SPREAD = {
     "pii_scrub",  # direct _spread over the documents scan
     "bpe_encode",  # lexicon_ops._docs (_spread user)
     "tfidf_top_terms",  # direct _spread over the documents scan
+    "source_overlap", "dedup_keep_best",  # compose minhash_lsh (a _spread user)
 }
 
 # Single-partition-funnel allowlist: query -> why the rows funneled

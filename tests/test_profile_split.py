@@ -110,3 +110,48 @@ def test_tfidf_ranks_are_dense_and_terms_in_doc(spark):
             assert r["tfidf"] > 0.0
     # every doc with at least one token yields at least one keyword
     assert set(by_doc) == {d for d, w in docs.items() if w}
+
+
+def test_source_overlap_counts_match_pair_attribution(spark):
+    from storm_bench_spark.plans.curation import source_overlap
+    from storm_bench_spark.plans.dedup_queries import minhash_lsh
+
+    pairs = [(r["a"], r["b"]) for r in minhash_lsh(spark, SF_DIR).collect()]
+    src = {
+        r["doc_id"]: r["source"]
+        for r in load_table(spark, SF_DIR, "documents").select("doc_id", "source").collect()
+    }
+    expect = Counter(
+        tuple(sorted((src[a], src[b]))) for a, b in pairs
+    )
+    got = {
+        (r["src_a"], r["src_b"]): r["ndup_pairs"]
+        for r in source_overlap(spark, SF_DIR).collect()
+    }
+    assert got == dict(expect)
+    assert sum(got.values()) == len(pairs)
+    for a, b in got:
+        assert a <= b  # canonical cell key
+
+
+def test_dedup_keep_best_picks_longest_member(spark):
+    from storm_bench_spark.plans.curation import dedup_keep_best, neardup_clusters
+
+    cc = [(r["node"], r["comp"]) for r in neardup_clusters(spark, SF_DIR).collect()]
+    toks = {
+        r["doc_id"]: r["nt"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", F.size(word_split("text")).alias("nt"))
+        .collect()
+    }
+    members: dict[int, list[int]] = {}
+    for node, comp in cc:
+        members.setdefault(comp, []).append(node)
+    out = {
+        r["comp"]: (r["keeper"], r["keeper_tokens"], r["n_members"])
+        for r in dedup_keep_best(spark, SF_DIR).collect()
+    }
+    assert set(out) == set(members)
+    for comp, ms in members.items():
+        best = min(ms, key=lambda n: (-toks[n], n))
+        assert out[comp] == (best, toks[best], len(ms)), comp
