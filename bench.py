@@ -90,6 +90,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "source_overlap",
     "dedup_keep_best",
+    "pmi_bigrams",
     # training-data pipeline: text analysis & cleaning
     "dedup_exact",
     "doc_fingerprint",

@@ -129,6 +129,10 @@ QUERIES = [
     # against doc-sized projections — both stages stream-linear
     "source_overlap",
     "dedup_keep_best",
+    # pmi_bigrams: bigram/unigram counts are map-side-combined keyed
+    # aggs (vocab grows ~R under the word bijection), totals broadcast,
+    # top-k is TakeOrdered — every stage stream-linear or vocab-sized
+    "pmi_bigrams",
 ]
 
 EMB_DIM_SMOKE = 64

@@ -1295,3 +1295,109 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _TFIDF_TOP)
         .select("doc_id", "term", F.round("s", 6).alias("tfidf"), "rk")
     )
+
+
+# --- PMI bigram collocations ----------------------------------------------
+
+PMI_MIN_COUNT = 3
+PMI_TOP = 20
+
+_PMI_ORACLE = f"""
+WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+bi AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+  FROM (
+    SELECT w[i] AS w1, w[i + 1] AS w2
+    FROM (SELECT w, unnest(range(1, greatest(len(w), 1))) AS i FROM words)
+  )
+  GROUP BY w1, w2
+),
+uni AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(w) AS term FROM words) GROUP BY term
+),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_uni,
+         (SELECT CAST(sum(c_xy) AS BIGINT) FROM bi) AS n_bi
+  FROM uni
+),
+scored AS (
+  SELECT w1, w2, c_xy,
+         CAST(c_xy AS DOUBLE) * CAST(n_uni AS DOUBLE) * CAST(n_uni AS DOUBLE)
+           / (CAST(n_bi AS DOUBLE) * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS s
+  FROM bi JOIN uni u1 ON bi.w1 = u1.term
+          JOIN uni u2 ON bi.w2 = u2.term, tot
+  WHERE c_xy >= {PMI_MIN_COUNT}
+)
+SELECT w1, w2, c_xy, round(s, 6) AS pmi_ratio,
+       CAST(row_number() OVER (ORDER BY s DESC, w1, w2) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {PMI_TOP}
+"""
+
+
+@register("pmi_bigrams", oracle=_PMI_ORACLE)
+def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the corpus's top-{PMI_TOP} word bigrams by
+    pointwise mutual information with min support {PMI_MIN_COUNT} —
+    the phrase-detection pass a tokenizer/vocabulary pipeline runs to
+    decide which word pairs deserve a fused token. Per the module's FP
+    discipline the log is dropped: the ranking uses the PMI ratio
+    p(xy)/(p(x)p(y)) = c_xy·N_uni² / (N_bi·c_x·c_y) — order-equivalent
+    to PMI = ln(ratio), and exact IEEE arithmetic over integer counts
+    in both engines (ties break on the word pair, so the order is
+    total).
+
+    Shape at scale: ONE tokenize pass feeds both count tables; bigram
+    and unigram counts are map-side-combined keyed aggs (shuffle =
+    distinct pairs / terms, not the token stream); the two
+    unigram-count attachments are vocabulary-sized keyed equi-joins
+    (never broadcast — the vocab is large at 100 TB); the corpus
+    totals are a broadcast 1-row aggregate; the final top-{PMI_TOP}
+    is TakeOrdered (per-partition heaps), never a global sort.
+    """
+    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
+    words = docs.select("doc_id", word_split("text").alias("w"))
+    bi = (
+        words.select(F.explode(_bigram_pairs()).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    uni = (
+        words.select(F.explode("w").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = bi.agg(F.sum("c_xy").alias("n_bi")).crossJoin(
+        uni.agg(F.sum("c").alias("n_uni"))
+    )
+    scored = (
+        bi.where(F.col("c_xy") >= PMI_MIN_COUNT)
+        .join(uni.select(F.col("term").alias("w1"), F.col("c").alias("c1")).hint("shuffle_hash"), "w1")
+        .join(uni.select(F.col("term").alias("w2"), F.col("c").alias("c2")).hint("shuffle_hash"), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            (
+                F.col("c_xy").cast("double")
+                * F.col("n_uni").cast("double")
+                * F.col("n_uni").cast("double")
+                / (
+                    F.col("n_bi").cast("double")
+                    * F.col("c1").cast("double")
+                    * F.col("c2").cast("double")
+                )
+            ).alias("s"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    top = scored.orderBy(F.desc("s"), "w1", "w2").limit(PMI_TOP)
+    w = Window.orderBy(F.desc("s"), "w1", "w2")
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .select("w1", "w2", "c_xy", F.round("s", 6).alias("pmi_ratio"), "rank")
+    )

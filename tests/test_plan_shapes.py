@@ -44,6 +44,7 @@ ALLOW_BNLJ = {
     "tpch_q22": "broadcast avg-acctbal row",
     "token_budget_select": "broadcast one-row token-budget threshold",
     "tfidf_top_terms": "broadcast doc-count row (N for the idf)",
+    "pmi_bigrams": "broadcast 1-row (n_bi, n_uni) corpus totals",
     "bloom_high_value_orders": "broadcast ~1 KB bitmap row",
     # bounded-side theta/cross joins
     "rolling_flight_dist": "A-row latest-state pair join, A = live aircraft",
@@ -81,6 +82,7 @@ ALLOW_SPREAD = {
     "bpe_encode",  # lexicon_ops._docs (_spread user)
     "tfidf_top_terms",  # direct _spread over the documents scan
     "source_overlap", "dedup_keep_best",  # compose minhash_lsh (a _spread user)
+    "pmi_bigrams",  # direct _spread over the documents scan
 }
 
 # Single-partition-funnel allowlist: query -> why the rows funneled

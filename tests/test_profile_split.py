@@ -155,3 +155,38 @@ def test_dedup_keep_best_picks_longest_member(spark):
     for comp, ms in members.items():
         best = min(ms, key=lambda n: (-toks[n], n))
         assert out[comp] == (best, toks[best], len(ms)), comp
+
+
+def test_pmi_bigrams_replay(spark):
+    """Pure-Python replay of the full PMI computation (third-party
+    check — plan and oracle share the formula, so the cross-engine
+    gate alone would be blind to a shared formula bug)."""
+    from storm_bench_spark.plans.corpus_ops import PMI_MIN_COUNT, PMI_TOP, pmi_bigrams
+
+    texts = [
+        r["w"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select(word_split("text").alias("w"))
+        .collect()
+    ]
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for w in texts:
+        uni.update(w)
+        bi.update(zip(w, w[1:]))
+    n_uni = sum(uni.values())
+    n_bi = sum(bi.values())
+    scored = [
+        (c * float(n_uni) * float(n_uni) / (float(n_bi) * float(uni[a]) * float(uni[b])), a, b, c)
+        for (a, b), c in bi.items()
+        if c >= PMI_MIN_COUNT
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    expect = [
+        (a, b, c, round(s, 6), i + 1) for i, (s, a, b, c) in enumerate(scored[:PMI_TOP])
+    ]
+    got = [
+        (r["w1"], r["w2"], r["c_xy"], r["pmi_ratio"], r["rank"])
+        for r in pmi_bigrams(spark, SF_DIR).orderBy("rank").collect()
+    ]
+    assert got == expect
