@@ -1,8 +1,11 @@
 """Semantic invariants for the late round-7 operators (incremental
-admission, split census, table profile, TF-IDF keywords). The SQL-oracle
+admission, split census, table profile, TF-IDF keywords, source
+overlap, keep-best survivorship, PMI collocations). The SQL-oracle
 equality for each runs in test_correctness.py; these assert what that
 comparison can't express: partition-exhaustiveness, disjointness from
-the corpus side, per-doc rank structure, and determinism.
+the corpus side, per-doc rank structure, pair-attribution totals,
+argmax policy, and full pure-Python replays where plan and oracle
+share a formula.
 """
 
 from collections import Counter
