@@ -91,6 +91,7 @@ HEADLINE = [
     "source_overlap",
     "dedup_keep_best",
     "pmi_bigrams",
+    "containment_pairs",
     # training-data pipeline: text analysis & cleaning
     "dedup_exact",
     "doc_fingerprint",

@@ -133,6 +133,10 @@ QUERIES = [
     # aggs (vocab grows ~R under the word bijection), totals broadcast,
     # top-k is TakeOrdered — every stage stream-linear or vocab-sized
     "pmi_bigrams",
+    # containment_pairs shares ngram_jaccard's DF-capped candidate
+    # index (cross-copy shingles disjoint under the bijection → linear
+    # candidates) and the array-intersect verify
+    "containment_pairs",
 ]
 
 EMB_DIM_SMOKE = 64

@@ -609,3 +609,78 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "chunk_index", "start_ms", F.hex("chunk").alias("chunk")
     )
+
+
+# --- containment (asymmetric) near-dup pairs ------------------------------
+
+CONTAIN_T = 0.6
+
+_CONTAIN_ORACLE = f"""
+WITH sh AS ({DD.SHINGLES_SQL}),
+rare AS (
+  SELECT s.doc_id, s.sh FROM sh s
+  JOIN (SELECT sh AS shv, count(*) AS df FROM sh GROUP BY sh) d
+    ON s.sh = d.shv AND d.df <= {DD.DF_CAP}
+),
+cand AS (
+  SELECT l.doc_id AS a, r.doc_id AS b
+  FROM rare l JOIN rare r ON l.sh = r.sh AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id
+  HAVING count(*) >= {DD.MIN_SHARED}
+),
+i AS (
+  SELECT c.a, c.b, count(*) AS ix
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.a
+  JOIN sh y ON y.doc_id = c.b AND y.sh = x.sh
+  GROUP BY c.a, c.b
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+SELECT a, b, containment FROM (
+  SELECT i.a, i.b,
+         round(CAST(i.ix AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+  FROM i
+  JOIN sizes sa ON sa.doc_id = i.a
+  JOIN sizes sb ON sb.doc_id = i.b
+)
+WHERE containment >= {CONTAIN_T}
+"""
+
+
+@register("containment_pairs", oracle=_CONTAIN_ORACLE)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: pairs where the SMALLER document's
+    shingle set is ≥ {CONTAIN_T:.0%} contained in the other —
+    ``|A∩B| / min(|A|,|B|)``. This is the subset-duplication semantic
+    Jaccard structurally misses: a long document quoting a short one
+    wholesale has high containment but low Jaccard (the union is
+    dominated by the long side), so a Jaccard-thresholded pass keeps
+    both copies. Containment ≥ Jaccard always, which is why the
+    threshold here ({CONTAIN_T}) sits above the Jaccard queries' 0.5.
+
+    Candidates reuse the DF-capped shared-rare-shingle index
+    (operators/dedup.py:inverted_index_candidates — same recall
+    contract: misses only pairs whose shared shingles are all
+    frequent, or that share a single rare one); verification
+    intersects the persisted doc-level shingle arrays directly.
+    Shuffle shape is identical to ngram_jaccard — one sh-keyed
+    exchange for candidates, array-intersect verify over the cached
+    arrays, nothing quadratic.
+    """
+    from pyspark import StorageLevel
+
+    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
+    arr = DD.shingle_arrays(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = arr.select("doc_id", F.explode("shs").alias("sh"))
+    cands = DD.inverted_index_candidates(sh)
+    aa = arr.select(F.col("doc_id").alias("a"), F.col("shs").alias("sa"))
+    bb = arr.select(F.col("doc_id").alias("b"), F.col("shs").alias("sb"))
+    ix = F.size(F.array_intersect("sa", "sb")).cast("double")
+    cont = ix / F.least(F.size("sa"), F.size("sb")).cast("double")
+    return (
+        cands.join(aa, "a")
+        .join(bb, "b")
+        .select("a", "b", F.round(cont, 6).alias("containment"), ix.alias("_ix"))
+        .where((F.col("_ix") > 0) & (F.col("containment") >= CONTAIN_T))
+        .drop("_ix")
+    )

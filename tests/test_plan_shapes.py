@@ -83,6 +83,7 @@ ALLOW_SPREAD = {
     "tfidf_top_terms",  # direct _spread over the documents scan
     "source_overlap", "dedup_keep_best",  # compose minhash_lsh (a _spread user)
     "pmi_bigrams",  # direct _spread over the documents scan
+    "containment_pairs",  # direct _spread over the documents scan
 }
 
 # Single-partition-funnel allowlist: query -> why the rows funneled

@@ -193,3 +193,51 @@ def test_pmi_bigrams_replay(spark):
         for r in pmi_bigrams(spark, SF_DIR).orderBy("rank").collect()
     ]
     assert got == expect
+
+
+def test_containment_pairs_replay(spark):
+    """Pure-Python full replay (shingles → DF-capped candidates →
+    exact containment): plan and oracle share the candidate rule, so
+    the cross-engine gate alone can't catch a shared rule bug."""
+    import re as _re
+
+    from storm_bench_spark.functions.text import WS_RUN_PATTERN
+    from storm_bench_spark.operators.dedup import DF_CAP, MIN_SHARED
+    from storm_bench_spark.plans.dedup_queries import CONTAIN_T, containment_pairs
+
+    docs = {
+        r["doc_id"]: [w for w in _re.split(WS_RUN_PATTERN, r["text"]) if w]
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    shs = {
+        d: {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+        for d, w in docs.items()
+        if len(w) >= 3
+    }
+    df: Counter = Counter()
+    for s in shs.values():
+        df.update(s)
+    inv: dict[str, list[int]] = {}
+    for d, s in shs.items():
+        for sh in s:
+            if df[sh] <= DF_CAP:
+                inv.setdefault(sh, []).append(d)
+    shared: Counter = Counter()
+    for ds in inv.values():
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                shared[(ds[i], ds[j])] += 1
+    expect = {}
+    for (a, b), n in shared.items():
+        if n < MIN_SHARED:
+            continue
+        ix = len(shs[a] & shs[b])
+        cont = round(ix / min(len(shs[a]), len(shs[b])), 6)
+        if ix > 0 and cont >= CONTAIN_T:
+            expect[(a, b)] = cont
+    got = {
+        (r["a"], r["b"]): r["containment"]
+        for r in containment_pairs(spark, SF_DIR).collect()
+    }
+    assert got == expect and len(got) > 0

@@ -358,3 +358,59 @@ def test_connected_components_matches_union_find(spark, raw_edges):
     df = spark.createDataFrame(edges, schema="a long, b long")
     out = {r["node"]: r["comp"] for r in connected_components(df).collect()}
     assert out == expect
+
+
+# ---------------------------------------------------------------------------
+# hash64 == Python md5 reference == DuckDB rendering
+# (the portable hash EVERYTHING rides on: dedup keys, split gates,
+# sampling gates, minhash permutations)
+
+
+def _py_hash64(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+_hash_strings = st.lists(
+    st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=30),
+    min_size=1,
+    max_size=24,
+    unique=True,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_hash_strings)
+def test_hash64_matches_python_and_duckdb(spark, duck, strings):
+    from storm_bench_spark.functions.hashing import (
+        MERSENNE_31,
+        PERMS_64,
+        hash64,
+        hash64_sql,
+        minhash_perm,
+    )
+
+    df = spark.createDataFrame([Row(s=s) for s in strings])
+    got = {
+        r["s"]: (r["h"], r["p0"], r["p7"])
+        for r in df.select(
+            "s",
+            hash64("s").alias("h"),
+            minhash_perm(hash64("s"), 0).alias("p0"),
+            minhash_perm(hash64("s"), 7).alias("p7"),
+        ).collect()
+    }
+    for s in strings:
+        h = _py_hash64(s)
+        a0, b0 = PERMS_64[0]
+        a7, b7 = PERMS_64[7]
+        assert got[s][0] == h, s
+        assert got[s][1] == (h % MERSENNE_31 * a0 + b0) % MERSENNE_31
+        assert got[s][2] == (h % MERSENNE_31 * a7 + b7) % MERSENNE_31
+        assert 0 <= h < 1 << 60  # 15 hex chars: non-negative, bigint-safe
+        # DuckDB renders the identical value from the identical SQL
+        (dh,) = duck.execute(
+            "SELECT " + hash64_sql("?"), [s]
+        ).fetchone()
+        assert dh == h, s
