@@ -92,6 +92,7 @@ HEADLINE = [
     "dedup_keep_best",
     "pmi_bigrams",
     "containment_pairs",
+    "kmv_distinct_users",
     # training-data pipeline: text analysis & cleaning
     "dedup_exact",
     "doc_fingerprint",

@@ -137,6 +137,11 @@ QUERIES = [
     # index (cross-copy shingles disjoint under the bijection → linear
     # candidates) and the array-intersect verify
     "containment_pairs",
+    # kmv: one distinct (type, hash) keyed agg + bounded rank-filters.
+    # NB the replication remaps event_id, NOT user_id, so the distinct
+    # space is R-invariant: this smoke measures the scan + map-side
+    # dedup growth (the dominant term at scale — sketch state is fixed)
+    "kmv_distinct_users",
 ]
 
 EMB_DIM_SMOKE = 64

@@ -274,3 +274,132 @@ def salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("revenue"),
     )
+
+
+# --- KMV (k-minimum-values) distinct sketch --------------------------------
+
+K_KMV = 64
+_KMV_M = 1 << 60  # hash64 range: 15 hex chars = [0, 2^60)
+
+
+def _kmv_oracle() -> str:
+    from storm_bench_spark.functions.hashing import hash64_sql
+
+    h = hash64_sql("concat('kmv:', CAST(user_id AS VARCHAR))")
+    est = (
+        f"round(CASE WHEN n_kept < {K_KMV} THEN CAST(n_kept AS DOUBLE) "
+        f"ELSE CAST({K_KMV - 1} AS DOUBLE) * CAST({_KMV_M} AS DOUBLE)"
+        f" / CAST(kth_hash AS DOUBLE) END, 3)"
+    )
+    return f"""
+WITH base AS (SELECT DISTINCT event_type, {h} AS h FROM events),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM base
+),
+pt AS (
+  SELECT event_type, CAST(max(h) AS BIGINT) AS kth_hash,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM ranked WHERE rn <= {K_KMV} GROUP BY event_type
+),
+ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS exact_distinct
+       FROM base GROUP BY event_type),
+allb AS (SELECT DISTINCT h FROM base),
+allr AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM allb),
+pa AS (SELECT '__all__' AS event_type, CAST(max(h) AS BIGINT) AS kth_hash,
+              CAST(count(*) AS BIGINT) AS n_kept
+       FROM allr WHERE rn <= {K_KMV}),
+exa AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM allb),
+u AS (
+  SELECT pt.event_type, kth_hash, n_kept, exact_distinct
+  FROM pt JOIN ex USING (event_type)
+  UNION ALL
+  SELECT pa.event_type, kth_hash, n_kept, exact_distinct FROM pa, exa
+)
+SELECT event_type, n_kept, kth_hash, {est} AS est_distinct, exact_distinct
+FROM u
+"""
+
+
+@register("kmv_distinct_users", oracle=_kmv_oracle())
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch per
+    event type, plus a ``__all__`` row produced by MERGING the
+    per-type sketches — the fourth sketch family (after HLL, CMS,
+    Bloom): unlike HLL it keeps actual hash values, so the same K-row
+    state is simultaneously a distinct estimator, a mergeable uniform
+    sample of the key space, and a set-resemblance input. Estimator:
+    D̂ = (K−1)·M/h_(K) (Bar-Yossef et al.), exact when fewer than K
+    distincts were seen; every number is integer-derived with one IEEE
+    multiply/divide, so DuckDB replays it bit-for-bit, and the exact
+    distinct count rides along so the estimate is self-evaluating
+    (|est−exact|/exact ≈ 1/√K).
+
+    Shape at scale: ONE keyed agg to distinct (type, hash) rows; the
+    bottom-K selection is spelled as a per-type rank-filter for oracle
+    replayability (production keeps a K-value bounded aggregation
+    state, the same bounded-state class as the gated HLL register /
+    CMS cell tables). The MERGE is the bounded-state demonstration:
+    the ``__all__`` sketch is computed from the ≤ |types|·K kept rows
+    only — never a rescan — valid because every global bottom-K hash
+    is contained in its own type's bottom-K (the oracle computes the
+    same row from the full data; the two provably agree). The merged
+    re-rank runs over ≤ |types|·K rows — bounded by construction.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    from storm_bench_spark.functions.hashing import hash64
+
+    base = ev.select(
+        "event_type",
+        hash64(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kept = base.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= K_KMV
+    )
+    per_type = kept.groupBy("event_type").agg(
+        F.max("h").alias("kth_hash"), F.count(F.lit(1)).alias("n_kept")
+    )
+    exact = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
+    # __all__ SKETCH by MERGING the kept rows (<= |types|*K of them) —
+    # never a rescan; valid because every global bottom-K hash is in
+    # its own type's bottom-K. The exact_distinct TRUTH column, by
+    # contrast, cannot come from a sketch by definition — it is the
+    # evaluation side (same role as ann_recall's brute-force truth)
+    # and reads the full distinct-hash table.
+    merged = kept.select("h").distinct()
+    wg = Window.orderBy("h")
+    all_kept = merged.withColumn("rn", F.row_number().over(wg)).where(
+        F.col("rn") <= K_KMV
+    )
+    all_row = all_kept.agg(
+        F.max("h").alias("kth_hash"), F.count(F.lit(1)).alias("n_kept")
+    ).select(F.lit("__all__").alias("event_type"), "kth_hash", "n_kept")
+    all_exact = (
+        base.select("h")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+        .select(F.lit("__all__").alias("event_type"), "exact_distinct")
+    )
+    u = per_type.join(exact, "event_type").unionByName(
+        all_row.join(all_exact, "event_type")
+    )
+    est = F.when(
+        F.col("n_kept") < K_KMV, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(K_KMV - 1))
+        * F.lit(float(_KMV_M))
+        / F.col("kth_hash").cast("double")
+    )
+    return u.select(
+        "event_type",
+        "n_kept",
+        "kth_hash",
+        F.round(est, 3).alias("est_distinct"),
+        "exact_distinct",
+    )

@@ -45,6 +45,9 @@ ALLOW_BNLJ = {
     "token_budget_select": "broadcast one-row token-budget threshold",
     "tfidf_top_terms": "broadcast doc-count row (N for the idf)",
     "pmi_bigrams": "broadcast 1-row (n_bi, n_uni) corpus totals",
+    # the __all__ sketch row joins the __all__ truth row on a
+    # constant-folded key: two 1-row aggregates at any data size
+    "kmv_distinct_users": "1-row __all__ sketch x 1-row truth aggregate",
     "bloom_high_value_orders": "broadcast ~1 KB bitmap row",
     # bounded-side theta/cross joins
     "rolling_flight_dist": "A-row latest-state pair join, A = live aircraft",
@@ -98,6 +101,9 @@ ALLOW_SINGLE_PARTITION = {
     # fused-rank window over the full outer join of two ≤k-row ranked
     # lists (k = 20): ≤ 2k rows regardless of corpus size
     "rrf_hybrid_rank": "RRF window over ≤2k fused rank rows",
+    # the __all__ sketch-merge re-rank runs over the per-type KEPT
+    # rows only: ≤ |event types|·K_KMV (= 5·64) rows at any data size
+    "kmv_distinct_users": "global rank over ≤ |types|·K merged sketch rows",
 }
 
 _SKIP_PREFIXES = ("streaming_", "trident_", "stateful_")

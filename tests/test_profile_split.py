@@ -241,3 +241,44 @@ def test_containment_pairs_replay(spark):
         for r in containment_pairs(spark, SF_DIR).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_kmv_distinct_users_replay(spark):
+    """Pure-Python replay of the KMV sketch: bottom-K selection, the
+    merge rule for __all__, the estimator branch, and the truth
+    column."""
+    import hashlib
+
+    from storm_bench_spark.plans.sketch_queries import K_KMV, _KMV_M, kmv_distinct_users
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", "user_id")
+        .collect()
+    )
+    per_type: dict[str, set] = {}
+    for r in rows:
+        h = int(hashlib.md5(f"kmv:{r['user_id']}".encode()).hexdigest()[:15], 16)
+        per_type.setdefault(r["event_type"], set()).add(h)
+    def sketch(hs):
+        kept = sorted(hs)[:K_KMV]
+        n, hk = len(kept), max(kept)
+        est = float(n) if n < K_KMV else (K_KMV - 1) * float(_KMV_M) / float(hk)
+        return n, hk, round(est, 3)
+    expect = {}
+    for t, hs in per_type.items():
+        n, hk, est = sketch(hs)
+        expect[t] = (n, hk, est, len(hs))
+    merged_kept = set()
+    for hs in per_type.values():
+        merged_kept |= set(sorted(hs)[:K_KMV])
+    glob = set().union(*per_type.values())
+    n, hk, est = sketch(merged_kept)
+    expect["__all__"] = (n, hk, est, len(glob))
+    got = {
+        r["event_type"]: (r["n_kept"], r["kth_hash"], r["est_distinct"], r["exact_distinct"])
+        for r in kmv_distinct_users(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # the merge rule itself: merged-kept bottom-K == global bottom-K
+    assert sorted(merged_kept)[:K_KMV] == sorted(glob)[:K_KMV]
