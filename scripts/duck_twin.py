@@ -66,6 +66,12 @@ def main() -> None:
         # subset mode merges: keep the full-run rows, replace the
         # re-measured ones, recompute the total over the merged table
         prev = json.load(open(DETAIL))
+        if prev.get("sf") != sf:
+            raise SystemExit(
+                f"refusing to merge sf={sf} rows into DUCK_DETAIL.json "
+                f"measured at sf={prev.get('sf')} — run the full twin "
+                f"instead, or point SPARK_GRAFT_SF_DIR at the same SF"
+            )
         merged = dict(prev.get("queries", {}))
         merged.update(timings)
         timings = merged
