@@ -94,33 +94,35 @@ def _ensure_loaded() -> None:
 # training_corpus_build (chunk_documents' chunker also runs inside
 # in-window chunk_dedup).
 # (VERDICT r6 #8's r1/r2 staleness cohort stays queued for round 8.)
-# The round later ADDED nine more brand-new queries (pipeline.py's
+# The round later ADDED ten more brand-new queries (pipeline.py's
 # incremental_dedup; training_prep.py's corpus_split; analytics_ext.py's
 # table_profile; corpus_ops.py's tfidf_top_terms and pmi_bigrams —
 # _spread users; curation.py's source_overlap and dedup_keep_best —
 # both composing in-window minhash_lsh; dedup_queries.py's
 # containment_pairs — a _spread user sharing ngram_jaccard's candidate
-# machinery; sketch_queries.py's kmv_distinct_users — the fourth
-# sketch family, not a _spread user) — same rule, new semantics
-# outrank perf-only touches, so they take slots 1-9 and nine
-# _spread-ONLY rows rotate just below the window (epoch_shuffle,
+# machinery; sketch_queries.py's kmv_distinct_users and its
+# keyed-state streaming twin streaming_kmv_sketch — the fourth sketch
+# family, not _spread users) — same rule, new semantics outrank
+# perf-only touches, so they take slots 1-10 and ten _spread-ONLY
+# rows rotate just below the window (epoch_shuffle,
 # token_budget_select, domain_mix_sample, heavy_hitters_cms,
 # ngram_jaccard, simhash, vocab_oov_rate, boilerplate_ngram_ratio,
-# dsir_select — r06-green, their only round-7 change is the shared
-# helper, still gated through 17 other in-window _spread executors;
-# simhash's sketch math stays exercised by in-window simhash_pairs,
-# ngram_jaccard's candidate+verify path by in-window
-# containment_pairs, boilerplate's and DSIR's gram pipelines by their
-# pure-Python replay tests).
-#   - slots 1-9: the late round-7 additions (new code, never gated);
-#   - slots 10-14: the early round-7 additions (new code, never gated);
-#   - slots 15-17: the fuzzy family — candidate generation now truncates
+# dsir_select, contamination_score — r06-green, their only round-7
+# change is the shared helper, still gated through 16 other in-window
+# _spread executors; simhash's sketch math stays exercised by
+# in-window simhash_pairs, ngram_jaccard's candidate+verify path by
+# in-window containment_pairs, boilerplate's, DSIR's, and the
+# contamination gram pipelines by their pure-Python replay tests and
+# in-window decontaminate/decontaminate_minhash).
+#   - slots 1-10: the late round-7 additions (new code, never gated);
+#   - slots 11-15: the early round-7 additions (new code, never gated);
+#   - slots 16-18: the fuzzy family — candidate generation now truncates
 #     to a 12-char suffix signature, the variant self-join carries a
 #     SHUFFLE_HASH hint, and the name attach is broadcast-gated on
 #     dictionary size (VERDICT r6 #1; see sketch_queries.py:
 #     fuzzy_name_pairs_d2's docstring for why the literally-proposed
 #     name-length band is a provable no-op and what shipped instead);
-#   - slots 18-34: 17 of the 33 _spread executors (directly or through
+#   - slots 19-34: 16 of the 33 _spread executors (directly or through
 #     a composed stage — corpus_curate, neardup_clusters,
 #     training_corpus_build, rrf_hybrid_rank, lsh_recall_pairs compose
 #     _spread users; streaming_heavy_hitters counted once, in the
@@ -144,6 +146,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "pmi_bigrams",
     "containment_pairs",
     "kmv_distinct_users",
+    "streaming_kmv_sketch",
     # the early round-7 additions (new code, never gated)
     "dup_ngram_spans",
     "line_dedup",
@@ -154,17 +157,16 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "fuzzy_name_pairs",
     "fuzzy_name_pairs_d2",
     "fuzzy_triangles",
-    # 17 of the 33 _spread executors (byte-estimated split count, r7;
+    # 16 of the 33 _spread executors (byte-estimated split count, r7;
     # lang_id/quality_score/repetition_score/bigram_lm_score/
     # chunk_documents, then epoch_shuffle/token_budget_select/
     # domain_mix_sample/heavy_hitters_cms/ngram_jaccard/simhash/
-    # vocab_oov_rate/boilerplate_ngram_ratio/dsir_select, rotated
-    # just below)
+    # vocab_oov_rate/boilerplate_ngram_ratio/dsir_select/
+    # contamination_score, rotated just below)
     "decontaminate",
     "pack_sequences",
     "quality_quantile_filter",
     "decontaminate_minhash",
-    "contamination_score",
     "chunk_dedup",
     "inverted_index",
     "bm25_rank",
@@ -195,9 +197,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "trident_wordcount",
     "stateful_running_count",
     # ---- outside the window: r2-r6 green ----
-    # First the fourteen _spread executors displaced by the round-7
+    # First the fifteen _spread executors displaced by the round-7
     # additions (r06-green; only round-7 change is the shared helper,
-    # covered by the 17 in-window executors), then the rows rotated
+    # covered by the 16 in-window executors), then the rows rotated
     # out of the r6 window (gated green in CORRECTNESS_r06, code
     # untouched since), then the older tail.
     "lang_id",
@@ -214,6 +216,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "vocab_oov_rate",
     "boilerplate_ngram_ratio",
     "dsir_select",
+    "contamination_score",
     "events_cube",
     "ann_rerank",
     "tpch_q13",

@@ -403,3 +403,58 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est, 3).alias("est_distinct"),
         "exact_distinct",
     )
+
+
+def _kmv_streaming_oracle() -> str:
+    from storm_bench_spark.functions.hashing import hash64_sql
+
+    h = hash64_sql("concat('kmv:', CAST(user_id AS VARCHAR))")
+    est = (
+        f"round(CASE WHEN n_kept < {K_KMV} THEN CAST(n_kept AS DOUBLE) "
+        f"ELSE CAST({K_KMV - 1} AS DOUBLE) * CAST({_KMV_M} AS DOUBLE)"
+        f" / CAST(kth_hash AS DOUBLE) END, 3)"
+    )
+    return f"""
+WITH base AS (SELECT DISTINCT event_type, {h} AS h FROM events),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM base
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(max(h) AS BIGINT) AS kth_hash
+FROM ranked WHERE rn <= {K_KMV} GROUP BY event_type
+"""
+
+
+@register("streaming_kmv_sketch", oracle=_kmv_streaming_oracle())
+def streaming_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV sketch maintained as STREAMING keyed state
+    (streaming/stateful.py:bottomk_state): per event type, the state
+    store holds one bounded array row — the K smallest distinct hashes
+    seen so far — updated per micro-batch. This is the sketch-as-state
+    pattern of ``streaming_heavy_hitters`` (CMS cells) and
+    ``streaming_hll_visitors`` (registers) for the fourth sketch
+    family, and unlike streaming_dedup's one-row-per-distinct-key
+    state it is FIXED-SIZE per key at any cardinality.
+
+    Bottom-K is a set-min fold (associative, commutative, idempotent),
+    so the final state is micro-batch-boundary-invariant and equals
+    the batch sketch — the oracle is the batch KMV SQL. Emissions are
+    monotone (n_kept up, kth_hash down); the final row per key is
+    extracted as (max, min) over the emission log.
+    """
+    from storm_bench_spark.functions.hashing import hash64
+    from storm_bench_spark.streaming.stateful import bottomk_state
+    from storm_bench_spark.streaming.streams import run_to_memory, stream_table
+
+    ev = stream_table(spark, sf_dir, "events").select(
+        "event_type",
+        hash64(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))).alias("h"),
+    )
+    emitted = run_to_memory(
+        bottomk_state(ev, "event_type", "h", K_KMV), output_mode="append"
+    )
+    return emitted.groupBy("key").agg(
+        F.max("n_kept").alias("n_kept"), F.min("kth_hash").alias("kth_hash")
+    ).select(F.col("key").alias("event_type"), "n_kept", "kth_hash")

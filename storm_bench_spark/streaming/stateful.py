@@ -142,3 +142,56 @@ def funnel_state(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- bottom-k (KMV) sketch state ------------------------------------------
+
+from pyspark.sql.types import ArrayType  # noqa: E402
+
+KMV_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n_kept", LongType()),
+        StructField("kth_hash", LongType()),
+    ]
+)
+KMV_STATE_SCHEMA = StructType([StructField("hs", ArrayType(LongType()))])
+
+
+def _make_kmv_update(k: int):
+    def _update(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterable[pd.DataFrame]:
+        held = list(state.get[0]) if state.exists else []
+        seen = set(held)
+        for p in pdfs:
+            seen.update(int(v) for v in p["h"])
+        merged = sorted(seen)[:k]
+        state.update((merged,))
+        yield pd.DataFrame(
+            {"key": [key[0]], "n_kept": [len(merged)], "kth_hash": [merged[-1]]}
+        )
+
+    return _update
+
+
+def bottomk_state(keyed: DataFrame, key_col: str, hash_col: str, k: int) -> DataFrame:
+    """KMV sketch as arbitrary keyed state: per key, the K smallest
+    distinct hash values seen so far (applyInPandasWithState, state =
+    ONE bounded array row per key — the sketch's defining property;
+    contrast ``streaming_dedup``'s one-row-per-distinct-key state).
+
+    Bottom-K accumulation is a set-min fold — associative, commutative,
+    idempotent — so the final state is independent of micro-batch
+    boundaries and arrival order, and per-batch emissions are monotone:
+    ``n_kept`` non-decreasing, ``kth_hash`` non-increasing. The final
+    sketch per key is therefore ``(max(n_kept), min(kth_hash))`` over
+    the append-mode emission log, which is what the batch extraction
+    reads.
+    """
+    renamed = keyed.select(F.col(key_col).alias("key"), F.col(hash_col).alias("h"))
+    return renamed.groupBy("key").applyInPandasWithState(
+        _make_kmv_update(k),
+        outputStructType=KMV_OUTPUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -33,13 +33,33 @@ def canonical_rows(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
+def _dump_mismatch(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str:
+    """Persist both frames on mismatch so a rare / non-reproducible
+    failure (e.g. the round-7 streaming_flight_dist one-time flake)
+    leaves a post-mortem artifact instead of only a 5-row diff."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=f"oracle_mismatch_{name or 'q'}_")
+    spark_pdf.to_csv(os.path.join(d, "spark.csv"), index=False)
+    duck_pdf.to_csv(os.path.join(d, "duck.csv"), index=False)
+    return d
+
+
 def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str = "") -> None:
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
         f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
     )
-    assert len(spark_pdf) == len(duck_pdf), f"{name}: row count {len(spark_pdf)} vs {len(duck_pdf)}"
+    if len(spark_pdf) != len(duck_pdf):
+        d = _dump_mismatch(name, spark_pdf, duck_pdf)
+        raise AssertionError(
+            f"{name}: row count {len(spark_pdf)} vs {len(duck_pdf)}; frames dumped to {d}"
+        )
     sp = canonical_rows(spark_pdf)
     du = canonical_rows(duck_pdf)
     if sp != du:
         diffs = [(a, b) for a, b in zip(sp, du) if a != b][:5]
-        raise AssertionError(f"{name}: value mismatch; first diffs {diffs}")
+        d = _dump_mismatch(name, spark_pdf, duck_pdf)
+        raise AssertionError(
+            f"{name}: value mismatch; first diffs {diffs}; frames dumped to {d}"
+        )

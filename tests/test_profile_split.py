@@ -282,3 +282,24 @@ def test_kmv_distinct_users_replay(spark):
     assert got == expect
     # the merge rule itself: merged-kept bottom-K == global bottom-K
     assert sorted(merged_kept)[:K_KMV] == sorted(glob)[:K_KMV]
+
+
+def test_streaming_kmv_matches_batch_sketch(spark):
+    """Stream/batch parity engine-side: the keyed-state bottom-K final
+    sketch equals the batch KMV rows (micro-batch-boundary invariance
+    of the set-min fold)."""
+    from storm_bench_spark.plans.sketch_queries import (
+        kmv_distinct_users,
+        streaming_kmv_sketch,
+    )
+
+    batch = {
+        r["event_type"]: (r["n_kept"], r["kth_hash"])
+        for r in kmv_distinct_users(spark, SF_DIR).collect()
+        if r["event_type"] != "__all__"
+    }
+    stream = {
+        r["event_type"]: (r["n_kept"], r["kth_hash"])
+        for r in streaming_kmv_sketch(spark, SF_DIR).collect()
+    }
+    assert stream == batch
