@@ -82,19 +82,37 @@ N_BANDS = 8
 ROWS_PER_BAND = N_PERMS // N_BANDS
 
 
-def minhash_signature(sh: DataFrame) -> DataFrame:
-    """One row per doc with columns mh0..mh31: min over shingles of each
-    universal-hash permutation. A single groupBy with 32 agg expressions
-    — no 32× row blowup, full map-side partial aggregation."""
-    # h is pre-reduced mod M once per shingle; minhash_perm re-reduces
-    # idempotently, so routing through the shared helper keeps one
-    # spelling of the permutation math (functions/hashing.py)
-    h = (hash64("sh") % MERSENNE_31).alias("h")
-    hashed = sh.select("doc_id", h)
-    aggs = [
-        F.min(minhash_perm(F.col("h"), i)).alias(f"mh{i}") for i in range(N_PERMS)
-    ]
-    return hashed.groupBy("doc_id").agg(*aggs)
+def minhash_signature_arrays(arr: DataFrame) -> DataFrame:
+    """Signatures WITHOUT a shuffle: per-permutation min over each
+    doc's shingle ARRAY (one row in, one row out — no explode, no
+    groupBy exchange). Min of ``minhash_perm`` over the doc's shingle
+    set — exactly what :func:`minhash_signature_sql`'s row-based
+    oracle computes, so the oracle verifies this spelling unchanged.
+    Replaces (round 7) the explode → 32-min groupBy spelling, whose
+    exchange carried one signature row per doc across the cluster for
+    no reason — the array already holds the doc's whole shingle set
+    on one row.
+
+    The hash reduction ``hash64(s) % M`` is BOUND once per row
+    (functions/text.py:bind) so each shingle hashes once, not once per
+    permutation; the 32 permutations then run as array_min over pure
+    lambda-variable reads.
+    """
+    from storm_bench_spark.functions.text import bind
+
+    def _perm_min(hv, i: int):
+        # single-arg inner lambda: a two-arg lambda would receive the
+        # ARRAY INDEX as its second argument and shadow the perm index
+        return F.array_min(F.transform(hv, lambda x: minhash_perm(x, i)))
+
+    hs = F.transform(F.col("shs"), lambda s: hash64(s) % MERSENNE_31)
+    sig = bind(
+        hs,
+        lambda hv: F.struct(
+            *[_perm_min(hv, i).alias(f"mh{i}") for i in range(N_PERMS)]
+        ),
+    )
+    return arr.select("doc_id", sig.alias("_sig")).select("doc_id", "_sig.*")
 
 
 def minhash_signature_sql() -> str:

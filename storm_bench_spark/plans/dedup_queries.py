@@ -68,7 +68,14 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature building and both verify sides read the cache, so the
     text is tokenized once instead of once per consumer. Spark evicts
     cache entries LRU; at 100 TB MEMORY_AND_DISK spills instead of
-    recomputing the multi-consumer subtree."""
+    recomputing the multi-consumer subtree.
+
+    Signatures come straight off the persisted ARRAYS
+    (DD.minhash_signature_arrays — array_min per permutation, one row
+    in/one out): the previous explode → 32-min groupBy spelling paid a
+    full signature-table exchange whose only purpose was undoing the
+    explode. Same math, same oracle; the first shuffle in the plan is
+    now the band-bucket join itself."""
     from pyspark import StorageLevel
 
     # _spread: the fixture parquet is a single row group, so without a
@@ -77,8 +84,7 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # input _spread skips the exchange entirely (conditional since r6)
     docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
     arr = DD.shingle_arrays(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    sh = arr.select("doc_id", F.explode("shs").alias("sh"))
-    sig = DD.minhash_signature(sh)
+    sig = DD.minhash_signature_arrays(arr)
     cands = DD.lsh_candidates(DD.band_digests(sig))
     return DD.verify_jaccard_arrays(cands, arr, JACCARD_T)
 

@@ -416,16 +416,17 @@ def decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
     arr = DD.shingle_arrays(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    sh = arr.select("doc_id", F.explode("shs").alias("sh"))
     # repartitioned on the bucket key THEN persisted: the train filter
     # and the eval filter are two consumers of the same shingle→
     # signature→digest pipeline (uncached, each re-derives it from the
     # arr cache), and the repartition both dedups that work behind one
     # exchange and lands the train probe pre-partitioned on the join
     # key (measured: 2.05 s plain → 1.54 s repart+persist at sf0.1;
-    # 8 small rows per doc, the cheap thing to keep)
+    # 8 small rows per doc, the cheap thing to keep). Signatures come
+    # straight off the persisted arrays (minhash_signature_arrays) —
+    # no explode→groupBy exchange before the banding.
     bands = (
-        DD.band_digests(DD.minhash_signature(sh))
+        DD.band_digests(DD.minhash_signature_arrays(arr))
         .repartition("band", "digest")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
