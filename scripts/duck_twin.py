@@ -62,9 +62,19 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s (min of {runs})", file=sys.stderr)
 
-    if sel and os.path.exists(DETAIL):
+    runs_by_query = {n: runs for n in names}
+    if sel:
         # subset mode merges: keep the full-run rows, replace the
-        # re-measured ones, recompute the total over the merged table
+        # re-measured ones, recompute the total over the merged table.
+        # Without an existing full-run detail file the "merge" would
+        # silently write a subset-only sum under the full-run metric
+        # name — refuse, like the cross-SF case.
+        if not os.path.exists(DETAIL):
+            raise SystemExit(
+                "DUCK_QUERIES subset mode needs an existing full-run "
+                "DUCK_DETAIL.json to merge into — run the full twin "
+                "first (unset DUCK_QUERIES)"
+            )
         prev = json.load(open(DETAIL))
         if prev.get("sf") != sf:
             raise SystemExit(
@@ -75,6 +85,11 @@ def main() -> None:
         merged = dict(prev.get("queries", {}))
         merged.update(timings)
         timings = merged
+        prev_rbq = prev.get("runs_by_query") or {
+            n: prev.get("runs") for n in prev.get("queries", {})
+        }
+        prev_rbq.update(runs_by_query)
+        runs_by_query = prev_rbq
 
     payload = {
         "metric": "duckdb_oracle_total_wall_samebox",
@@ -82,6 +97,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "runs": runs,
+        "runs_by_query": runs_by_query,
         "queries": timings,
     }
     with open(DETAIL, "w") as f:

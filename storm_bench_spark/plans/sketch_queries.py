@@ -346,8 +346,12 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     is contained in its own type's bottom-K (the oracle computes the
     same row from the full data; the two provably agree). The merged
     re-rank runs over ≤ |types|·K rows — bounded by construction.
+    ``base`` and ``kept`` are persisted so the four downstream
+    consumers (per_type, exact, merged, all_exact) physically share
+    the one events scan + distinct instead of each re-deriving it.
     """
     from pyspark.sql.window import Window
+    from pyspark.storagelevel import StorageLevel
 
     ev = load_table(spark, sf_dir, "events")
     from storm_bench_spark.functions.hashing import hash64
@@ -355,11 +359,11 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.select(
         "event_type",
         hash64(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))).alias("h"),
-    ).distinct()
+    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
     w = Window.partitionBy("event_type").orderBy("h")
     kept = base.withColumn("rn", F.row_number().over(w)).where(
         F.col("rn") <= K_KMV
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     per_type = kept.groupBy("event_type").agg(
         F.max("h").alias("kth_hash"), F.count(F.lit(1)).alias("n_kept")
     )
@@ -440,9 +444,17 @@ def streaming_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Bottom-K is a set-min fold (associative, commutative, idempotent),
     so the final state is micro-batch-boundary-invariant and equals
-    the batch sketch — the oracle is the batch KMV SQL. Emissions are
-    monotone (n_kept up, kth_hash down); the final row per key is
-    extracted as (max, min) over the emission log.
+    the batch sketch — the oracle is the batch KMV SQL. Extraction
+    from the append-mode emission log takes BOTH fields from the same,
+    LATEST emission per key via ``max(struct(n_kept, -kth_hash))``:
+    n_kept is non-decreasing across batches, and among emissions with
+    equal n_kept the smallest kth_hash is the latest (while the sketch
+    is unfilled, equal n_kept implies an identical kept set, so kth is
+    equal too; once n_kept == K, kth_hash is non-increasing). The
+    earlier (max(n_kept), min(kth_hash)) field-wise extraction was
+    WRONG for multi-batch runs of an unfilled sketch — each new
+    distinct hash RAISES kth while n_kept grows, so min(kth) could
+    pair an early kth with a late n_kept.
     """
     from storm_bench_spark.functions.hashing import hash64
     from storm_bench_spark.streaming.stateful import bottomk_state
@@ -455,6 +467,21 @@ def streaming_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted = run_to_memory(
         bottomk_state(ev, "event_type", "h", K_KMV), output_mode="append"
     )
-    return emitted.groupBy("key").agg(
-        F.max("n_kept").alias("n_kept"), F.min("kth_hash").alias("kth_hash")
-    ).select(F.col("key").alias("event_type"), "n_kept", "kth_hash")
+    return kmv_extract_latest(emitted).withColumnRenamed("key", "event_type")
+
+
+def kmv_extract_latest(emitted: DataFrame) -> DataFrame:
+    """Latest (n_kept, kth_hash) per key from a ``bottomk_state``
+    append-mode emission log, as ``max(struct(n_kept, -kth_hash))`` —
+    see :func:`streaming_kmv_sketch`'s docstring for why field-wise
+    (max, min) is wrong for multi-batch runs of an unfilled sketch."""
+    latest = emitted.groupBy("key").agg(
+        F.max(
+            F.struct(F.col("n_kept"), (-F.col("kth_hash")).alias("neg_kth"))
+        ).alias("s")
+    )
+    return latest.select(
+        "key",
+        F.col("s.n_kept").alias("n_kept"),
+        (-F.col("s.neg_kth")).alias("kth_hash"),
+    )

@@ -163,12 +163,16 @@ def _make_kmv_update(k: int):
         held = list(state.get[0]) if state.exists else []
         seen = set(held)
         for p in pdfs:
-            seen.update(int(v) for v in p["h"])
+            # a null h (e.g. hash64 of a null user_id) must never reach
+            # int(); a batch whose rows for this key are all-null would
+            # otherwise raise inside the state fn and kill the stream
+            seen.update(int(v) for v in p["h"].dropna())
         merged = sorted(seen)[:k]
         state.update((merged,))
-        yield pd.DataFrame(
-            {"key": [key[0]], "n_kept": [len(merged)], "kth_hash": [merged[-1]]}
-        )
+        if merged:
+            yield pd.DataFrame(
+                {"key": [key[0]], "n_kept": [len(merged)], "kth_hash": [merged[-1]]}
+            )
 
     return _update
 
@@ -181,11 +185,14 @@ def bottomk_state(keyed: DataFrame, key_col: str, hash_col: str, k: int) -> Data
 
     Bottom-K accumulation is a set-min fold — associative, commutative,
     idempotent — so the final state is independent of micro-batch
-    boundaries and arrival order, and per-batch emissions are monotone:
-    ``n_kept`` non-decreasing, ``kth_hash`` non-increasing. The final
-    sketch per key is therefore ``(max(n_kept), min(kth_hash))`` over
-    the append-mode emission log, which is what the batch extraction
-    reads.
+    boundaries and arrival order. Per-batch emissions are monotone in
+    ``n_kept`` (the kept set only grows), but ``kth_hash`` is only
+    non-increasing ONCE the sketch is full (n_kept == k); while
+    unfilled, each new distinct hash raises it. The final sketch per
+    key must therefore be read as the LATEST emission —
+    ``max(struct(n_kept, -kth_hash))`` — never as field-wise
+    ``(max(n_kept), min(kth_hash))``. Batches whose rows for a key are
+    all-null update nothing and emit nothing.
     """
     renamed = keyed.select(F.col(key_col).alias("key"), F.col(hash_col).alias("h"))
     return renamed.groupBy("key").applyInPandasWithState(

@@ -303,3 +303,66 @@ def test_streaming_kmv_matches_batch_sketch(spark):
         for r in streaming_kmv_sketch(spark, SF_DIR).collect()
     }
     assert stream == batch
+
+
+def test_streaming_kmv_multibatch_unfilled_extraction(spark, tmp_path):
+    """ADVICE r7 (medium): while the sketch is UNFILLED (n_kept < K),
+    each new distinct hash RAISES kth_hash, so extracting the final
+    sketch as field-wise (max(n_kept), min(kth_hash)) pairs an early
+    kth with a late n_kept. Replay the advice's exact scenario —
+    batch1 {5}, batch2 adds {10} — as two real micro-batches
+    (maxFilesPerTrigger=1) and assert the latest-emission extraction
+    returns (2, 10), not the field-wise (2, 5). A third batch carrying
+    only null h (ADVICE r7 low: e.g. hash64 of a null user_id) must
+    not kill the stream: for a key with existing state it re-emits the
+    unchanged sketch; a key whose only rows ever are null emits
+    nothing."""
+    import os
+
+    import pandas as pd
+
+    from storm_bench_spark.plans.sketch_queries import kmv_extract_latest
+    from storm_bench_spark.streaming.stateful import bottomk_state
+    from storm_bench_spark.streaming.streams import run_to_memory
+
+    d = tmp_path / "kmv_batches"
+    d.mkdir()
+    frames = [
+        pd.DataFrame({"key": ["a"], "h": pd.array([5], dtype="Int64")}),
+        pd.DataFrame({"key": ["a"], "h": pd.array([10], dtype="Int64")}),
+        pd.DataFrame(
+            {"key": ["a", "b"], "h": pd.array([None, None], dtype="Int64")}
+        ),
+    ]
+    for i, pdf in enumerate(frames):
+        p = d / f"part{i}.parquet"
+        pdf.to_parquet(p, index=False)
+        # file-source batches arrive in mtime order; pin it
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    schema = spark.read.parquet(str(d)).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    emitted = run_to_memory(
+        bottomk_state(src, "key", "h", 64), output_mode="append"
+    )
+    rows = emitted.collect()
+    # key a emits per batch (the all-null batch re-emits its unchanged
+    # sketch); key b — null-only forever — never emits and never crashes
+    assert sorted((r["key"], r["n_kept"], r["kth_hash"]) for r in rows) == [
+        ("a", 1, 5),
+        ("a", 2, 10),
+        ("a", 2, 10),
+    ]
+    got = {
+        (r["key"], r["n_kept"], r["kth_hash"])
+        for r in kmv_extract_latest(emitted).collect()
+    }
+    assert got == {("a", 2, 10)}
+    # the field-wise extraction this replaces would have said 5:
+    fieldwise = emitted.groupBy("key").agg(
+        F.max("n_kept").alias("n"), F.min("kth_hash").alias("k")
+    ).collect()[0]
+    assert (fieldwise["n"], fieldwise["k"]) == (2, 5)
