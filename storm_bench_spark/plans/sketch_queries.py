@@ -26,6 +26,7 @@ from storm_bench_spark.operators.sketches import (
 )
 from storm_bench_spark.operators.skew import salted_join
 from storm_bench_spark.plans.registry import register
+from storm_bench_spark.streaming.streams import drains_input_bytes_on_error
 from storm_bench_spark.sources.tables import load_table
 
 # Matches tpch.py's determinism discipline: exact decimal sum surfaced
@@ -68,6 +69,7 @@ def hll_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("streaming_hll_visitors", oracle=_HLL_ORACLE)
+@drains_input_bytes_on_error
 def streaming_hll_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``hll_users_per_type`` through the streaming engine: the HLL
     REGISTER TABLE is the streaming aggregation — ``max(rho)`` per
@@ -432,6 +434,7 @@ FROM ranked WHERE rn <= {K_KMV} GROUP BY event_type
 
 
 @register("streaming_kmv_sketch", oracle=_kmv_streaming_oracle())
+@drains_input_bytes_on_error
 def streaming_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The KMV sketch maintained as STREAMING keyed state
     (streaming/stateful.py:bottomk_state): per event type, the state

@@ -18,7 +18,11 @@ from storm_bench_spark.plans import topologies as T
 from storm_bench_spark.plans.registry import register
 from storm_bench_spark.sources.derived import DOC_EPOCH, DOC_TS_STEP_SEC
 from storm_bench_spark.streaming.stateful import running_count
-from storm_bench_spark.streaming.streams import run_to_memory, stream_table
+from storm_bench_spark.streaming.streams import (
+    drains_input_bytes_on_error,
+    run_to_memory,
+    stream_table,
+)
 
 
 # --- 2. TridentWordCount (TridentWordCount.java:36-52) -------------------
@@ -32,6 +36,7 @@ WHERE word <> ''
 GROUP BY word
 """,
 )
+@drains_input_bytes_on_error
 def trident_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Micro-batched, checkpointed, exactly-once word count.
 
@@ -56,6 +61,7 @@ def trident_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parity test asserts the same equality engine-side).
     oracle=T.ROLLING_COUNT_ORACLE,
 )
+@drains_input_bytes_on_error
 def streaming_rolling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rolling_count executed through the streaming engine (event-time
     window state + availableNow), complete-mode snapshot."""
@@ -77,6 +83,7 @@ def streaming_rolling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=T.FLIGHT_DIST_ORACLE,
     doc="streaming twin of rolling_flight_dist",
 )
+@drains_input_bytes_on_error
 def streaming_flight_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rolling_flight_dist through the streaming engine: the flightMap
     state (latest position per aircraft) is a streaming ``max_by``
@@ -130,6 +137,7 @@ def streaming_flight_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=T.ROLLING_SORT_ORACLE,
     doc="per-trigger buffered sort + top-k (RollingSort through foreachBatch)",
 )
+@drains_input_bytes_on_error
 def streaming_rolling_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RollingSort's tick semantics — sort whatever the trigger
     buffered, emit the top rows (SURVEY.md §4.3.3) — as a foreachBatch
@@ -171,6 +179,7 @@ def streaming_rolling_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=T.SOL_ORACLE,
     doc="identity shuffle chain through the streaming engine",
 )
+@drains_input_bytes_on_error
 def streaming_sol(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SOL's identity-bolt chain with an exchange between levels,
     executed per micro-batch (repartition is legal inside a streaming
@@ -201,6 +210,7 @@ from storm_bench_spark.plans.relational import INTERVAL_CLICK_ERROR_ORACLE
     oracle=INTERVAL_CLICK_ERROR_ORACLE,
     doc="watermarked stream-stream interval join (twin of interval_click_error)",
 )
+@drains_input_bytes_on_error
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """interval_click_error through TWO streams: each side keeps a
     watermark-bounded state store and the join condition carries the
@@ -253,6 +263,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_type AS key, count(*) AS cnt FROM events GROUP BY event_type
 """,
 )
+@drains_input_bytes_on_error
 def stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key cumulative count via arbitrary keyed state
     (applyInPandasWithState) — the WordCount.Count HashMap semantics.
@@ -277,6 +288,7 @@ def stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT DISTINCT event_id, event_type, user_id FROM events
 """,
 )
+@drains_input_bytes_on_error
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming deduplication: the events stream is unioned
     with a second read of itself (every row arrives twice — the
@@ -302,6 +314,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT DISTINCT event_id, event_type, user_id FROM events
 """,
 )
+@drains_input_bytes_on_error
 def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-state twin of ``streaming_dedup``:
     ``dropDuplicatesWithinWatermark`` holds a key only until the
@@ -335,6 +348,7 @@ from storm_bench_spark.plans.relational import USER_SESSIONS_ORACLE  # noqa: E40
     # streaming_* twins rely on)
     oracle=USER_SESSIONS_ORACLE,
 )
+@drains_input_bytes_on_error
 def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``user_sessions`` through the streaming engine: gap-merged
     session windows live in the aggregation state store
@@ -366,6 +380,7 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # streaming path too
     oracle=T.ROLLING_HASHTAG_ORACLE,
 )
+@drains_input_bytes_on_error
 def streaming_hashtag_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rolling_hashtag_count through the streaming engine — the
     trending-topics shape: tweet stream → parse 13-field wire format →
@@ -402,6 +417,7 @@ from storm_bench_spark.plans.curation import CDC_ORACLE as _CDC_ORACLE  # noqa: 
     oracle=_CDC_ORACLE,
     doc="cdc_apply maintained incrementally across 3 micro-batches",
 )
+@drains_input_bytes_on_error
 def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``cdc_apply`` as a STREAMING fold: the changelog is split into
     three chronological files, consumed one per micro-batch
@@ -478,6 +494,7 @@ from storm_bench_spark.plans.analytics_ext import _FUNNEL_ORACLE as _SF_ORACLE  
     oracle=_SF_ORACLE,
     doc="funnel_conversion via an applyInPandasWithState stage machine",
 )
+@drains_input_bytes_on_error
 def streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``funnel_conversion`` through ARBITRARY keyed state: a per-user
     view→click→purchase machine in ``applyInPandasWithState``
@@ -525,6 +542,7 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 """,
 )
+@drains_input_bytes_on_error
 def streaming_enriched_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STATIC join — the dimension-enrichment capability: the
     orders STREAM joins the static customer table (planned as a

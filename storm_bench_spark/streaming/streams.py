@@ -11,9 +11,12 @@ per-tuple running-count semantics no built-in mode reproduces.
 
 from __future__ import annotations
 
+import functools
+import json
 import os
 import tempfile
 import uuid
+from collections import deque
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -104,6 +107,55 @@ def _take_input_bytes(spark: SparkSession) -> int:
     return n
 
 
+def drains_input_bytes_on_error(fn):
+    """Close the failed-build input-bytes leak (VERDICT r7 "what's
+    wrong" #3): a query that raises anywhere between ``stream_table``
+    (which records the input's byte size in the session conf) and
+    ``run_to_memory`` (which consumes it) must not leave the recorded
+    bytes behind to max-inflate the NEXT query's derived state width.
+    Decorate every streaming query function with this; success paths
+    are untouched (``run_to_memory`` already drains unconditionally).
+    """
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        try:
+            return fn(spark, sf_dir)
+        except BaseException:
+            spark.conf.set(_INPUT_BYTES_KEY, "0")
+            raise
+
+    return wrapped
+
+
+# Post-mortem breadcrumbs for the rare in-suite streaming flake
+# (VERDICT r7 next #1: the one-time streaming_flight_dist oracle
+# mismatch was never reproduced — 11 clean re-runs — and left no
+# artifact). Every run_to_memory appends one record here: batch count,
+# input-row total, final state-store row count, checkpoint dir, state
+# width. tests/oracle_utils dumps this next to the mismatched frames,
+# so a recurrence pinpoints WHICH stage lost rows (source listing vs
+# state vs sink) instead of leaving only a value diff.
+LAST_STREAM_RUNS: deque = deque(maxlen=32)
+
+
+def last_stream_diagnostics() -> list[dict]:
+    return list(LAST_STREAM_RUNS)
+
+
+def _progress_dicts(q) -> list[dict]:
+    out = []
+    for p in q.recentProgress:
+        if isinstance(p, dict):
+            out.append(p)
+        else:  # pyspark returns StreamingQueryProgress objects on 4.x
+            try:
+                out.append(json.loads(p.json))
+            except Exception:  # noqa: BLE001 — diagnostics must not fail the run
+                pass
+    return out
+
+
 def state_partitions_for(spark: SparkSession, input_bytes: int) -> int:
     """State-partition count for a stream ingesting ``input_bytes``.
 
@@ -172,8 +224,8 @@ def run_to_memory(
     # Consume the recorded input bytes UNCONDITIONALLY: with an
     # explicit state_partitions an `or` short-circuit would leave the
     # conf key set, max-inflating the NEXT query's derived width
-    # (ADVICE r6). A failed build between stream_table and here can
-    # still leak — acceptable: the very next run_to_memory drains it.
+    # (ADVICE r6). A failed build between stream_table and here is
+    # drained by ``drains_input_bytes_on_error`` on the query function.
     input_bytes = _take_input_bytes(spark)
     n_parts = state_partitions or state_partitions_for(spark, input_bytes)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -188,6 +240,40 @@ def run_to_memory(
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    progs = _progress_dicts(q)
+    total_in = sum(int(p.get("numInputRows") or 0) for p in progs)
+    last_state = [
+        {
+            "numRowsTotal": s.get("numRowsTotal"),
+            "numRowsUpdated": s.get("numRowsUpdated"),
+            "operatorName": s.get("operatorName"),
+        }
+        for p in progs[-1:]
+        for s in p.get("stateOperators") or []
+    ]
+    LAST_STREAM_RUNS.append(
+        {
+            "query": name,
+            "checkpoint": ckpt,
+            "output_mode": output_mode,
+            "state_partitions": n_parts,
+            "input_bytes": input_bytes,
+            "n_batches": len(progs),
+            "num_input_rows": total_in,
+            "final_state_operators": last_state,
+        }
+    )
+    # Silent-empty-stream guard: a stream over a recorded non-empty
+    # fixture input that processed ZERO rows is never a valid run (the
+    # fixture tables are all non-empty) — fail loudly here, where the
+    # checkpoint and progress are still in hand, rather than letting a
+    # mysteriously-empty snapshot surface later as an oracle mismatch.
+    if input_bytes > 0 and total_in == 0:
+        raise RuntimeError(
+            f"streaming query {name} read 0 input rows from a "
+            f"{input_bytes}-byte source (checkpoint {ckpt}); "
+            f"progress: {progs!r}"
+        )
     return spark.table(name)
 
 

@@ -43,6 +43,21 @@ def _dump_mismatch(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -
     d = tempfile.mkdtemp(prefix=f"oracle_mismatch_{name or 'q'}_")
     spark_pdf.to_csv(os.path.join(d, "spark.csv"), index=False)
     duck_pdf.to_csv(os.path.join(d, "duck.csv"), index=False)
+    try:
+        # streaming queries: include the recent run_to_memory progress
+        # records (batches / input rows / state rows / checkpoint dirs)
+        # so a one-off streaming mismatch pinpoints the stage that lost
+        # rows (round-7's streaming_flight_dist flake left no such trail)
+        import json
+
+        from storm_bench_spark.streaming.streams import last_stream_diagnostics
+
+        diag = last_stream_diagnostics()
+        if diag:
+            with open(os.path.join(d, "stream_diag.json"), "w") as f:
+                json.dump(diag, f, indent=1)
+    except Exception:  # noqa: BLE001 — best-effort breadcrumb
+        pass
     return d
 
 
