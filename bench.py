@@ -223,6 +223,21 @@ def main() -> None:
     # line carries totals + the 5 slowest rows so round-over-round
     # regression diffing works from the driver record alone;
     # BENCH_DETAIL.json has everything.
+    # Same-hour DuckDB twin, SAME process, shared pair_id (VERDICT r7
+    # next #4): box state drifts between separately-launched runs (a
+    # reboot mid-round-7 moved Spark times ~36% while DuckDB sat
+    # still), so a ratio is only honest when both legs ran together.
+    # Opt out with SPARK_GRAFT_DUCK=0 (e.g. Spark-only profiling).
+    pair_id = time.strftime("%Y-%m-%dT%H:%M:%S")
+    duck_total = None
+    if os.environ.get("SPARK_GRAFT_DUCK", "1") != "0":
+        spark.stop()  # free the JVM's memory before DuckDB materializes
+        from scripts.duck_twin import time_oracles, write_detail
+
+        duck_timings = time_oracles(sf_dir, HEADLINE, runs)
+        write_detail(duck_timings, sf, runs, pair_id=pair_id)
+        duck_total = round(sum(duck_timings.values()), 3)
+
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
@@ -233,9 +248,11 @@ def main() -> None:
             "queries": timings,
             "sf": sf,
             "runs": runs,
+            "pair_id": pair_id,
+            "duck_total": duck_total,
         }, f, indent=1, sort_keys=True)
     worst = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
@@ -243,7 +260,12 @@ def main() -> None:
         "n_queries": len(timings),
         "queries": worst,
         "detail": "BENCH_DETAIL.json",
-    }))
+    }
+    if duck_total:
+        out["duck_total"] = duck_total
+        out["ratio_vs_duck"] = round(total / duck_total, 3)
+        out["pair_id"] = pair_id
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -9,7 +9,12 @@ protocol: same SF directory, min-of-N (default 2), results fully
 materialized (fetchall — the analog of bench.py's noop write), one
 process, queries in HEADLINE order.
 
-Usage:
+Since round 8 the pairing is MECHANICAL (VERDICT r7 next #4):
+``bench.py`` invokes :func:`time_oracles` in the same run and stamps
+both BENCH_DETAIL.json and DUCK_DETAIL.json with one shared
+``pair_id``, so every recorded engine/duck ratio is same-hour same-box
+by construction. Standalone invocation remains for re-measurement:
+
     python scripts/duck_twin.py                  # sf0.1, writes DUCK_DETAIL.json
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python scripts/duck_twin.py
     DUCK_QUERIES=a,b,c python scripts/duck_twin.py   # subset, MERGES into
@@ -26,23 +31,24 @@ import time
 
 sys.path[:0] = [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
 
-import duckdb
-
-from bench import HEADLINE
-from storm_bench_spark.plans.registry import all_oracles
-from storm_bench_spark.sources.tables import TABLES
-
 DETAIL = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                       "DUCK_DETAIL.json")
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def sf_of(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    sel = os.environ.get("DUCK_QUERIES")
-    names = [q.strip() for q in sel.split(",")] if sel else list(HEADLINE)
+    return float(m.group(1)) if m else -1.0
+
+
+def time_oracles(
+    sf_dir: str, names: list[str], runs: int = 2, verbose: bool = True
+) -> dict[str, float]:
+    """Min-of-``runs`` wall time per oracle, fully materialized, one
+    DuckDB connection, HEADLINE order — bench.py's protocol mirrored."""
+    import duckdb
+
+    from storm_bench_spark.plans.registry import all_oracles
+    from storm_bench_spark.sources.tables import TABLES
 
     con = duckdb.connect()
     for t in TABLES:
@@ -50,7 +56,6 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     oracles = all_oracles()
-
     timings: dict[str, float] = {}
     for name in names:
         sql = oracles[name]
@@ -60,15 +65,56 @@ def main() -> None:
             con.execute(sql).fetchall()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s (min of {runs})", file=sys.stderr)
+        if verbose:
+            print(f"# duck {name}: {timings[name]}s (min of {runs})", file=sys.stderr)
+    con.close()
+    return timings
+
+
+def write_detail(
+    timings: dict[str, float],
+    sf: float,
+    runs: int,
+    runs_by_query: dict[str, int] | None = None,
+    pair_id: str | None = None,
+) -> dict:
+    payload = {
+        "metric": "duckdb_oracle_total_wall_samebox",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": sf,
+        "runs": runs,
+        "runs_by_query": runs_by_query or {n: runs for n in timings},
+        "queries": timings,
+    }
+    if pair_id is not None:
+        payload["pair_id"] = pair_id
+    with open(DETAIL, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    return payload
+
+
+def main() -> None:
+    from bench import HEADLINE
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_of(sf_dir)
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    sel = os.environ.get("DUCK_QUERIES")
+    names = [q.strip() for q in sel.split(",")] if sel else list(HEADLINE)
+
+    timings = time_oracles(sf_dir, names, runs)
 
     runs_by_query = {n: runs for n in names}
+    pair_id = None
     if sel:
         # subset mode merges: keep the full-run rows, replace the
         # re-measured ones, recompute the total over the merged table.
         # Without an existing full-run detail file the "merge" would
         # silently write a subset-only sum under the full-run metric
-        # name — refuse, like the cross-SF case.
+        # name — refuse, like the cross-SF case. A standalone subset
+        # run also breaks any recorded same-hour pairing, so the
+        # merged payload drops pair_id.
         if not os.path.exists(DETAIL):
             raise SystemExit(
                 "DUCK_QUERIES subset mode needs an existing full-run "
@@ -91,18 +137,9 @@ def main() -> None:
         prev_rbq.update(runs_by_query)
         runs_by_query = prev_rbq
 
-    payload = {
-        "metric": "duckdb_oracle_total_wall_samebox",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "sf": sf,
-        "runs": runs,
-        "runs_by_query": runs_by_query,
-        "queries": timings,
-    }
-    with open(DETAIL, "w") as f:
-        json.dump(payload, f, indent=1, sort_keys=True)
-    print(json.dumps({k: v for k, v in payload.items() if k != "queries"}))
+    payload = write_detail(timings, sf, runs, runs_by_query, pair_id)
+    print(json.dumps({k: v for k, v in payload.items()
+                      if k not in ("queries", "runs_by_query")}))
 
 
 if __name__ == "__main__":
