@@ -126,6 +126,8 @@ HEADLINE = [
     "ann_topk_quantized",
     "embedding_quantize",
     "multimodal_image_meta",
+    # real RIFF/WAVE codec round-trip (round 8)
+    "multimodal_wav_meta",
     "adsb_parse",
     # sketches / pruning / fuzzy blocking (round 4, late)
     "hll_users_per_type",

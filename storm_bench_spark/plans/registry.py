@@ -135,6 +135,9 @@ def _ensure_loaded() -> None:
 # stays covered by the sf0.001 oracle replay on every pytest run
 # plus the repo-side sf0.01 full-registry sweep (COVERAGE.md).
 _GATE_PRIORITY: tuple[str, ...] = (
+    # round-8 addition (placed provisionally; final round-8 window
+    # rotation happens at end of round)
+    "multimodal_wav_meta",
     # ---- the 50-row round-7 gate window ----
     # the late round-7 additions (new code, never gated)
     "incremental_dedup",

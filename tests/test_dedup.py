@@ -178,3 +178,79 @@ def test_multimodal_meta_is_deterministic_fake(spark):
     assert (out["channels"] == 3).all()
     assert out["width"].between(16, 655).all()
     assert out["height"].between(16, 495).all()
+
+
+def test_lsh_config_sql_matches_python_ladder():
+    """The auto-sized oracle derives (B, R) in SQL from the same
+    integer threshold ladder as the engine's lsh_config_for — assert
+    bit-equality across every boundary (threshold, threshold±1) and a
+    log-spaced sweep, so no corpus count can make them disagree."""
+    import duckdb
+
+    from storm_bench_spark.operators.similarity import (
+        _R_LADDER,
+        lsh_config_for,
+        lsh_config_sql_cases,
+    )
+
+    r_case, b_case = lsh_config_sql_cases("cnt")
+    ns = sorted(
+        {1, 2, 10}
+        | {t + d for t in _R_LADDER.values() for d in (-1, 0, 1)}
+        | {int(10**e) for e in range(1, 13)}
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE counts(cnt BIGINT)")
+    con.executemany("INSERT INTO counts VALUES (?)", [(n,) for n in ns])
+    got = con.execute(
+        f"SELECT cnt, {r_case} AS r, {b_case} AS b FROM counts ORDER BY cnt"
+    ).fetchall()
+    for cnt, r_sql, b_sql in got:
+        b_py, r_py = lsh_config_for(cnt)
+        assert (r_sql, b_sql) == (r_py, b_py), (cnt, (r_sql, b_sql), (r_py, b_py))
+
+
+def test_wav_codec_real_roundtrip():
+    """The round-8 WAV decoder is REAL: cross-check header fields
+    against the stdlib ``wave`` reader (an independent public
+    implementation), and prove the chunk walker handles what a naive
+    data-at-byte-44 parser cannot — junk chunks and RIFF odd-size
+    padding."""
+    import io
+    import struct
+    import wave as stdlib_wave
+
+    import numpy as np
+
+    from storm_bench_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    payload = bytes(range(256)) * 3
+    for rate, ch in [(8000, 1), (12000, 2), (16000, 1)]:
+        w = encode_wav_pcm16(payload, rate, ch)
+        sr, c, bits, nf, ms, mean_abs = decode_wav_pcm16(w)
+        f = stdlib_wave.open(io.BytesIO(w))
+        assert (sr, c, bits, nf) == (
+            f.getframerate(), f.getnchannels(), f.getsampwidth() * 8, f.getnframes()
+        )
+        frames = np.frombuffer(f.readframes(nf), dtype="<i2")
+        assert mean_abs == float(np.abs(frames.astype(np.int64)).sum()) / len(frames)
+        assert ms == nf * 1000 // rate
+    # chunk walking: an ODD-sized unknown chunk before fmt must be
+    # skipped with its pad byte (RIFF rule); naive offset-44 dies here
+    body = (
+        b"JUNK" + struct.pack("<I", 3) + b"abc\x00"  # odd size + pad
+        + encode_wav_pcm16(b"\x01\x02\x03\x04", 8000, 1)[12:]
+    )
+    odd = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    sr, c, bits, nf, ms, mean_abs = decode_wav_pcm16(odd)
+    assert (sr, c, bits, nf) == (8000, 1, 16, 2)
+    # sample math: 0x0201=513, 0x0403=1027 → mean 770
+    assert mean_abs == 770.0
+    # non-WAV payloads refuse loudly instead of guessing
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_wav_pcm16(b"NOTAWAVEFILE0000")
