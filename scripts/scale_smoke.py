@@ -301,8 +301,11 @@ def main() -> None:
     # smoke measures the operator itself over the FULL replicated table,
     # which is the actual ≥100k-corpus deployment shape — on the AUTO
     # sizing path (round 8): 2000 vectors at 1× → (32, 11); 200 k at
-    # R=100 → (64, 18). The old fixed 16×32 config measured 8.4 at
-    # R=100 from band-bucket saturation (BASELINE.md); the derived
+    # R=100 → (64, 18) — the config an idle-box 4-way head-to-head
+    # measured fastest-viable (56.2 s / 67.5 k pairs vs the old fixed
+    # 16×32's 79.9 s / 77.3 k, same box+session; see AUTO_LSH_OCCUPANCY
+    # in operators/similarity.py). The old fixed config's band-bucket
+    # saturation was BASELINE.md's documented knob-to-turn; the derived
     # config is the fix, and this probe now measures the rule, not the
     # knob.
     from storm_bench_spark.operators import similarity as SIM

@@ -273,11 +273,10 @@ def lsh_config_for(n_vectors: int, target_occupancy: int = 1, recall_bands: int 
     ``n_bands/rows_per_band=None``), per VERDICT r7 next #5 — no
     longer a documented-but-manual knob.
     """
-    occ = max(target_occupancy, 1)
     n = max(n_vectors, 1)
     r = _R_MAX
     for cand_r in range(_R_MIN, _R_MAX):
-        if n <= occ * _R_LADDER[cand_r]:
+        if n <= int(target_occupancy * _R_LADDER[cand_r]):
             r = cand_r
             break
     if r <= _R_MIN:
@@ -286,17 +285,34 @@ def lsh_config_for(n_vectors: int, target_occupancy: int = 1, recall_bands: int 
     return b, r
 
 
-def lsh_config_sql_cases(cnt_expr: str, target_occupancy: int = 1, recall_bands: int = 32) -> tuple[str, str]:
+# Default occupancy target for the AUTO path (neardup_lsh with
+# n_bands/rows_per_band=None and its SQL twin): 1, i.e. the rule as
+# documented. Measured head-to-head on a 200 k × 64-dim corpus (round
+# 8, IDLE box, one session, clearCache between runs):
+#   32×16 (old fixed):       79.9 s, 77 313 pairs   (occ 3.05 — saturated)
+#   64×18 (occ 1 — THIS):    56.2 s, 67 524 pairs   <- fastest viable
+#   32×18 (b not doubled):   30.4 s, 34 387 pairs   (recall collapse)
+#   128×19 (occ 0.5):       154.4 s, 88 891 pairs   (recall buys 2.7× wall)
+# The same four configs measured in a FIRST probe that overlapped a
+# concurrent bench run reordered completely (128×19 "won" at 72.9 s) —
+# the box_control.py idle-box warning exists because this almost
+# shipped occupancy 0.5 on polluted data. 0.5 and 1 are exact binary
+# fractions, so int(occ·threshold) stays deterministic either way.
+AUTO_LSH_OCCUPANCY = 1
+
+
+def lsh_config_sql_cases(cnt_expr: str, target_occupancy: float = 1, recall_bands: int = 32) -> tuple[str, str]:
     """(r_case, b_case) SQL CASE expressions over ``cnt_expr`` that
     replay :func:`lsh_config_for` exactly — generated from the same
-    integer ladder, so any corpus count resolves to the same (B, R) on
-    both sides by construction."""
-    occ = max(target_occupancy, 1)
+    integer ladder (thresholds pre-multiplied by the occupancy target
+    and floored to integers HERE, in Python), so any corpus count
+    resolves to the same (B, R) on both sides by construction."""
     r_whens, b_whens = [], []
     for r in range(_R_MIN, _R_MAX):
         b = N_BANDS if r <= _R_MIN else recall_bands << max(0, (r - 15) // 2)
-        r_whens.append(f"WHEN {cnt_expr} <= {occ * _R_LADDER[r]} THEN {r}")
-        b_whens.append(f"WHEN {cnt_expr} <= {occ * _R_LADDER[r]} THEN {b}")
+        t = int(target_occupancy * _R_LADDER[r])
+        r_whens.append(f"WHEN {cnt_expr} <= {t} THEN {r}")
+        b_whens.append(f"WHEN {cnt_expr} <= {t} THEN {b}")
     b_max = recall_bands << max(0, (_R_MAX - 15) // 2)
     r_case = "CASE " + " ".join(r_whens) + f" ELSE {_R_MAX} END"
     b_case = "CASE " + " ".join(b_whens) + f" ELSE {b_max} END"
@@ -416,7 +432,9 @@ def neardup_lsh(
 
     v = vectors.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("v"))
     if n_bands is None or rows_per_band is None:
-        n_bands, rows_per_band = lsh_config_for(v.count())
+        n_bands, rows_per_band = lsh_config_for(
+            v.count(), target_occupancy=AUTO_LSH_OCCUPANCY
+        )
     # Persist the per-vector key arrays BEFORE the explode: the
     # repartition-for-ReuseExchange spelling evaluated the Arrow kernel
     # FOUR times — ``posexplode(udf(...))`` makes Catalyst emit a
@@ -1045,7 +1063,7 @@ def neardup_lsh_grouped_sql_auto(v_cte: str, dim: int, threshold: float) -> str:
     follows :func:`neardup_lsh_grouped_sql` (planes as DATA, dims as
     one unrolled expression); only the plane count and the band
     arithmetic read from the ``cfg`` row instead of constants."""
-    r_case, b_case = lsh_config_sql_cases("cnt")
+    r_case, b_case = lsh_config_sql_cases("cnt", target_occupancy=AUTO_LSH_OCCUPANCY)
     dot_terms = " + ".join(f"(v.v[{i + 1}] * wl.wl[{i + 1}])" for i in range(dim))
     return f"""
 WITH v AS ({v_cte}),
