@@ -71,119 +71,64 @@ def _ensure_loaded() -> None:
 # name that somehow escapes the list sorts LAST — fail-safe: an
 # unlisted query can never displace promised window rows.
 #
-# ROUND-7 WINDOW (exactly 50) = the queries whose executed code is NEW
-# or changed this round. The touched set was derived MECHANICALLY, not
-# by eyeball: the three changed helpers (plans/pipeline.py:_spread —
-# byte-estimated split count, new sf_dir parameter;
-# operators/sketches.py:fuzzy_pairs — suffix-signature truncation +
-# SHUFFLE_HASH hints; streaming/streams.py:run_to_memory —
-# unconditional input-bytes drain, call-time env override) were
-# instrumented and every registered query built; 42 queries invoked at
-# least one of them, plus 8 static run_to_memory callers the tracing
-# harness could not build (grep confirms the call sites). Round 7 then
-# ADDED five brand-new queries (scrub_ops.py's dup_ngram_spans,
-# line_dedup, and pii_scrub; curation.py's pagerank_neardup over
-# operators/graph.py's new pagerank; lexicon_ops.py's bpe_encode —
-# whose train refactor also touches bpe_merge_steps, kept in-window) —
-# new semantics outrank result-invariant perf changes, so they take
-# slots 1-5 and the five weakest members of the touched set rotate
-# just below the window: lang_id, quality_score, repetition_score,
-# bigram_lm_score, chunk_documents, whose ONLY round-7 change is the
-# shared _spread helper — still gated through 26 other in-window
-# _spread executors and composed inside in-window corpus_curate /
-# training_corpus_build (chunk_documents' chunker also runs inside
-# in-window chunk_dedup).
-# (VERDICT r6 #8's r1/r2 staleness cohort stays queued for round 8.)
-# The round later ADDED ten more brand-new queries (pipeline.py's
-# incremental_dedup; training_prep.py's corpus_split; analytics_ext.py's
-# table_profile; corpus_ops.py's tfidf_top_terms and pmi_bigrams —
-# _spread users; curation.py's source_overlap and dedup_keep_best —
-# both composing in-window minhash_lsh; dedup_queries.py's
-# containment_pairs — a _spread user sharing ngram_jaccard's candidate
-# machinery; sketch_queries.py's kmv_distinct_users and its
-# keyed-state streaming twin streaming_kmv_sketch — the fourth sketch
-# family, not _spread users) — same rule, new semantics outrank
-# perf-only touches, so they take slots 1-10 and ten _spread-ONLY
-# rows rotate just below the window (epoch_shuffle,
-# token_budget_select, domain_mix_sample, heavy_hitters_cms,
-# ngram_jaccard, simhash, vocab_oov_rate, boilerplate_ngram_ratio,
-# dsir_select, contamination_score — r06-green, their only round-7
-# change is the shared helper, still gated through 16 other in-window
-# _spread executors; simhash's sketch math stays exercised by
-# in-window simhash_pairs, ngram_jaccard's candidate+verify path by
-# in-window containment_pairs, boilerplate's, DSIR's, and the
-# contamination gram pipelines by their pure-Python replay tests and
-# in-window decontaminate/decontaminate_minhash).
-#   - slots 1-10: the late round-7 additions (new code, never gated);
-#   - slots 11-15: the early round-7 additions (new code, never gated);
-#   - slots 16-18: the fuzzy family — candidate generation now truncates
-#     to a 12-char suffix signature, the variant self-join carries a
-#     SHUFFLE_HASH hint, and the name attach is broadcast-gated on
-#     dictionary size (VERDICT r6 #1; see sketch_queries.py:
-#     fuzzy_name_pairs_d2's docstring for why the literally-proposed
-#     name-length band is a provable no-op and what shipped instead);
-#   - slots 19-34: 16 of the 33 _spread executors (directly or through
-#     a composed stage — corpus_curate, neardup_clusters,
-#     training_corpus_build, rrf_hybrid_rank, lsh_recall_pairs compose
-#     _spread users; streaming_heavy_hitters counted once, in the
-#     streaming block; pii_scrub, bpe_encode, and tfidf_top_terms, also
-#     _spread users, counted in the additions);
-#   - slots 35-50: the 16 streaming twins (run_to_memory state-width
-#     drain fix, ADVICE r6).
-# Every row rotated OUT is r2-r6 green with code untouched this round
-# except the shared _spread helper (covered in-window as noted), and
-# stays covered by the sf0.001 oracle replay on every pytest run
-# plus the repo-side sf0.01 full-registry sweep (COVERAGE.md).
+# ROUND-8 WINDOW (exactly 50). Touched set, derived from the round-8
+# diff file-by-file: (a) NEW semantics — multimodal_wav_meta (the real
+# RIFF/WAVE codec, query #160), streaming_kmv_sketch (latest-emission
+# extraction replacing the wrong field-wise max/min, plus the
+# bottomk_state null-drop — ADVICE r7 medium+low), and
+# embedding_neardup_lsh_scaled (band config now DERIVED from corpus
+# count, oracle re-derives it in SQL — VERDICT r7 next #5); (b)
+# result-invariant rewrites — lsh_recall_pairs (shared persisted
+# shingle table + the provably-redundant LSH-verify leg dropped, r7
+# next #3), kmv_distinct_users (persisted base/kept, ADVICE r7 low),
+# embedding_neardup_lsh (its helper neardup_lsh gained the auto-config
+# branch; this caller pins the old explicit config — results
+# unchanged); (c) ALL 16 streaming twins, whose shared run_to_memory
+# gained per-run diagnostics + the silent-empty-stream guard and whose
+# query functions each gained the drains_input_bytes_on_error
+# decorator (r7 next #1/#6) — streaming_kmv_sketch is the 17th
+# decorated row, counted in (a). That is 23 touched rows; the
+# remaining 27 slots finally pay the STALENESS debt deferred since
+# VERDICT r6 #8: the 18-row r1/r2 cohort named in r7 next #2
+# (wordcount, grep, rolling_count, rolling_geo_count, rolling_sort,
+# sol, pageview_count, dataclean, distinct_users, unique_visitor,
+# tpch_q1/q3/q4/q6/q14/q19/q10/q12 — none driver-gated since rounds
+# 1-2) plus the 10 next-oldest r2-gated rows (tpch_q5, dedup_exact,
+# doc_fingerprint, token_count, top_terms, user_sessions,
+# rolling_hashtag_count, orders_rollup, user_running_value,
+# value_percentiles). streaming_flight_dist stays in-window per r7
+# next #1 (the un-root-caused one-time flake: 40 further stress
+# iterations green this round, diagnostics now recorded per run —
+# COVERAGE.md). Every row rotated OUT is r6/r7-green with code
+# untouched this round and stays covered by the per-pytest sf0.001
+# all-oracle sweep plus the repo-side sf0.01 full-registry replay.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # round-8 addition (placed provisionally; final round-8 window
-    # rotation happens at end of round)
+    # ---- the 50-row round-8 gate window ----
     "multimodal_wav_meta",
-    # ---- the 50-row round-7 gate window ----
-    # the late round-7 additions (new code, never gated)
-    "incremental_dedup",
-    "corpus_split",
-    "table_profile",
-    "tfidf_top_terms",
-    "source_overlap",
-    "dedup_keep_best",
-    "pmi_bigrams",
-    "containment_pairs",
-    "kmv_distinct_users",
     "streaming_kmv_sketch",
-    # the early round-7 additions (new code, never gated)
-    "dup_ngram_spans",
-    "line_dedup",
-    "pagerank_neardup",
-    "pii_scrub",
-    "bpe_encode",
-    # the fuzzy family (signature truncation + hash-join hints, r7)
-    "fuzzy_name_pairs",
-    "fuzzy_name_pairs_d2",
-    "fuzzy_triangles",
-    # 16 of the 33 _spread executors (byte-estimated split count, r7;
-    # lang_id/quality_score/repetition_score/bigram_lm_score/
-    # chunk_documents, then epoch_shuffle/token_budget_select/
-    # domain_mix_sample/heavy_hitters_cms/ngram_jaccard/simhash/
-    # vocab_oov_rate/boilerplate_ngram_ratio/dsir_select/
-    # contamination_score, rotated just below)
-    "decontaminate",
-    "pack_sequences",
-    "quality_quantile_filter",
-    "decontaminate_minhash",
-    "chunk_dedup",
-    "inverted_index",
-    "bm25_rank",
-    "textrank_keywords",
-    "minhash_lsh",
-    "simhash_pairs",
+    "embedding_neardup_lsh_scaled",
     "lsh_recall_pairs",
-    "rrf_hybrid_rank",
-    "bpe_merge_steps",
-    "corpus_curate",
-    "neardup_clusters",
-    "training_corpus_build",
-    # the 16 streaming twins (run_to_memory bytes-drain fix, r7)
-    "streaming_heavy_hitters",  # also a _spread executor
+    "kmv_distinct_users",
+    "embedding_neardup_lsh",
+    "wordcount",
+    "grep",
+    "rolling_count",
+    "rolling_geo_count",
+    "rolling_sort",
+    "sol",
+    "pageview_count",
+    "dataclean",
+    "distinct_users",
+    "unique_visitor",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q6",
+    "tpch_q14",
+    "tpch_q19",
+    "tpch_q10",
+    "tpch_q12",
+    "streaming_heavy_hitters",
     "streaming_dedup",
     "streaming_dedup_watermarked",
     "streaming_enriched_revenue",
@@ -199,12 +144,49 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "streaming_cdc_apply",
     "trident_wordcount",
     "stateful_running_count",
-    # ---- outside the window: r2-r6 green ----
-    # First the fifteen _spread executors displaced by the round-7
-    # additions (r06-green; only round-7 change is the shared helper,
-    # covered by the 16 in-window executors), then the rows rotated
-    # out of the r6 window (gated green in CORRECTNESS_r06, code
-    # untouched since), then the older tail.
+    "tpch_q5",
+    "dedup_exact",
+    "doc_fingerprint",
+    "token_count",
+    "top_terms",
+    "user_sessions",
+    "rolling_hashtag_count",
+    "orders_rollup",
+    "user_running_value",
+    "value_percentiles",
+    # ---- outside the window: r6/r7-green, untouched this round,
+    # in their former relative order ----
+    "incremental_dedup",
+    "corpus_split",
+    "table_profile",
+    "tfidf_top_terms",
+    "source_overlap",
+    "dedup_keep_best",
+    "pmi_bigrams",
+    "containment_pairs",
+    "dup_ngram_spans",
+    "line_dedup",
+    "pagerank_neardup",
+    "pii_scrub",
+    "bpe_encode",
+    "fuzzy_name_pairs",
+    "fuzzy_name_pairs_d2",
+    "fuzzy_triangles",
+    "decontaminate",
+    "pack_sequences",
+    "quality_quantile_filter",
+    "decontaminate_minhash",
+    "chunk_dedup",
+    "inverted_index",
+    "bm25_rank",
+    "textrank_keywords",
+    "minhash_lsh",
+    "simhash_pairs",
+    "rrf_hybrid_rank",
+    "bpe_merge_steps",
+    "corpus_curate",
+    "neardup_clusters",
+    "training_corpus_build",
     "lang_id",
     "quality_score",
     "repetition_score",
@@ -246,8 +228,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "cdc_apply",
     "rolling_flight_dist",
     "rolling_flight_dist_bucketed",
-    "embedding_neardup_lsh",
-    "embedding_neardup_lsh_scaled",
     "unique_visitor_approx",
     "rolling_latlong",
     "ann_topk_ivf_kmeans",
@@ -286,34 +266,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "interval_click_error",
     "users_intersect",
     "users_union",
-    "user_sessions",
-    "rolling_hashtag_count",
-    "orders_rollup",
-    "user_running_value",
-    "value_percentiles",
-    "top_terms",
-    "token_count",
-    "dedup_exact",
-    "doc_fingerprint",
-    "unique_visitor",
-    "tpch_q5",
-    "wordcount",
-    "grep",
-    "rolling_count",
-    "rolling_geo_count",
-    "rolling_sort",
-    "sol",
-    "pageview_count",
-    "dataclean",
-    "distinct_users",
-    "tpch_q1",
-    "tpch_q4",
-    "tpch_q6",
-    "tpch_q3",
-    "tpch_q14",
-    "tpch_q19",
-    "tpch_q10",
-    "tpch_q12",
 )
 
 
