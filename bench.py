@@ -126,8 +126,9 @@ HEADLINE = [
     "ann_topk_quantized",
     "embedding_quantize",
     "multimodal_image_meta",
-    # real RIFF/WAVE codec round-trip (round 8)
+    # real RIFF/WAVE + Netpbm P6 codec round-trips (round 8)
     "multimodal_wav_meta",
+    "multimodal_ppm_meta",
     "adsb_parse",
     # sketches / pruning / fuzzy blocking (round 4, late)
     "hll_users_per_type",
@@ -230,44 +231,54 @@ def main() -> None:
     # reboot mid-round-7 moved Spark times ~36% while DuckDB sat
     # still), so a ratio is only honest when both legs ran together.
     # Opt out with SPARK_GRAFT_DUCK=0 (e.g. Spark-only profiling).
+    #
+    # Robustness to an external wall-clock cap: the Spark-leg results
+    # are written and a COMPLETE stdout line printed BEFORE the duck
+    # leg starts, then the final line (with duck_total/ratio) prints
+    # after it. The driver captures the stdout TAIL, so if this
+    # process is killed mid-duck the last intact line still carries
+    # the full Spark record — the pairing degrades gracefully instead
+    # of losing the round's bench numbers.
     pair_id = time.strftime("%Y-%m-%dT%H:%M:%S")
-    duck_total = None
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    worst = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+
+    def _emit(duck_total=None):
+        with open(detail_path, "w") as f:
+            json.dump({
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "runs": runs,
+                "pair_id": pair_id,
+                "duck_total": duck_total,
+            }, f, indent=1, sort_keys=True)
+        out = {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(timings),
+            "queries": worst,
+            "detail": "BENCH_DETAIL.json",
+        }
+        if duck_total:
+            out["duck_total"] = duck_total
+            out["ratio_vs_duck"] = round(total / duck_total, 3)
+            out["pair_id"] = pair_id
+        print(json.dumps(out), flush=True)
+
+    _emit()
     if os.environ.get("SPARK_GRAFT_DUCK", "1") != "0":
         spark.stop()  # free the JVM's memory before DuckDB materializes
         from scripts.duck_twin import time_oracles, write_detail
 
         duck_timings = time_oracles(sf_dir, HEADLINE, runs)
         write_detail(duck_timings, sf, runs, pair_id=pair_id)
-        duck_total = round(sum(duck_timings.values()), 3)
-
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
-    with open(detail_path, "w") as f:
-        json.dump({
-            "metric": "headline_queries_total_wall",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf,
-            "runs": runs,
-            "pair_id": pair_id,
-            "duck_total": duck_total,
-        }, f, indent=1, sort_keys=True)
-    worst = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
-    out = {
-        "metric": "headline_queries_total_wall",
-        "value": total,
-        "unit": "sec",
-        "sf": sf,
-        "n_queries": len(timings),
-        "queries": worst,
-        "detail": "BENCH_DETAIL.json",
-    }
-    if duck_total:
-        out["duck_total"] = duck_total
-        out["ratio_vs_duck"] = round(total / duck_total, 3)
-        out["pair_id"] = pair_id
-    print(json.dumps(out))
+        _emit(round(sum(duck_timings.values()), 3))
 
 
 if __name__ == "__main__":

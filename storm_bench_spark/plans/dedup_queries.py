@@ -24,10 +24,12 @@ from storm_bench_spark.operators.multimodal import (
     chunk_audio,
     decode_audio_meta,
     decode_image_meta,
+    decode_ppm_meta,
     decode_wav_meta,
     documents_as_binary,
     extract_features,
     resize_image,
+    ppm_files,
     sample_frames,
     wav_files,
 )
@@ -704,6 +706,55 @@ def multimodal_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "sample_rate", "channels", "bits", "n_frames",
         "duration_ms", F.round("mean_abs", 6).alias("mean_abs"),
+    )
+
+
+_PPM_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id, {_HEX} AS hx, {_BLOB_LEN} AS n,
+         8 + (doc_id % 5) * 4 AS width
+  FROM documents
+),
+q AS (
+  SELECT doc_id, hx, n, width,
+         greatest(n // (3 * width), 1) AS height
+  FROM p
+),
+r AS (SELECT *, 3 * width * height AS raster_len FROM q)
+SELECT doc_id,
+       CAST(width AS BIGINT) AS width,
+       CAST(height AS BIGINT) AS height,
+       CAST(255 AS BIGINT) AS maxval,
+       round(coalesce(list_sum(list_transform(range(1, least(n, raster_len) + 1),
+                 i -> CAST(concat('0x', substring(hx, (i - 1) * 2 + 1, 2)) AS INTEGER))),
+             0) / CAST(raster_len AS DOUBLE), 6) AS mean_pixel
+FROM r
+"""
+
+
+@register("multimodal_ppm_meta", oracle=_PPM_ORACLE)
+def multimodal_ppm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image twin of ``multimodal_wav_meta`` — a second REAL codec
+    (round 8): each document's payload bytes tile into a genuine
+    binary PPM (P6) per the public Netpbm spec, with a per-doc width
+    (8-24 px, so the header MATTERS) and a ``#`` comment line in the
+    header; ``decode_ppm_meta`` parses it back — magic validation,
+    comment-skipping header tokenizer, and mean pixel value over the
+    exact width·height·3 raster (short payloads zero-pad the final
+    row). The oracle derives width/height from the construction
+    parameters and replays the pixel mean byte-for-byte from the hex
+    rendering — encode→decode certified as the identity on the header
+    and the raster math certified as real. Arrow-batched mapInPandas
+    both ways, the binary-in/binary-out batch shape a production image
+    decoder drops into."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = documents_as_binary(docs).withColumn(
+        "width", (F.lit(8) + (F.col("doc_id") % 5) * 4).cast("long")
+    )
+    out = decode_ppm_meta(ppm_files(src))
+    return out.select(
+        "doc_id", "width", "height", "maxval",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
     )
 
 

@@ -72,8 +72,9 @@ def _ensure_loaded() -> None:
 # unlisted query can never displace promised window rows.
 #
 # ROUND-8 WINDOW (exactly 50). Touched set, derived from the round-8
-# diff file-by-file: (a) NEW semantics — multimodal_wav_meta (the real
-# RIFF/WAVE codec, query #160), streaming_kmv_sketch (latest-emission
+# diff file-by-file: (a) NEW semantics — multimodal_wav_meta and
+# multimodal_ppm_meta (the real RIFF/WAVE and Netpbm P6 codec
+# round-trips, queries #160/#161), streaming_kmv_sketch (latest-emission
 # extraction replacing the wrong field-wise max/min, plus the
 # bottomk_state null-drop — ADVICE r7 medium+low), and
 # embedding_neardup_lsh_scaled (band config now DERIVED from corpus
@@ -105,6 +106,7 @@ def _ensure_loaded() -> None:
 _GATE_PRIORITY: tuple[str, ...] = (
     # ---- the 50-row round-8 gate window ----
     "multimodal_wav_meta",
+    "multimodal_ppm_meta",
     "streaming_kmv_sketch",
     "embedding_neardup_lsh_scaled",
     "lsh_recall_pairs",
@@ -153,9 +155,12 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "rolling_hashtag_count",
     "orders_rollup",
     "user_running_value",
+    # ---- outside the window (value_percentiles was the 10th filler
+    # slot; it yields to the second round-8 codec query and moves to
+    # position 51 — r2-green, untouched, still swept per-pytest) ----
     "value_percentiles",
-    # ---- outside the window: r6/r7-green, untouched this round,
-    # in their former relative order ----
+    # (remaining rows: r6/r7-green, untouched this round, in their
+    # former relative order)
     "incremental_dedup",
     "corpus_split",
     "table_profile",

@@ -254,3 +254,35 @@ def test_wav_codec_real_roundtrip():
 
     with _pytest.raises(ValueError):
         decode_wav_pcm16(b"NOTAWAVEFILE0000")
+
+
+def test_ppm_codec_real_roundtrip():
+    """The P6 decoder is real: header tokenizer handles Netpbm's
+    whitespace/comment grammar (comments legal between ANY tokens),
+    raster math is byte-exact, truncation and wrong magic refuse."""
+    from storm_bench_spark.operators.multimodal import (
+        decode_ppm_p6,
+        encode_ppm_p6,
+    )
+
+    payload = bytes(range(250)) * 2
+    for w in (8, 16, 24):
+        ppm = encode_ppm_p6(payload, w)
+        width, height, maxval, mean = decode_ppm_p6(ppm)
+        row = 3 * w
+        h = len(payload) // row
+        body = payload[: row * h]
+        assert (width, height, maxval) == (w, h, 255)
+        assert mean == sum(body) / len(body)
+    # comments between ANY header tokens, multi-space separators
+    raster = bytes([10, 20, 30] * 2)  # 2px, 1 row
+    hand = b"P6 # c1\n 2 # c2\n 1 # c3\n 255\n" + raster
+    assert decode_ppm_p6(hand) == (2, 1, 255, sum(raster) / 6)
+    # short payload zero-pads exactly one row
+    assert decode_ppm_p6(encode_ppm_p6(b"\xff", 2)) == (2, 1, 255, 255 / 6)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_ppm_p6(b"P5 1 1 255\n\x00")  # wrong magic (greyscale)
+    with _pytest.raises(ValueError):
+        decode_ppm_p6(b"P6 4 4 255\n\x00\x01")  # truncated raster
