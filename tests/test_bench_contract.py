@@ -50,3 +50,43 @@ def test_compact_summary_line_fits_driver_tail():
         f"compact bench line could reach {len(worst_line)} B; the driver "
         f"tail-captures 2048 B — trim fields or name lengths"
     )
+
+
+def test_duck_twin_subset_mode_guards(tmp_path, monkeypatch):
+    """ADVICE r7 (low): DUCK_QUERIES subset mode must refuse to run
+    without an existing full-run DUCK_DETAIL.json (a subset-only sum
+    would masquerade as the full-run metric) and must refuse cross-SF
+    merges; a legal merge keeps the full-run rows, replaces the
+    re-measured ones, and records per-query run counts."""
+    import json
+
+    import pytest
+
+    from scripts import duck_twin as DT
+
+    detail = tmp_path / "DUCK_DETAIL.json"
+    monkeypatch.setattr(DT, "DETAIL", str(detail))
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_RUNS", "1")
+    # fast subset so main() measures one real oracle, not 132
+    monkeypatch.setenv("DUCK_QUERIES", "wordcount")
+    with pytest.raises(SystemExit, match="full-run"):
+        DT.main()  # no detail file yet -> refuse
+    # a "full run" recorded at a DIFFERENT sf -> refuse
+    detail.write_text(json.dumps(
+        {"sf": 0.01, "runs": 2, "queries": {"wordcount": 0.5, "grep": 0.1}}
+    ))
+    with pytest.raises(SystemExit, match="refusing to merge"):
+        DT.main()
+    # legal merge: same sf — keeps grep, replaces wordcount, records
+    # per-query run counts for both generations
+    detail.write_text(json.dumps(
+        {"sf": 0.001, "runs": 2, "queries": {"wordcount": 0.5, "grep": 0.1}}
+    ))
+    DT.main()
+    merged = json.loads(detail.read_text())
+    assert set(merged["queries"]) == {"wordcount", "grep"}
+    assert merged["queries"]["grep"] == 0.1
+    assert merged["queries"]["wordcount"] != 0.5  # re-measured
+    assert merged["runs_by_query"] == {"grep": 2, "wordcount": 1}
+    assert "pair_id" not in merged  # standalone subset breaks pairing
