@@ -133,6 +133,8 @@ HEADLINE = [
     # sketches / pruning / fuzzy blocking (round 4, late)
     "hll_users_per_type",
     "bloom_high_value_orders",
+    # 5th sketch family: rank/quantile via mergeable histogram (round 8)
+    "histogram_quantiles",
     "fuzzy_name_pairs",
     "salted_segment_revenue",
     # time-series / history / funnel analytics (round 4, late)

