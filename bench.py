@@ -133,8 +133,10 @@ HEADLINE = [
     # sketches / pruning / fuzzy blocking (round 4, late)
     "hll_users_per_type",
     "bloom_high_value_orders",
-    # 5th sketch family: rank/quantile via mergeable histogram (round 8)
+    # 5th sketch family: rank/quantile via mergeable histogram, and
+    # KMV set-resemblance from sketches alone (round 8)
     "histogram_quantiles",
+    "kmv_resemblance",
     "fuzzy_name_pairs",
     "salted_segment_revenue",
     # time-series / history / funnel analytics (round 4, late)

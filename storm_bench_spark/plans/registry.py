@@ -76,7 +76,9 @@ def _ensure_loaded() -> None:
 # multimodal_ppm_meta (the real RIFF/WAVE and Netpbm P6 codec
 # round-trips, queries #160/#161), histogram_quantiles +
 # streaming_histogram_quantiles (the 5th sketch family — rank/quantile
-# via a 256-bin mergeable histogram, queries #162/#163), streaming_kmv_sketch (latest-emission
+# via a 256-bin mergeable histogram, queries #162/#163),
+# kmv_resemblance (pairwise Jaccard from the bottom-K sketches alone —
+# the KMV state's third claimed capability, query #164), streaming_kmv_sketch (latest-emission
 # extraction replacing the wrong field-wise max/min, plus the
 # bottomk_state null-drop — ADVICE r7 medium+low), and
 # embedding_neardup_lsh_scaled (band config now DERIVED from corpus
@@ -111,6 +113,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "multimodal_ppm_meta",
     "histogram_quantiles",
     "streaming_histogram_quantiles",
+    "kmv_resemblance",
     "streaming_kmv_sketch",
     "embedding_neardup_lsh_scaled",
     "lsh_recall_pairs",
@@ -156,12 +159,12 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "token_count",
     "top_terms",
     "user_sessions",
+    # ---- outside the window (rolling_hashtag_count / orders_rollup /
+    # user_running_value / value_percentiles were the 7th-10th filler
+    # slots; they yield to the second codec query, the two
+    # histogram-sketch rows, and kmv_resemblance, and sit at positions
+    # 51-54 — r2-green, untouched, still swept per-pytest) ----
     "rolling_hashtag_count",
-    # ---- outside the window (orders_rollup / user_running_value /
-    # value_percentiles were the 8th-10th filler slots; they yield to
-    # the second codec query and the two histogram-sketch rows and sit
-    # at positions 51-53 — r2-green, untouched, still swept
-    # per-pytest) ----
     "orders_rollup",
     "user_running_value",
     "value_percentiles",

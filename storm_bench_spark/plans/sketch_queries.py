@@ -706,3 +706,144 @@ def streaming_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# --- KMV set resemblance (the sketch's third claimed capability) ----------
+
+
+def _kmv_resemblance_oracle() -> str:
+    from storm_bench_spark.functions.hashing import hash64_sql
+
+    h = hash64_sql("concat('kmv:', CAST(user_id AS VARCHAR))")
+    K = K_KMV
+    return f"""
+WITH base AS (SELECT DISTINCT event_type, {h} AS h FROM events),
+kept AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM base
+  ) WHERE rn <= {K}
+),
+tp AS (
+  SELECT l.event_type AS ta, r.event_type AS tb
+  FROM (SELECT DISTINCT event_type FROM base) l
+  JOIN (SELECT DISTINCT event_type FROM base) r ON l.event_type < r.event_type
+),
+tagged AS (
+  SELECT tp.ta, tp.tb, k.h,
+         max(CASE WHEN k.event_type = tp.ta THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN k.event_type = tp.tb THEN 1 ELSE 0 END) AS in_b
+  FROM tp JOIN kept k ON k.event_type IN (tp.ta, tp.tb)
+  GROUP BY tp.ta, tp.tb, k.h
+),
+m AS (
+  SELECT ta, tb, h, in_a, in_b,
+         row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+  FROM tagged
+),
+sk AS (
+  SELECT ta, tb,
+         CAST(count(*) AS BIGINT) AS k_union,
+         CAST(sum(in_a * in_b) AS BIGINT) AS n_common
+  FROM m WHERE rn <= {K} GROUP BY ta, tb
+),
+ex AS (
+  SELECT tp.ta, tp.tb,
+         sum(CASE WHEN ia.h IS NOT NULL AND ib.h IS NOT NULL THEN 1 ELSE 0 END) AS nx,
+         count(*) AS nu
+  FROM tp
+  JOIN (SELECT event_type, h FROM base) u ON u.event_type IN (tp.ta, tp.tb)
+  LEFT JOIN base ia ON ia.event_type = tp.ta AND ia.h = u.h
+  LEFT JOIN base ib ON ib.event_type = tp.tb AND ib.h = u.h
+  GROUP BY tp.ta, tp.tb
+)
+SELECT sk.ta AS type_a, sk.tb AS type_b, sk.k_union, sk.n_common,
+       round(CAST(sk.n_common AS DOUBLE) / sk.k_union, 6) AS est_jaccard,
+       round(CAST(ex.nx AS DOUBLE) / ex.nu, 6) AS exact_jaccard
+FROM sk JOIN ex ON sk.ta = ex.ta AND sk.tb = ex.tb
+"""
+
+
+@register("kmv_resemblance", oracle=_kmv_resemblance_oracle())
+def kmv_resemblance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jaccard resemblance of per-type user sets estimated
+    from the KMV sketches ALONE — the third capability the bottom-K
+    state claims (distinct estimator, uniform sample, set-resemblance
+    input; ``kmv_distinct_users`` exercises the first two). For each
+    unordered type pair, the union sketch is the bottom-K of the two
+    KEPT sets merged (never a rescan — every union bottom-K hash is in
+    one side's bottom-K), and ``est_J = |M ∩ A ∩ B| / |M|`` counts how
+    many of those K union samples belong to both sides (Beyer et al.'s
+    K-min-values resemblance estimator: M is a uniform size-K sample
+    of the union, membership is exact per sampled hash). The exact
+    Jaccard rides along as the evaluation side, computed from the full
+    distinct-hash table.
+
+    Shape at scale: the estimate consumes ≤ |types|·K kept rows —
+    pairwise resemblance over ANY number of 10-billion-row sets costs
+    |types|²·K integer rows, which is the operator's point; the exact
+    leg (evaluation only) is two keyed equi-joins on the hash. All
+    math is integer counts + one rounded divide — DuckDB replays it
+    bit-for-bit.
+    """
+    from pyspark.sql.window import Window
+    from pyspark.storagelevel import StorageLevel
+
+    from storm_bench_spark.functions.hashing import hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        hash64(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))).alias("h"),
+    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    w = Window.partitionBy("event_type").orderBy("h")
+    kept = base.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= K_KMV
+    ).drop("rn").persist(StorageLevel.MEMORY_AND_DISK)
+
+    types = base.select("event_type").distinct()
+    tp = (
+        types.select(F.col("event_type").alias("ta"))
+        .join(types.select(F.col("event_type").alias("tb")), F.col("ta") < F.col("tb"))
+    )
+    # sketch leg: kept rows of both sides, tagged by membership
+    ka = tp.join(kept.withColumnRenamed("event_type", "ta"), "ta").select(
+        "ta", "tb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    kb = tp.join(kept.withColumnRenamed("event_type", "tb"), "tb").select(
+        "ta", "tb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    tagged = ka.unionByName(kb).groupBy("ta", "tb", "h").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    wm = Window.partitionBy("ta", "tb").orderBy("h")
+    m = tagged.withColumn("rn", F.row_number().over(wm)).where(F.col("rn") <= K_KMV)
+    sk = m.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("k_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_common"),
+    )
+    # exact leg (evaluation side): full-set Jaccard via keyed joins
+    ua = tp.join(base.withColumnRenamed("event_type", "ta"), "ta").select(
+        "ta", "tb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    ub = tp.join(base.withColumnRenamed("event_type", "tb"), "tb").select(
+        "ta", "tb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    utag = ua.unionByName(ub).groupBy("ta", "tb", "h").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    ex = utag.groupBy("ta", "tb").agg(
+        F.sum(F.col("in_a") * F.col("in_b")).alias("nx"),
+        F.count(F.lit(1)).alias("nu"),
+    )
+    return sk.join(ex, ["ta", "tb"]).select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("k_union").cast("long").alias("k_union"),
+        F.col("n_common").cast("long").alias("n_common"),
+        F.round(F.col("n_common").cast("double") / F.col("k_union"), 6).alias(
+            "est_jaccard"
+        ),
+        F.round(F.col("nx").cast("double") / F.col("nu"), 6).alias("exact_jaccard"),
+    )

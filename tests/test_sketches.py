@@ -356,3 +356,47 @@ def test_histogram_quantiles_accuracy_and_merge(spark):
         assert row.est <= true_q + 1e-9, (row, true_q)
         assert true_q - row.est <= row.err_bound + 1e-6, (row, true_q)
         assert row.n_rows == len(xs)
+
+
+def test_kmv_resemblance_discriminates(spark):
+    """The fixture's per-type user sets coincide (every pair's Jaccard
+    is 1.0), so the gated query can't show the estimator DISCRIMINATES.
+    Synthetic sets with planted overlaps do: est must track exact
+    within the K-min-values error (~2/sqrt(K) here), disjoint pairs
+    must estimate 0, identical pairs 1."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from storm_bench_spark.plans import sketch_queries as SQ
+
+    # planted: A∩B = 50%, A∩C = 0%, B≡D
+    sets = {
+        "a": range(0, 400),
+        "b": range(200, 600),
+        "c": range(1000, 1400),
+        "d": range(200, 600),
+    }
+    rows = [
+        Row(event_type=t, user_id=u, ts=0)
+        for t, us in sets.items()
+        for u in us
+    ]
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="sbs_kmvres_")
+    # only the two columns the query reads; column pruning means the
+    # loader never touches the fixture-only columns
+    spark.createDataFrame(
+        rows, schema="event_type string, user_id long, ts long"
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {
+        (r["type_a"], r["type_b"]): (r["est_jaccard"], r["exact_jaccard"])
+        for r in SQ.kmv_resemblance(spark, d).collect()
+    }
+    tol = 2.0 / (SQ.K_KMV ** 0.5)  # ~0.25 at K=64
+    for (ta, tb), (est, exact) in out.items():
+        assert abs(est - exact) <= tol, (ta, tb, est, exact)
+    assert out[("a", "c")] == (0.0, 0.0)          # disjoint
+    assert out[("b", "d")] == (1.0, 1.0)          # identical
+    assert abs(out[("a", "b")][1] - 1 / 3) < 1e-6  # 200/600 exact
