@@ -35,13 +35,23 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     schema = spark.read.parquet(path).schema
     _record_input_bytes(spark, _path_bytes(path))
-    # The file stream source requires a directory; stream the sf dir
-    # restricted to this table's file.
-    df = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", f"{name}.parquet")
-        .parquet(sf_dir)
-    )
+    if os.path.isdir(path):
+        # Spark-written table: {name}.parquet is a DIRECTORY of part
+        # files — stream it directly. The glob spelling below would
+        # match the directory name but not the part files inside, and
+        # the source silently lists ZERO files: the silent-empty-stream
+        # guard in run_to_memory caught exactly this on the first
+        # streaming run over a replicated (Spark-written) fixture.
+        df = spark.readStream.schema(schema).parquet(path)
+    else:
+        # testdata fixture: {name}.parquet is a single FILE, and the
+        # file stream source requires a directory — stream the sf dir
+        # restricted to this table's file.
+        df = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", f"{name}.parquet")
+            .parquet(sf_dir)
+        )
     from pyspark.sql.types import LongType
 
     for col in _TIMESTAMP_COLS.get(name, ()):

@@ -505,3 +505,29 @@ def test_stream_diagnostics_recorded(spark):
     assert rec["input_bytes"] > 0
     assert rec["final_state_operators"], "stateful agg must report state rows"
     assert rec["final_state_operators"][0]["numRowsTotal"] > 0
+
+
+def test_stream_table_reads_directory_shaped_tables(spark, tmp_path):
+    """A Spark-written table is a DIRECTORY of part files; the glob
+    spelling (pathGlobFilter={name}.parquet over the sf dir) matches
+    the directory name but zero leaf files, so the stream silently
+    read nothing — caught by the round-8 silent-empty-stream guard on
+    the first streaming run over a replicated fixture. stream_table
+    must handle both shapes."""
+    from pyspark.sql import Row
+
+    from storm_bench_spark.streaming.streams import run_to_memory, stream_table
+
+    d = tmp_path / "sfdir"
+    d.mkdir()
+    spark.createDataFrame(
+        [Row(event_type="a", user_id=1, ts=0), Row(event_type="b", user_id=2, ts=0)],
+        schema="event_type string, user_id long, ts long",
+    ).repartition(2).write.parquet(str(d / "events.parquet"))
+    out = run_to_memory(
+        stream_table(spark, str(d), "events").groupBy("event_type").count(),
+        output_mode="complete",
+    )
+    assert sorted((r["event_type"], r["count"]) for r in out.collect()) == [
+        ("a", 1), ("b", 1),
+    ]
