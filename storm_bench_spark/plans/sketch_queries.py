@@ -749,14 +749,22 @@ sk AS (
   FROM m WHERE rn <= {K} GROUP BY ta, tb
 ),
 ex AS (
-  SELECT tp.ta, tp.tb,
-         sum(CASE WHEN ia.h IS NOT NULL AND ib.h IS NOT NULL THEN 1 ELSE 0 END) AS nx,
-         count(*) AS nu
-  FROM tp
-  JOIN (SELECT event_type, h FROM base) u ON u.event_type IN (tp.ta, tp.tb)
-  LEFT JOIN base ia ON ia.event_type = tp.ta AND ia.h = u.h
-  LEFT JOIN base ib ON ib.event_type = tp.tb AND ib.h = u.h
-  GROUP BY tp.ta, tp.tb
+  -- group the unioned per-side rows by (ta, tb, h) BEFORE counting so
+  -- a hash shared by both sides contributes ONE union row (Jaccard),
+  -- not two (which would make nu = |A|+|B| and the ratio Dice) — this
+  -- mirrors the engine's utag aggregation exactly
+  SELECT ta, tb,
+         CAST(sum(in_a * in_b) AS BIGINT) AS nx,
+         CAST(count(*) AS BIGINT) AS nu
+  FROM (
+    SELECT tp.ta, tp.tb, u.h,
+           max(CASE WHEN u.event_type = tp.ta THEN 1 ELSE 0 END) AS in_a,
+           max(CASE WHEN u.event_type = tp.tb THEN 1 ELSE 0 END) AS in_b
+    FROM tp
+    JOIN (SELECT event_type, h FROM base) u ON u.event_type IN (tp.ta, tp.tb)
+    GROUP BY tp.ta, tp.tb, u.h
+  )
+  GROUP BY ta, tb
 )
 SELECT sk.ta AS type_a, sk.tb AS type_b, sk.k_union, sk.n_common,
        round(CAST(sk.n_common AS DOUBLE) / sk.k_union, 6) AS est_jaccard,

@@ -400,3 +400,47 @@ def test_kmv_resemblance_discriminates(spark):
     assert out[("a", "c")] == (0.0, 0.0)          # disjoint
     assert out[("b", "d")] == (1.0, 1.0)          # identical
     assert abs(out[("a", "b")][1] - 1 / 3) < 1e-6  # 200/600 exact
+
+
+def test_kmv_resemblance_oracle_on_partial_overlap(spark):
+    """The gated sf fixture's pair Jaccards are all 0 or 1, where Dice
+    == Jaccard — so the driver gate alone could certify a Dice-shaped
+    oracle (it did until round 9: the old exact leg joined per-side
+    rows without grouping by hash, double-counting the intersection).
+    Run the SHIPPED oracle SQL on the planted partial-overlap fixture
+    and require frame equality with the engine, so the exact-Jaccard
+    formula itself is discriminated, not just the 0/1 endpoints."""
+    import tempfile
+
+    import duckdb
+    from pyspark.sql import Row
+
+    from storm_bench_spark.plans import sketch_queries as SQ
+    from tests.oracle_utils import assert_frames_match
+
+    sets = {
+        "a": range(0, 400),      # |a∩b| = 200, |a∪b| = 600 → J = 1/3
+        "b": range(200, 600),
+        "c": range(1000, 1400),  # disjoint from a
+        "d": range(200, 600),    # identical to b
+    }
+    rows = [
+        Row(event_type=t, user_id=u, ts=0) for t, us in sets.items() for u in us
+    ]
+    d = tempfile.mkdtemp(prefix="sbs_kmvres_oracle_")
+    spark.createDataFrame(
+        rows, schema="event_type string, user_id long, ts long"
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    engine = SQ.kmv_resemblance(spark, d).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    oracle = con.execute(SQ._kmv_resemblance_oracle()).fetchdf()
+    con.close()
+    assert_frames_match(engine, oracle, name="kmv_resemblance_partial_overlap")
+    # and the partial pair really is partial: exact strictly between 0 and 1
+    ab = engine[(engine.type_a == "a") & (engine.type_b == "b")]
+    assert abs(float(ab.exact_jaccard.iloc[0]) - 1 / 3) < 1e-6
