@@ -730,6 +730,129 @@ def ann_topk_ivf(
     )
 
 
+def ann_recall_fused(
+    vectors: DataFrame,
+    n_queries: int,
+    k: int,
+    n_probe: int = IVF_NPROBE,
+    n_centroids: int = IVF_CENTROIDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the sampled-centroid IVF index against brute-force
+    truth in ONE pass over the corpus.
+
+    Run separately, the two legs cost three corpus-wide stages: the
+    brute-force query scoring, the IVF cell assignment, and the
+    probed-cell candidate re-scoring. But all three consume cosines of
+    each data vector against a SMALL reference set (queries ∪
+    centroids), so one Arrow pass scoring every vector against the
+    concatenated ``[queries; centroids]`` matrix yields (a) the truth
+    scores (query slice), (b) the cell id (argmax over the centroid
+    slice — first max = min cid, centroids sorted), and (c) the
+    candidate scores (``element_at`` into the query slice — no
+    re-scoring join). Probe selection (query × centroid top-``n_probe``)
+    moves driver-side onto the already-collected reference matrices:
+    queries·centroids cosines are bytes, never cluster work.
+
+    Bitwise-identical to composing :func:`ann_topk_bruteforce` +
+    :func:`ann_topk_ivf`: every dot/norm uses the same sequential-in-i
+    accumulation (left-assoc double sums), so scores, ranks, and the
+    DuckDB oracle's replay all agree exactly — the gate certifies this.
+
+    Shape at scale: one corpus scan (the persisted slim (id, scores,
+    cid) table is (Q+C+2)·8 bytes per vector), two slim keyed rankings,
+    one broadcast probe join. The separate-legs spelling scans the
+    corpus three times.
+    """
+    import numpy as np
+    from pyspark.sql.window import Window
+
+    spark = vectors.sparkSession
+    v = vectors.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("v"))
+    # queries and centroids are both id-prefixes of the same table:
+    # ONE reference collect, sliced driver-side (one job, not two)
+    pids, pmat, pnorm = _collect_ref(
+        v.where(F.col("id") < max(n_queries, n_centroids)), "id", "v"
+    )
+    qsel = [i for i, p in enumerate(pids) if p < n_queries]
+    csel = [i for i, p in enumerate(pids) if p < n_centroids]
+    qids, qm, qn = [pids[i] for i in qsel], pmat[qsel], pnorm[qsel]
+    cids, cm, cn = [pids[i] for i in csel], pmat[csel], pnorm[csel]
+    nq = len(qids)
+    ref_m = np.vstack([qm, cm])
+    ref_n = np.concatenate([qn, cn])
+
+    # probe selection on the driver matrices: same sequential-i sums as
+    # the JVM/SQL spellings, stable argsort on -cos = (desc cos, asc cid)
+    acc = np.zeros((nq, cm.shape[0]))
+    for i in range(qm.shape[1]):
+        acc += np.outer(qm[:, i], cm[:, i])
+    ccos = acc / (qn[:, None] * cn[None, :])
+    probe_rows = [
+        (int(qids[qi]), int(qi), int(cids[cpos]))
+        for qi in range(nq)
+        for cpos in np.argsort(-ccos[qi], kind="stable")[:n_probe]
+    ]
+    probes = spark.createDataFrame(probe_rows, "qid long, qi int, cid long")
+
+    cid_arr = F.array(*[F.lit(int(c)) for c in cids])
+    cslice = F.slice("s", nq + 1, len(cids))
+    scored = (
+        v.select("id", _ref_scores_udf(ref_m, ref_n)("v").alias("s"))
+        .withColumn(
+            "cid",
+            F.element_at(
+                cid_arr,
+                F.array_position(cslice, F.array_max(cslice)).cast("int"),
+            ),
+        )
+        .persist()
+    )
+
+    qid_arr = F.array(*[F.lit(int(q)) for q in qids])
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    truth = (
+        scored.select("id", F.posexplode(F.slice("s", 1, nq)).alias("qi", "c"))
+        .select(
+            F.element_at(qid_arr, F.col("qi") + 1).alias("qid"),
+            F.col("id").alias("nid"),
+            F.round("c", 6).alias("cos"),
+        )
+        .where(F.col("qid") != F.col("nid"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(scored, "cid")
+        .where(F.col("qid") != F.col("id"))
+        .select(
+            "qid",
+            F.col("id").alias("nid"),
+            F.round(F.element_at("s", F.col("qi") + 1), 6).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid")
+    )
+    hits = (
+        cand.join(truth, ["qid", "nid"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("nh"))
+    )
+    return (
+        truth.select("qid")
+        .distinct()
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            (F.coalesce(F.col("nh"), F.lit(0)).cast("double") / k).alias("recall"),
+        )
+    )
+
+
 def ann_topk_ivf_sql(
     v_cte: str, n_queries: int, k: int,
     n_probe: int = IVF_NPROBE, n_centroids: int = IVF_CENTROIDS,
