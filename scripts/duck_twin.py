@@ -42,9 +42,10 @@ def sf_of(sf_dir: str) -> float:
 
 def time_oracles(
     sf_dir: str, names: list[str], runs: int = 2, verbose: bool = True
-) -> dict[str, float]:
-    """Min-of-``runs`` wall time per oracle, fully materialized, one
-    DuckDB connection, HEADLINE order — bench.py's protocol mirrored."""
+) -> tuple[dict[str, float], dict[str, float]]:
+    """(min, max−min spread) of ``runs`` wall times per oracle, fully
+    materialized, one DuckDB connection, HEADLINE order — bench.py's
+    protocol mirrored (per-query dispersion since round 9)."""
     import duckdb
 
     from storm_bench_spark.plans.registry import all_oracles
@@ -57,18 +58,24 @@ def time_oracles(
         )
     oracles = all_oracles()
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in names:
         sql = oracles[name]
-        best = float("inf")
+        samples: list[float] = []
         for _ in range(runs):
             t0 = time.perf_counter()
             con.execute(sql).fetchall()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 3)
+        spreads[name] = round(max(samples) - min(samples), 3)
         if verbose:
-            print(f"# duck {name}: {timings[name]}s (min of {runs})", file=sys.stderr)
+            print(
+                f"# duck {name}: {timings[name]}s (min of {runs}, "
+                f"spread {spreads[name]}s)",
+                file=sys.stderr,
+            )
     con.close()
-    return timings
+    return timings, spreads
 
 
 def write_detail(
@@ -77,6 +84,8 @@ def write_detail(
     runs: int,
     runs_by_query: dict[str, int] | None = None,
     pair_id: str | None = None,
+    spreads: dict[str, float] | None = None,
+    probe: float | None = None,
 ) -> dict:
     payload = {
         "metric": "duckdb_oracle_total_wall_samebox",
@@ -87,6 +96,11 @@ def write_detail(
         "runs_by_query": runs_by_query or {n: runs for n in timings},
         "queries": timings,
     }
+    if spreads is not None:
+        payload["spreads"] = spreads
+        payload["value_spread"] = round(sum(spreads.values()), 3)
+    if probe is not None:
+        payload["probe"] = probe
     if pair_id is not None:
         payload["pair_id"] = pair_id
     with open(DETAIL, "w") as f:
@@ -103,7 +117,7 @@ def main() -> None:
     sel = os.environ.get("DUCK_QUERIES")
     names = [q.strip() for q in sel.split(",")] if sel else list(HEADLINE)
 
-    timings = time_oracles(sf_dir, names, runs)
+    timings, spreads = time_oracles(sf_dir, names, runs)
 
     runs_by_query = {n: runs for n in names}
     pair_id = None
@@ -137,7 +151,10 @@ def main() -> None:
         prev_rbq.update(runs_by_query)
         runs_by_query = prev_rbq
 
-    payload = write_detail(timings, sf, runs, runs_by_query, pair_id)
+    # subset mode merges timings from a prior full run whose spreads we
+    # don't have — only stamp spreads on a full-run detail file
+    payload = write_detail(timings, sf, runs, runs_by_query, pair_id,
+                           spreads=None if sel else spreads)
     print(json.dumps({k: v for k, v in payload.items()
                       if k not in ("queries", "runs_by_query")}))
 

@@ -416,6 +416,80 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.where(bucket < rate).select("event_id", "event_type", "user_id")
 
 
+# --- exact-n weighted sampling without replacement (A-ES) -----------------
+
+_WSMP_N = 100          # sample size
+_WSMP_MAX_W = 8        # weight cap (bounds the per-row draw count)
+
+
+def _weighted_sample_oracle() -> str:
+    h = hash64_sql(
+        "concat('wsmp:', CAST(doc_id AS VARCHAR), ':', CAST(j AS VARCHAR))"
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, least({_WSMP_MAX_W}, 1 + n_chars // 256) AS wt FROM documents
+),
+keyed AS (
+  SELECT doc_id, wt,
+         list_max(list_transform(range(1, wt + 1), j -> {h})) AS k
+  FROM w
+)
+SELECT doc_id, CAST(wt AS BIGINT) AS weight, k AS sort_key
+FROM keyed ORDER BY k DESC, doc_id LIMIT {_WSMP_N}
+"""
+
+
+@register("weighted_sample", oracle=_weighted_sample_oracle())
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-n weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirtakis A-ES scheme (each item ranked by a key
+    distributed as ``u^(1/w)``; the global top-n is a weighted sample
+    without replacement), the primitive behind "pick exactly N docs
+    with probability proportional to quality" in a training-data
+    pipeline. Weight here is a capped length proxy,
+    ``min(8, 1 + n_chars div 256)``.
+
+    Integer-exact spelling: instead of ``u^(1/w)`` (whose ``ln``/``pow``
+    would differ by an ulp between libms, flipping selection at the
+    boundary), each doc takes the MAX of ``w`` independent hash64 draws
+    — ``max of w uniforms ~ u^(1/w)`` exactly, for integer ``w`` — so
+    keys, ordering, and the top-n cut are pure integer md5 math that
+    the DuckDB oracle replays bit-for-bit. No RNG: reproducible under
+    retries, speculative execution, and engine swaps.
+
+    Shape at scale: the draw array is computed inside the scan
+    projection (``transform`` over ``sequence``, ≤ 8 integer hashes per
+    row, all JVM-side); global top-n compiles to TakeOrderedAndProject
+    — per-partition top-n then a driver merge of n·P candidates, no
+    exchange, no global sort. 100 TB cost = one scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wt = F.least(F.lit(_WSMP_MAX_W), F.lit(1) + F.expr("n_chars DIV 256"))
+    draws = F.transform(
+        F.sequence(F.lit(1), F.col("wt")),
+        lambda j: hash64(
+            F.concat(
+                F.lit("wsmp:"),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                j.cast("string"),
+            )
+        ),
+    )
+    return (
+        docs.select("doc_id", wt.alias("wt"))
+        .select("doc_id", "wt", F.array_max(draws).alias("k"))
+        .orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(_WSMP_N)
+        .select(
+            "doc_id",
+            F.col("wt").cast("bigint").alias("weight"),
+            F.col("k").alias("sort_key"),
+        )
+    )
+
+
 # --- repetition score (Gopher-style duplicate-bigram fraction) ------------
 
 @register(

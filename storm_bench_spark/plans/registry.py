@@ -71,50 +71,81 @@ def _ensure_loaded() -> None:
 # name that somehow escapes the list sorts LAST — fail-safe: an
 # unlisted query can never displace promised window rows.
 #
-# ROUND-8 WINDOW (exactly 50). Touched set, derived from the round-8
-# diff file-by-file: (a) NEW semantics — multimodal_wav_meta and
-# multimodal_ppm_meta (the real RIFF/WAVE and Netpbm P6 codec
-# round-trips, queries #160/#161), histogram_quantiles +
-# streaming_histogram_quantiles (the 5th sketch family — rank/quantile
-# via a 256-bin mergeable histogram, queries #162/#163),
-# kmv_resemblance (pairwise Jaccard from the bottom-K sketches alone —
-# the KMV state's third claimed capability, query #164), streaming_kmv_sketch (latest-emission
-# extraction replacing the wrong field-wise max/min, plus the
-# bottomk_state null-drop — ADVICE r7 medium+low), and
-# embedding_neardup_lsh_scaled (band config now DERIVED from corpus
-# count, oracle re-derives it in SQL — VERDICT r7 next #5); (b)
-# result-invariant rewrites — lsh_recall_pairs (shared persisted
-# shingle table + the provably-redundant LSH-verify leg dropped, r7
-# next #3), kmv_distinct_users (persisted base/kept, ADVICE r7 low),
-# embedding_neardup_lsh (its helper neardup_lsh gained the auto-config
-# branch; this caller pins the old explicit config — results
-# unchanged); (c) ALL 16 streaming twins, whose shared run_to_memory
-# gained per-run diagnostics + the silent-empty-stream guard and whose
-# query functions each gained the drains_input_bytes_on_error
-# decorator (r7 next #1/#6) — streaming_kmv_sketch is the 17th
-# decorated row, counted in (a). That is 23 touched rows; the
-# remaining 27 slots finally pay the STALENESS debt deferred since
-# VERDICT r6 #8: the 18-row r1/r2 cohort named in r7 next #2
-# (wordcount, grep, rolling_count, rolling_geo_count, rolling_sort,
-# sol, pageview_count, dataclean, distinct_users, unique_visitor,
-# tpch_q1/q3/q4/q6/q14/q19/q10/q12 — none driver-gated since rounds
-# 1-2) plus the 10 next-oldest r2-gated rows (tpch_q5, dedup_exact,
-# doc_fingerprint, token_count, top_terms, user_sessions,
-# rolling_hashtag_count, orders_rollup, user_running_value,
-# value_percentiles). streaming_flight_dist stays in-window per r7
-# next #1 (the un-root-caused one-time flake: 40 further stress
-# iterations green this round, diagnostics now recorded per run —
-# COVERAGE.md). Every row rotated OUT is r6/r7-green with code
-# untouched this round and stays covered by the per-pytest sf0.001
-# all-oracle sweep plus the repo-side sf0.01 full-registry replay.
+# ROUND-9 WINDOW (exactly 50). Touched set, derived from the round-9
+# diff file-by-file: (a) CHANGED semantics/oracle — kmv_resemblance
+# (oracle exact leg fixed from Dice to true Jaccard, ADVICE r8 high);
+# (b) result-invariant rewrites — ann_recall_at_k (fused single-pass
+# operator, VERDICT r8 next #3); (c) NEW — weighted_sample (exact-n
+# A-ES weighted sampling without replacement, integer-exact via the
+# max-of-w-uniforms equivalence, query #165); (d) ALL 18 rows through
+# the shared run_to_memory, which gained wall/processing/floor timing
+# in its per-run diagnostics (VERDICT r8 next #4) — the 16 streaming
+# twins + streaming_kmv_sketch + streaming_histogram_quantiles. That
+# is 21 touched rows; the remaining 29 slots continue the staleness
+# rotation (VERDICT r8 next #6): rolling_hashtag_count (the single
+# r2-latest row — rotated out at r8 and now the oldest gated row in
+# the registry), the full 22-row r3 cohort (relational/multimodal/
+# library-op rows last driver-gated in round 3), and the 6 oldest
+# r4 rows — unique_visitor_approx first among them (the VERDICT r8
+# regression suspect: idle-box re-time confirmed box noise; a fresh
+# driver gate pins its correctness alongside the r9 bench row).
+# Every row rotated OUT is r8-green with code untouched this round
+# and stays covered by the per-pytest sf0.001 all-oracle sweep plus
+# the repo-side sf0.01 full-registry replay (COVERAGE.md).
 _GATE_PRIORITY: tuple[str, ...] = (
-    # ---- the 50-row round-8 gate window ----
+    "kmv_resemblance",
+    "ann_recall_at_k",
+    "weighted_sample",
+    "streaming_kmv_sketch",
+    "streaming_histogram_quantiles",
+    "streaming_heavy_hitters",
+    "streaming_dedup",
+    "streaming_dedup_watermarked",
+    "streaming_enriched_revenue",
+    "streaming_rolling_count",
+    "streaming_sol",
+    "streaming_rolling_sort",
+    "streaming_interval_join",
+    "streaming_flight_dist",
+    "streaming_user_sessions",
+    "streaming_hashtag_count",
+    "streaming_hll_visitors",
+    "streaming_funnel",
+    "streaming_cdc_apply",
+    "trident_wordcount",
+    "stateful_running_count",
+    "rolling_hashtag_count",
+    "orders_rollup",
+    "user_running_value",
+    "value_percentiles",
+    "users_except",
+    "asof_click_purchase",
+    "multimodal_features",
+    "multimodal_audio_meta",
+    "multimodal_audio_chunks",
+    "embedding_neardup",
+    "ann_topk",
+    "ann_topk_ivf",
+    "multimodal_image_meta",
+    "multimodal_resize",
+    "multimodal_frames",
+    "pageview_extract",
+    "expand_words",
+    "one_per_key",
+    "print_passthrough",
+    "adsb_parse",
+    "interval_click_error",
+    "users_intersect",
+    "users_union",
+    "unique_visitor_approx",
+    "rolling_latlong",
+    "ann_topk_ivf_kmeans",
+    "asof_click_purchase_tol",
+    "gap_fill_hourly",
+    "scd2_customer_history",
     "multimodal_wav_meta",
     "multimodal_ppm_meta",
     "histogram_quantiles",
-    "streaming_histogram_quantiles",
-    "kmv_resemblance",
-    "streaming_kmv_sketch",
     "embedding_neardup_lsh_scaled",
     "lsh_recall_pairs",
     "kmv_distinct_users",
@@ -137,39 +168,12 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "tpch_q19",
     "tpch_q10",
     "tpch_q12",
-    "streaming_heavy_hitters",
-    "streaming_dedup",
-    "streaming_dedup_watermarked",
-    "streaming_enriched_revenue",
-    "streaming_rolling_count",
-    "streaming_sol",
-    "streaming_rolling_sort",
-    "streaming_interval_join",
-    "streaming_flight_dist",
-    "streaming_user_sessions",
-    "streaming_hashtag_count",
-    "streaming_hll_visitors",
-    "streaming_funnel",
-    "streaming_cdc_apply",
-    "trident_wordcount",
-    "stateful_running_count",
     "tpch_q5",
     "dedup_exact",
     "doc_fingerprint",
     "token_count",
     "top_terms",
     "user_sessions",
-    # ---- outside the window (rolling_hashtag_count / orders_rollup /
-    # user_running_value / value_percentiles were the 7th-10th filler
-    # slots; they yield to the second codec query, the two
-    # histogram-sketch rows, and kmv_resemblance, and sit at positions
-    # 51-54 — r2-green, untouched, still swept per-pytest) ----
-    "rolling_hashtag_count",
-    "orders_rollup",
-    "user_running_value",
-    "value_percentiles",
-    # (remaining rows: r6/r7-green, untouched this round, in their
-    # former relative order)
     "incremental_dedup",
     "corpus_split",
     "table_profile",
@@ -238,16 +242,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stratified_sample",
     "embedding_project",
     "semdedup",
-    "ann_recall_at_k",
     "cdc_apply",
     "rolling_flight_dist",
     "rolling_flight_dist_bucketed",
-    "unique_visitor_approx",
-    "rolling_latlong",
-    "ann_topk_ivf_kmeans",
-    "asof_click_purchase_tol",
-    "gap_fill_hourly",
-    "scd2_customer_history",
     "funnel_conversion",
     "cohort_retention",
     "multires_rollup",
@@ -261,25 +258,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "hll_users_per_type",
     "bloom_high_value_orders",
     "salted_segment_revenue",
-    "users_except",
-    "asof_click_purchase",
-    "multimodal_features",
-    "multimodal_audio_meta",
-    "multimodal_audio_chunks",
-    "embedding_neardup",
-    "ann_topk",
-    "ann_topk_ivf",
-    "multimodal_image_meta",
-    "multimodal_resize",
-    "multimodal_frames",
-    "pageview_extract",
-    "expand_words",
-    "one_per_key",
-    "print_passthrough",
-    "adsb_parse",
-    "interval_click_error",
-    "users_intersect",
-    "users_union",
 )
 
 

@@ -15,6 +15,7 @@ import functools
 import json
 import os
 import tempfile
+import time
 import uuid
 from collections import deque
 
@@ -240,6 +241,7 @@ def run_to_memory(
     n_parts = state_partitions or state_partitions_for(spark, input_bytes)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    t_start = time.perf_counter()
     try:
         if processing_time is not None:
             q = w.trigger(processingTime=processing_time).start()
@@ -250,8 +252,26 @@ def run_to_memory(
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    wall_sec = time.perf_counter() - t_start
     progs = _progress_dicts(q)
     total_in = sum(int(p.get("numInputRows") or 0) for p in progs)
+    # Engine-start/checkpoint floor (VERDICT r8 next #4): processing =
+    # Σ addBatch (the data actually flowing through the plan into the
+    # sink); floor = wall − that, i.e. query compile, micro-batch
+    # planning, offset WAL + commit writes, checkpoint setup, start/
+    # termination — measured per batch in the progress durationMs
+    # (calibrated on streaming_funnel: addBatch 3.36 s of a 4.58 s
+    # stream wall; planning+offsets+commits+start = the rest). BENCH
+    # uses this to report streaming rows with the fixed engine cost
+    # separated from processing, instead of letting a ~1 s constant
+    # masquerade as a 40–90× ratio against a batch oracle. Fallback to
+    # triggerExecution when a batch lacks addBatch (empty batches).
+    processing_sec = sum(
+        ((p.get("durationMs") or {}).get("addBatch")
+         or (p.get("durationMs") or {}).get("triggerExecution") or 0)
+        for p in progs
+    ) / 1000.0
+    floor_sec = max(0.0, wall_sec - processing_sec)
     last_state = [
         {
             "numRowsTotal": s.get("numRowsTotal"),
@@ -271,6 +291,9 @@ def run_to_memory(
             "n_batches": len(progs),
             "num_input_rows": total_in,
             "final_state_operators": last_state,
+            "wall_sec": round(wall_sec, 3),
+            "processing_sec": round(processing_sec, 3),
+            "floor_sec": round(floor_sec, 3),
         }
     )
     # Silent-empty-stream guard: a stream over a recorded non-empty

@@ -75,3 +75,79 @@ def test_decoded_stream_feeds_topology_plans(spark):
     words = out.select(F.explode(word_split("value")).alias("word"))
     counts = {r["word"]: r["cnt"] for r in words.groupBy("word").agg(F.count("*").alias("cnt")).collect()}
     assert counts == {"the": 3, "quick": 3, "fox": 3}
+
+
+# --- opt-in live-broker end-to-end (VERDICT r8 next #5) -------------------
+# The one §2.1 surface the sandbox can never execute is the actual
+# readStream.format("kafka").load() against a broker. This test closes
+# that seam WHERE A BROKER EXISTS; in the sandbox it skips cleanly.
+#
+# To run it:
+#   1. have a reachable broker and export KAFKA_BOOTSTRAP=host:9092
+#   2. have kafka-python installed (produces the fixture sentences)
+#   3. launch pytest with the connector on the JVM classpath, e.g.
+#      PYSPARK_SUBMIT_ARGS='--packages org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2 pyspark-shell'
+#      (the shared session fixture builds the JVM once per run, so the
+#      package must be set BEFORE pytest starts, not per-test)
+
+import os
+import uuid
+
+KAFKA_BOOTSTRAP = os.environ.get("KAFKA_BOOTSTRAP")
+
+
+@pytest.mark.skipif(
+    not KAFKA_BOOTSTRAP,
+    reason="live-broker test: export KAFKA_BOOTSTRAP=host:9092 (plus "
+    "kafka-python and the spark-sql-kafka connector; see module tail)",
+)
+def test_wordcount_end_to_end_through_live_broker(spark):
+    """BenchmarkBase.java:61-73 parity, executed for real: produce the
+    fixture sentences to a fresh topic, consume them through
+    kafka_stream (earliest offsets, StringScheme decode), run the
+    WordCount split+count over the stream, and compare to the exact
+    batch counts of what was produced."""
+    kafka = pytest.importorskip(
+        "kafka", reason="kafka-python is required to produce the fixture"
+    )
+
+    from storm_bench_spark.sources.kafka import kafka_stream
+    from storm_bench_spark.streaming.streams import run_to_memory
+
+    sentences = [
+        "the quick brown fox",
+        "the quick fox",
+        "the fox jumps over the lazy dog",
+    ]
+    expect = {}
+    for s in sentences:
+        for w in s.split():
+            expect[w] = expect.get(w, 0) + 1
+
+    topic = f"sbs_live_wc_{uuid.uuid4().hex[:8]}"
+    producer = kafka.KafkaProducer(bootstrap_servers=KAFKA_BOOTSTRAP)
+    for s in sentences:
+        producer.send(topic, s.encode("utf-8"))
+    producer.flush()
+    producer.close()
+
+    try:
+        stream = kafka_stream(spark, topic, KAFKA_BOOTSTRAP)
+    except Exception as e:  # noqa: BLE001 — diagnose the classpath gap loudly
+        if "kafka" in str(e).lower() and "source" in str(e).lower():
+            pytest.fail(
+                "broker configured but the spark-sql-kafka connector is "
+                "not on the JVM classpath — relaunch pytest with "
+                "PYSPARK_SUBMIT_ARGS='--packages "
+                "org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2 "
+                "pyspark-shell'"
+            )
+        raise
+    counts = (
+        stream.select(F.explode(word_split("value")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    out = run_to_memory(counts, output_mode="complete")
+    got = {r["word"]: r["cnt"] for r in out.collect()}
+    assert got == expect
