@@ -271,7 +271,12 @@ def main() -> None:
         # reruns); changing it would break round-over-round deltas.
         spark.catalog.clearCache()
         timings[name] = round(min(samples), 3)
-        spreads[name] = round(max(samples) - min(samples), 3)
+        # dispersion over the WARM encounters only: run 1 pays JIT /
+        # first-plan compilation for this row's code paths, which is
+        # warm-up, not box noise — including it made value_spread ~50%
+        # of the total and the ± band meaninglessly wide
+        warm = samples[1:] if len(samples) > 2 else samples
+        spreads[name] = round(max(warm) - min(warm), 3)
         if floor > 0:
             stream_floor[name] = round(floor, 3)
         print(

@@ -67,7 +67,10 @@ def time_oracles(
             con.execute(sql).fetchall()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(min(samples), 3)
-        spreads[name] = round(max(samples) - min(samples), 3)
+        # warm-runs-only dispersion, mirroring bench.py (run 1 is the
+        # first plan/IO encounter — warm-up, not box noise)
+        warm = samples[1:] if len(samples) > 2 else samples
+        spreads[name] = round(max(warm) - min(warm), 3)
         if verbose:
             print(
                 f"# duck {name}: {timings[name]}s (min of {runs}, "
