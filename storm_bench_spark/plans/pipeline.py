@@ -464,7 +464,22 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     — per-partition top-n then a driver merge of n·P candidates, no
     exchange, no global sort. 100 TB cost = one scan.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return (
+        wsmp_keyed(load_table(spark, sf_dir, "documents"))
+        .orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(_WSMP_N)
+        .select(
+            "doc_id",
+            F.col("wt").cast("bigint").alias("weight"),
+            F.col("k").alias("sort_key"),
+        )
+    )
+
+
+def wsmp_keyed(docs: DataFrame) -> DataFrame:
+    """(doc_id, wt, k) — the A-ES key columns shared by the batch query
+    and its streaming twin (identical expressions ⇒ identical keys ⇒
+    one oracle certifies both)."""
     wt = F.least(F.lit(_WSMP_MAX_W), F.lit(1) + F.expr("n_chars DIV 256"))
     draws = F.transform(
         F.sequence(F.lit(1), F.col("wt")),
@@ -477,16 +492,8 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    return (
-        docs.select("doc_id", wt.alias("wt"))
-        .select("doc_id", "wt", F.array_max(draws).alias("k"))
-        .orderBy(F.desc("k"), F.asc("doc_id"))
-        .limit(_WSMP_N)
-        .select(
-            "doc_id",
-            F.col("wt").cast("bigint").alias("weight"),
-            F.col("k").alias("sort_key"),
-        )
+    return docs.select("doc_id", wt.alias("wt")).select(
+        "doc_id", "wt", F.array_max(draws).alias("k")
     )
 
 

@@ -569,3 +569,55 @@ def streaming_enriched_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
     )
     return run_to_memory(agg, output_mode="complete")
+
+
+# --- streaming weighted sample (bounded top-n state) ----------------------
+
+
+def _wsmp_oracle() -> str:
+    from storm_bench_spark.plans.pipeline import _weighted_sample_oracle
+
+    return _weighted_sample_oracle()
+
+
+@register("streaming_weighted_sample", oracle=_wsmp_oracle())
+@drains_input_bytes_on_error
+def streaming_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``weighted_sample`` maintained CONTINUOUSLY: the A-ES top-n
+    (exact-n weighted sample without replacement, integer-exact keys —
+    see the batch twin's docstring) as streaming state, the operator a
+    100 TB ingest needs to keep "the N best-weighted docs so far"
+    standing at all times. Rows shard by ``k % P`` (keys are
+    hash-uniform, so shards balance); each shard's
+    ``applyInPandasWithState`` keeps its local top-n (state = one
+    bounded 3×n-array row per shard — P·n rows TOTAL at any input
+    volume); the final snapshot merges P·n rows and takes the global
+    top-n in batch. Set-max fold ⇒ the final state is independent of
+    batch boundaries and arrival order, so the BATCH oracle certifies
+    the streaming path exactly (same keys, same (k desc, doc_id)
+    order, same cut).
+    """
+    from pyspark.sql.window import Window
+
+    from storm_bench_spark.plans.pipeline import _WSMP_N, wsmp_keyed
+    from storm_bench_spark.streaming.stateful import topn_state
+    from storm_bench_spark.streaming.streams import run_to_memory, stream_table
+
+    P = 8
+    docs = stream_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    keyed = wsmp_keyed(docs).withColumn("shard", F.col("k") % P)
+    emitted = run_to_memory(topn_state(keyed, _WSMP_N), output_mode="append")
+    # latest emission per shard (seq is the per-shard update counter),
+    # then the global cut over the ≤ P·n merged rows
+    latest = emitted.withColumn(
+        "mx", F.max("seq").over(Window.partitionBy("shard"))
+    ).where(F.col("seq") == F.col("mx"))
+    return (
+        latest.orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(_WSMP_N)
+        .select(
+            "doc_id",
+            F.col("wt").cast("bigint").alias("weight"),
+            F.col("k").alias("sort_key"),
+        )
+    )

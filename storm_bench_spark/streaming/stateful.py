@@ -202,3 +202,82 @@ def bottomk_state(keyed: DataFrame, key_col: str, hash_col: str, k: int) -> Data
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- bounded top-n state (streaming A-ES weighted sample) -----------------
+# State per shard = the n best (k, doc_id, wt) triples seen so far —
+# a set-max fold (associative, commutative, idempotent), so the final
+# state is independent of micro-batch boundaries and arrival order,
+# exactly like the bottom-K sketch above but at the other end of the
+# order. ``seq`` stamps each emission so the final snapshot is read as
+# the LATEST emission per shard (emissions are not row-wise monotone:
+# a better key can evict an earlier top-n member).
+
+TOPN_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("seq", LongType()),
+        StructField("doc_id", LongType()),
+        StructField("wt", LongType()),
+        StructField("k", LongType()),
+    ]
+)
+TOPN_STATE_SCHEMA = StructType(
+    [
+        StructField("ks", ArrayType(LongType())),
+        StructField("ids", ArrayType(LongType())),
+        StructField("wts", ArrayType(LongType())),
+        StructField("seq", LongType()),
+    ]
+)
+
+
+def _make_topn_update(n: int):
+    def _update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            ks, ids, wts, seq = state.get
+            held = list(zip(ks, ids, wts))
+        else:
+            held, seq = [], 0
+        for p in pdfs:
+            held.extend(
+                (int(k), int(d), int(w))
+                for k, d, w in zip(p["k"], p["doc_id"], p["wt"])
+            )
+        # top-n by (k desc, doc_id asc) — the batch query's exact order
+        held.sort(key=lambda t: (-t[0], t[1]))
+        held = held[:n]
+        seq += 1
+        state.update(
+            ([t[0] for t in held], [t[1] for t in held], [t[2] for t in held], seq)
+        )
+        if held:
+            yield pd.DataFrame(
+                {
+                    "shard": [key[0]] * len(held),
+                    "seq": [seq] * len(held),
+                    "doc_id": [t[1] for t in held],
+                    "wt": [t[2] for t in held],
+                    "k": [t[0] for t in held],
+                }
+            )
+
+    return _update
+
+
+def topn_state(keyed: DataFrame, n: int) -> DataFrame:
+    """Bounded top-n keyed state: per ``shard``, the n largest
+    (k, doc_id, wt) rows seen so far (applyInPandasWithState; state =
+    ONE bounded row of three n-length arrays per shard). The sharding
+    is the scale lever: P shards × n rows of state at ANY input
+    volume, P-way parallel updates, and a P·n-row final merge — the
+    streaming spelling of TakeOrderedAndProject."""
+    return keyed.groupBy("shard").applyInPandasWithState(
+        _make_topn_update(n),
+        outputStructType=TOPN_OUTPUT_SCHEMA,
+        stateStructType=TOPN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

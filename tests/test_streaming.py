@@ -531,3 +531,59 @@ def test_stream_table_reads_directory_shaped_tables(spark, tmp_path):
     assert sorted((r["event_type"], r["count"]) for r in out.collect()) == [
         ("a", 1), ("b", 1),
     ]
+
+
+def test_streaming_weighted_sample_multibatch_eviction(spark):
+    """The gated fixture streams in ONE micro-batch, which never
+    exercises the operator's defining behavior: a later batch's better
+    key must EVICT an earlier top-n member from shard state. Split a
+    synthetic corpus into 3 files, force one file per trigger, and
+    require (a) 3 micro-batches actually ran, (b) the final snapshot
+    equals the batch A-ES top-n exactly (set-max fold ⇒ batch-boundary
+    independence)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from storm_bench_spark.plans.pipeline import wsmp_keyed
+    from storm_bench_spark.streaming.stateful import topn_state
+    from storm_bench_spark.streaming.streams import LAST_STREAM_RUNS, run_to_memory
+
+    N = 50
+    docs = spark.range(600).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 1000 + 50).alias("n_chars")
+    )
+    d = tempfile.mkdtemp(prefix="sbs_wsmp_stream_")
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    stream = (
+        spark.readStream.schema("doc_id long, n_chars long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    keyed = wsmp_keyed(stream).withColumn("shard", F.col("k") % 8)
+    emitted = run_to_memory(topn_state(keyed, N), output_mode="append")
+    assert LAST_STREAM_RUNS[-1]["n_batches"] == 3
+    latest = emitted.withColumn(
+        "mx", F.max("seq").over(Window.partitionBy("shard"))
+    ).where(F.col("seq") == F.col("mx"))
+    got = [
+        (r["doc_id"], r["wt"], r["k"])
+        for r in latest.orderBy(F.desc("k"), F.asc("doc_id")).limit(N).collect()
+    ]
+    want = [
+        (r["doc_id"], r["wt"], r["k"])
+        for r in wsmp_keyed(spark.read.parquet(d))
+        .orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(N)
+        .collect()
+    ]
+    assert got == want
+    # and the state really is bounded: no shard's final emission
+    # exceeds N rows
+    per_shard = latest.groupBy("shard").count().collect()
+    assert all(r["count"] <= N for r in per_shard)
