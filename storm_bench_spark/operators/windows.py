@@ -60,6 +60,7 @@ def sliding_agg_twophase(
     partial_aggs: Sequence[Column],
     final_aggs: Sequence[Column],
     sec_col: str = "sec",
+    pre_partition_by_keys: bool = False,
 ) -> DataFrame:
     """Sliding window via tumbling pre-aggregation + bucket combine.
 
@@ -81,6 +82,22 @@ def sliding_agg_twophase(
     if window_sec % slide_sec != 0:
         raise ValueError("window_sec must be a multiple of slide_sec")
     n = window_sec // slide_sec
+    if pre_partition_by_keys and keys:
+        # One-shuffle variant for LOW-compression inputs (round 9):
+        # HashPartitioning(keys) satisfies the clustering requirement
+        # of BOTH downstream groupBys — (bucket, keys) and (ws, keys)
+        # each contain `keys`, and equal-key rows land in one partition
+        # — so a single raw-row exchange replaces the two aggregation
+        # exchanges (the second of which carries the W/S-expanded
+        # bucket rows). The trade is map-side combine: the raw exchange
+        # moves every input row uncombined, so this wins exactly when
+        # phase-1 compression is ~1 (measured on rolling_geo_count at
+        # sf0.1: 94k distinct (bucket, zone) of 100k rows, 0.70 s →
+        # 0.25 s) and LOSES when the tumbling pre-agg collapses rows
+        # heavily (wordcount-class inputs, where the default plan's
+        # first exchange ships only the combined bucket rows). Caller
+        # picks per input shape; results are identical either way.
+        df = df.repartition(*[F.col(k) for k in keys])
     bucket = (F.col(sec_col) - (F.col(sec_col) % slide_sec)).cast("long")
     pre = df.groupBy(bucket.alias("_bucket"), *[F.col(k) for k in keys]).agg(
         *partial_aggs

@@ -81,15 +81,18 @@ def _ensure_loaded() -> None:
 # the shared run_to_memory, which gained wall/processing/floor timing
 # in its per-run diagnostics (VERDICT r8 next #4) — the 16 streaming
 # twins + streaming_kmv_sketch + streaming_histogram_quantiles. That
-# is 22 touched rows (the late addition streaming_weighted_sample —
-# the A-ES sample as bounded P·n top-n state, query #166 — joins the
-# touched block and displaces the 6th r4 filler, scd2_customer_history,
-# to position 51); the remaining 28 slots continue the staleness
-# rotation (VERDICT r8 next #6): rolling_hashtag_count (the single
-# r2-latest row — rotated out at r8 and now the oldest gated row in
-# the registry), the full 22-row r3 cohort (relational/multimodal/
-# library-op rows last driver-gated in round 3), and the 5 oldest
-# r4 rows — unique_visitor_approx first among them (the VERDICT r8
+# is 23 touched rows (two late additions: streaming_weighted_sample —
+# the A-ES sample as bounded P·n top-n state, query #166 — and
+# rolling_geo_count, whose plan gained the one-shuffle
+# pre-partitioned spelling of sliding_agg_twophase; together they
+# displace the 5th/6th r4 fillers, gap_fill_hourly and
+# scd2_customer_history, to positions 51–52); the remaining 27 slots
+# continue the staleness rotation (VERDICT r8 next #6):
+# rolling_hashtag_count (the single r2-latest row — rotated out at r8
+# and now the oldest gated row in the registry), the full 22-row r3
+# cohort (relational/multimodal/library-op rows last driver-gated in
+# round 3), and the 4 oldest r4 rows — unique_visitor_approx first
+# among them (the VERDICT r8
 # regression suspect: idle-box re-time confirmed box noise; a fresh
 # driver gate pins its correctness alongside the r9 bench row).
 # Every row rotated OUT is r8-green with code untouched this round
@@ -100,6 +103,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "ann_recall_at_k",
     "weighted_sample",
     "streaming_weighted_sample",
+    "rolling_geo_count",
     "streaming_kmv_sketch",
     "streaming_histogram_quantiles",
     "streaming_heavy_hitters",
@@ -157,7 +161,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "wordcount",
     "grep",
     "rolling_count",
-    "rolling_geo_count",
     "rolling_sort",
     "sol",
     "pageview_count",
