@@ -172,6 +172,12 @@ HEADLINE = [
     "contamination_score",
     # round 9: exact-n weighted sampling (A-ES via max-of-w-uniforms)
     "weighted_sample",
+    # round 9, late: bitmap-index exact distinct (batch + streaming
+    # fixed-size-state twin), single-agg OHLC bars, Z-order layout audit
+    "bitmap_distinct_daily",
+    "streaming_bitmap_visitors",
+    "tumbling_ohlc",
+    "zorder_layout",
     "streaming_heavy_hitters",
     "lsh_recall_pairs",
     "events_cube",
