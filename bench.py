@@ -176,6 +176,7 @@ HEADLINE = [
     # fixed-size-state twin), single-agg OHLC bars, Z-order layout audit
     "bitmap_distinct_daily",
     "streaming_bitmap_visitors",
+    "bitmap_retention_daily",
     "tumbling_ohlc",
     "zorder_layout",
     "streaming_heavy_hitters",

@@ -143,6 +143,47 @@ def streaming_bitmap_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bitmap_popcount(snap, ["day"])
 
 
+_BITMAP_RETENTION_ORACLE = f"""
+WITH es AS ({D.EVENTS_SEC_SQL}),
+d AS (SELECT DISTINCT sec // 86400 AS day, user_id FROM es)
+SELECT a.day, count(*) AS n_retained
+FROM d a JOIN d b ON a.user_id = b.user_id AND b.day = a.day + 1
+GROUP BY a.day
+"""
+
+
+@register("bitmap_retention_daily", oracle=_BITMAP_RETENTION_ORACLE)
+def bitmap_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retained users (active on day d AND d+1) as bitmap
+    set algebra: intersect = ``bm & bm_next``, cardinality = popcount.
+    The expensive spelling is a distinct self-join on user_id (the
+    oracle — |users| rows per day on each side); the bitmap spelling
+    joins ≤ |users|/63 words per day-pair on (day, blk) and never
+    shuffles an id twice. This is why warehouses keep bitmap indexes:
+    set intersection/union/difference become word-wise AND/OR/ANDNOT on
+    the partials ``bitmap_distinct_daily`` already maintains. Days with
+    overlapping blocks but no common users popcount to 0 and are
+    filtered, matching the oracle's inner join exactly.
+    """
+    es = D.events_sec(spark, sf_dir).select(
+        F.expr("sec div 86400").alias("day"), "user_id"
+    )
+    blocks = _bitmap_blocks(es, ["day"], "user_id")
+    nxt = blocks.select(
+        (F.col("day") - 1).alias("day"), "blk", F.col("bm").alias("bm_next")
+    )
+    return (
+        blocks.join(nxt, ["day", "blk"])
+        .groupBy("day")
+        .agg(
+            F.sum(F.bit_count(F.col("bm").bitwiseAND(F.col("bm_next")))).alias(
+                "n_retained"
+            )
+        )
+        .where(F.col("n_retained") > 0)
+    )
+
+
 # ord packs the (sec, event_id) tie-break into one BIGINT so DuckDB's
 # scalar-keyed min_by/max_by replays Spark's exactly. Headroom: sec is
 # epoch seconds (< 2^31), so sec·10⁹ < 2^61; event_id must stay < 10⁹

@@ -32,6 +32,36 @@ def test_bitmap_distinct_exact_across_block_boundary(spark):
     assert out[0]["n_users"] == len(set(ids))
 
 
+def test_bitmap_retention_and_popcount(spark):
+    # day 0: users {1, 2, 100}; day 1: users {2, 100, 101}; day 2: {63}
+    # retained day 0 → {2, 100} = 2. Day 1 → day 2 shares NO user but
+    # block 1 exists on both sides (100/101 vs 63): the AND popcounts
+    # to 0 and the row must be filtered, matching the oracle's inner
+    # join. Exercises multi-block days + the zero-intersection filter.
+    rows = [(0, 1), (0, 2), (0, 100), (1, 2), (1, 100), (1, 101), (2, 63)]
+    df = spark.createDataFrame(rows, "day bigint, user_id bigint")
+    from storm_bench_spark.plans.layout_ops import _bitmap_blocks
+    from pyspark.sql import functions as FF
+
+    blocks = _bitmap_blocks(df, ["day"], "user_id")
+    nxt = blocks.select(
+        (FF.col("day") - 1).alias("day"), "blk", FF.col("bm").alias("bm_next")
+    )
+    out = (
+        blocks.join(nxt, ["day", "blk"])
+        .groupBy("day")
+        .agg(
+            FF.sum(FF.bit_count(FF.col("bm").bitwiseAND(FF.col("bm_next")))).alias(
+                "n_retained"
+            )
+        )
+        .where(FF.col("n_retained") > 0)
+        .collect()
+    )
+    got = {r["day"]: r["n_retained"] for r in out}
+    assert got == {0: 2}
+
+
 def test_bitmap_block_math_uses_63_bits():
     # id = 62 must land in block 0 at bit 62; id = 63 in block 1 bit 0.
     assert 62 // BITMAP_BLOCK_BITS == 0 and 62 % BITMAP_BLOCK_BITS == 62
