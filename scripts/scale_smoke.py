@@ -142,6 +142,17 @@ QUERIES = [
     # space is R-invariant: this smoke measures the scan + map-side
     # dedup growth (the dominant term at scale — sketch state is fixed)
     "kmv_distinct_users",
+    # round 9, late: bitmap distinct/retention share kmv's R-invariant
+    # user_id space — the smoke measures scan + map-side bit_or growth
+    # while the shuffled bitmap stays fixed-size; tumbling_ohlc is one
+    # map-side-combined keyed agg (bars grow with replicated event
+    # time? no — ts is R-invariant, so group count is fixed and only
+    # the scan grows); zorder_layout is a narrow projection + 64-group
+    # agg, the flattest shape after pii_scrub
+    "bitmap_distinct_daily",
+    "bitmap_retention_daily",
+    "tumbling_ohlc",
+    "zorder_layout",
 ]
 
 EMB_DIM_SMOKE = 64
