@@ -178,6 +178,7 @@ HEADLINE = [
     "streaming_bitmap_visitors",
     "bitmap_retention_daily",
     "tumbling_ohlc",
+    "streaming_tumbling_ohlc",
     "zorder_layout",
     "streaming_heavy_hitters",
     "lsh_recall_pairs",

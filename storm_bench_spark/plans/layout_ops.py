@@ -234,6 +234,45 @@ def tumbling_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_tumbling_ohlc", oracle=_OHLC_ORACLE)
+@drains_input_bytes_on_error
+def streaming_tumbling_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``tumbling_ohlc`` through the streaming engine: every bar field
+    is an incrementally-mergeable aggregate — min/max/count merge
+    trivially, the decimal volume sum is associative, and min_by/max_by
+    on the packed order key merge by keeping the arg of the winning
+    key — so the state store holds exactly one bar row per
+    (event_type, hour), updated in place per micro-batch. No
+    event-time window machinery is needed: the tumbling bucket is a
+    grouping COLUMN (hr = sec div 3600), which is what makes the bar
+    table a plain streaming aggregation with bounded state. Identical
+    final state ⇒ the batch OHLC oracle verifies the streaming path.
+    """
+    from storm_bench_spark.streaming.streams import run_to_memory, stream_table
+
+    e = stream_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("long").alias("sec"),
+        "value",
+        "event_id",
+    )
+    b = e.select(
+        "event_type",
+        F.expr("sec div 3600").alias("hr"),
+        "value",
+        F.expr(_OHLC_ORD).alias("ord"),
+    )
+    bars = b.groupBy("event_type", "hr").agg(
+        F.min_by("value", "ord").alias("open_v"),
+        F.max("value").alias("high_v"),
+        F.min("value").alias("low_v"),
+        F.max_by("value", "ord").alias("close_v"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("volume"),
+    )
+    return run_to_memory(bars, output_mode="complete")
+
+
 # z-bucket = top 6 bits of the 32-bit z-value → 64 fixed, deterministic
 # ranges (repartitionByRange would sample non-deterministically; the
 # audit must be bit-replayable).

@@ -100,20 +100,22 @@ def _ensure_loaded() -> None:
 # and stays covered by the per-pytest sf0.001 all-oracle sweep plus
 # the repo-side sf0.01 full-registry replay (COVERAGE.md).
 #
-# LATE ROUND-9 ADDITIONS (queries #167–171, plans/layout_ops.py):
+# LATE ROUND-9 ADDITIONS (queries #167–172, plans/layout_ops.py):
 # bitmap_distinct_daily + streaming_bitmap_visitors (exact mergeable
 # bitmap-index distinct, batch + fixed-size-state streaming twin),
 # bitmap_retention_daily (retention as bitmap AND + popcount),
-# tumbling_ohlc (single-agg OHLC bars via min_by/max_by on a packed
-# order key), zorder_layout (Morton clustering audit). NEW code must
-# sit in the window, so they displace the 5 lowest-priority staleness
-# fillers — rolling_latlong, ann_topk_ivf_kmeans,
-# asof_click_purchase_tol (the r4 fillers) and users_union +
-# users_intersect (two r3 cohort rows) — to positions 51–55; all five
-# are r≤8-green with code untouched this round, stay covered by the
-# per-pytest sweep, and roll into the r10 staleness window with the
-# rest of the r4/r5 cohorts. unique_visitor_approx deliberately KEEPS
-# its slot (the VERDICT r8 #2 re-gate promise).
+# tumbling_ohlc + streaming_tumbling_ohlc (single-agg OHLC bars via
+# min_by/max_by on a packed order key; the streaming twin holds one
+# bar row per key in state), zorder_layout (Morton clustering audit).
+# NEW code must sit in the window, so they displace the 6
+# lowest-priority staleness fillers — rolling_latlong,
+# ann_topk_ivf_kmeans, asof_click_purchase_tol (the r4 fillers) and
+# interval_click_error + users_intersect + users_union (three r3
+# cohort rows) — to positions 51–56; all six are r≤8-green with code
+# untouched this round, stay covered by the per-pytest sweep, and
+# roll into the r10 staleness window with the rest of the r4/r5
+# cohorts. unique_visitor_approx deliberately KEEPS its slot (the
+# VERDICT r8 #2 re-gate promise).
 _GATE_PRIORITY: tuple[str, ...] = (
     "kmv_resemblance",
     "ann_recall_at_k",
@@ -123,6 +125,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "streaming_bitmap_visitors",
     "bitmap_retention_daily",
     "tumbling_ohlc",
+    "streaming_tumbling_ohlc",
     "zorder_layout",
     "rolling_geo_count",
     "streaming_kmv_sketch",
@@ -163,9 +166,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "one_per_key",
     "print_passthrough",
     "adsb_parse",
-    "interval_click_error",
     "unique_visitor_approx",
     # --- window boundary (first 50 above) ---
+    "interval_click_error",
     "users_intersect",
     "users_union",
     "rolling_latlong",

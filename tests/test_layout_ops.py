@@ -124,6 +124,61 @@ def test_morton_three_renderings_agree(spark):
     assert [got_spark[c] for c in cases] == expected
 
 
+def test_zorder_write_prunes_on_both_dims(spark, tmp_path):
+    # The production claim behind zorder_layout: writing z-sorted makes
+    # per-file min/max stats tight in BOTH dims, so a filter on EITHER
+    # column skips most files; a single-column sort prunes one dim
+    # only. Proven here from the actual parquet footers: a uniform
+    # 64×64 grid (scaled to the 16-bit domain) is written 16-ways (a)
+    # z-range-sorted and (b) y-then-x sorted, and the files overlapping
+    # the predicate x < 1024 are counted from their stats.
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    n = 64
+    grid = spark.range(n * n).selectExpr(
+        f"CAST((id % {n}) * 1024 AS BIGINT) AS x",
+        f"CAST((id DIV {n}) * 1024 AS BIGINT) AS y",
+    )
+    z = grid.withColumn("z", morton32(F.col("x"), F.col("y")))
+    zdir = str(tmp_path / "zsorted")
+    ydir = str(tmp_path / "ysorted")
+    z.repartitionByRange(16, "z").sortWithinPartitions("z").write.mode(
+        "overwrite"
+    ).parquet(zdir)
+    z.repartitionByRange(16, "y", "x").sortWithinPartitions("y", "x").write.mode(
+        "overwrite"
+    ).parquet(ydir)
+
+    def file_ranges(d, col):
+        out = []
+        for f in pathlib.Path(d).glob("part-*.parquet"):
+            md = pq.ParquetFile(str(f)).metadata
+            idx = md.schema.names.index(col)
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if lo is not None:
+                out.append((lo, hi))
+        return out
+
+    def overlapping(ranges, cut):
+        return sum(1 for lo, _ in ranges if lo < cut)
+
+    zx, yx = file_ranges(zdir, "x"), file_ranges(ydir, "x")
+    assert len(zx) >= 8 and len(yx) >= 8  # real multi-file layouts
+    # x < 1024 touches one grid column: z-layout must skip most files,
+    # the y-sorted layout cannot skip any (every file spans all of x).
+    assert overlapping(zx, 1024) <= len(zx) // 2
+    assert overlapping(yx, 1024) == len(yx)
+    # and the z-layout still prunes on y like the y-sort does
+    zy = file_ranges(zdir, "y")
+    assert overlapping(zy, 1024) <= len(zy) // 2
+
+
 def test_morton_interleave_is_bijective_on_low_bits():
     # distinct (x, y) pairs → distinct z (the curve is a bijection on
     # the masked domain — the property file-skipping relies on).
