@@ -141,13 +141,12 @@ def test_zorder_write_prunes_on_both_dims(spark, tmp_path):
         f"CAST((id % {n}) * 1024 AS BIGINT) AS x",
         f"CAST((id DIV {n}) * 1024 AS BIGINT) AS y",
     )
-    z = grid.withColumn("z", morton32(F.col("x"), F.col("y")))
+    from storm_bench_spark.sources.sinks import write_zordered
+
     zdir = str(tmp_path / "zsorted")
     ydir = str(tmp_path / "ysorted")
-    z.repartitionByRange(16, "z").sortWithinPartitions("z").write.mode(
-        "overwrite"
-    ).parquet(zdir)
-    z.repartitionByRange(16, "y", "x").sortWithinPartitions("y", "x").write.mode(
+    write_zordered(grid, zdir, ["x", "y"], n_files=16)
+    grid.repartitionByRange(16, "y", "x").sortWithinPartitions("y", "x").write.mode(
         "overwrite"
     ).parquet(ydir)
 
