@@ -177,6 +177,7 @@ HEADLINE = [
     "bitmap_distinct_daily",
     "streaming_bitmap_visitors",
     "bitmap_retention_daily",
+    "bitmap_distinct_weekly_rollup",
     "tumbling_ohlc",
     "streaming_tumbling_ohlc",
     "zorder_layout",

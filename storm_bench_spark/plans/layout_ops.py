@@ -143,6 +143,39 @@ def streaming_bitmap_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bitmap_popcount(snap, ["day"])
 
 
+_BITMAP_WEEKLY_ORACLE = f"""
+WITH es AS ({D.EVENTS_SEC_SQL})
+SELECT (sec // 86400) // 7 AS week, count(DISTINCT user_id) AS n_users
+FROM es GROUP BY 1
+"""
+
+
+@register("bitmap_distinct_weekly_rollup", oracle=_BITMAP_WEEKLY_ORACLE)
+def bitmap_distinct_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly exact distinct users computed by ROLLING UP the daily
+    bitmap partials — never re-touching raw rows. Plain count-distinct
+    partials cannot re-aggregate (a user active on two days would
+    double-count), which is why warehouses re-scan raw data for every
+    grain; bitmap partials merge losslessly (OR is idempotent), so the
+    weekly number is ``popcount(OR of the week's daily bitmaps)``.
+    This is ``multires_rollup``'s coarse-from-fine pattern extended to
+    the one aggregate it normally excludes. Plan: the daily (day, blk)
+    partial, a second ``bit_or`` keyed on (week, blk) — word-sized
+    input, not row-sized — then popcount. The oracle is the from-raw
+    count(DISTINCT) per week, certifying the rollup is lossless.
+    """
+    es = D.events_sec(spark, sf_dir).select(
+        F.expr("sec div 86400").alias("day"), "user_id"
+    )
+    daily = _bitmap_blocks(es, ["day"], "user_id")
+    weekly = (
+        daily.select(F.expr("day div 7").alias("week"), "blk", "bm")
+        .groupBy("week", "blk")
+        .agg(F.bit_or("bm").alias("bm"))
+    )
+    return _bitmap_popcount(weekly, ["week"])
+
+
 _BITMAP_RETENTION_ORACLE = f"""
 WITH es AS ({D.EVENTS_SEC_SQL}),
 d AS (SELECT DISTINCT sec // 86400 AS day, user_id FROM es)

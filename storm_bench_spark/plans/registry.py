@@ -100,22 +100,24 @@ def _ensure_loaded() -> None:
 # and stays covered by the per-pytest sf0.001 all-oracle sweep plus
 # the repo-side sf0.01 full-registry replay (COVERAGE.md).
 #
-# LATE ROUND-9 ADDITIONS (queries #167–172, plans/layout_ops.py):
+# LATE ROUND-9 ADDITIONS (queries #167–173, plans/layout_ops.py):
 # bitmap_distinct_daily + streaming_bitmap_visitors (exact mergeable
 # bitmap-index distinct, batch + fixed-size-state streaming twin),
 # bitmap_retention_daily (retention as bitmap AND + popcount),
-# tumbling_ohlc + streaming_tumbling_ohlc (single-agg OHLC bars via
-# min_by/max_by on a packed order key; the streaming twin holds one
-# bar row per key in state), zorder_layout (Morton clustering audit).
-# NEW code must sit in the window, so they displace the 6
-# lowest-priority staleness fillers — rolling_latlong,
+# bitmap_distinct_weekly_rollup (exact distinct ROLLS UP from daily
+# bitmap partials — the aggregate plain count-distinct partials can't
+# re-aggregate), tumbling_ohlc + streaming_tumbling_ohlc (single-agg
+# OHLC bars via min_by/max_by on a packed order key; the streaming
+# twin holds one bar row per key in state), zorder_layout (Morton
+# clustering audit). NEW code must sit in the window, so they
+# displace the 7 lowest-priority staleness fillers — rolling_latlong,
 # ann_topk_ivf_kmeans, asof_click_purchase_tol (the r4 fillers) and
-# interval_click_error + users_intersect + users_union (three r3
-# cohort rows) — to positions 51–56; all six are r≤8-green with code
-# untouched this round, stay covered by the per-pytest sweep, and
-# roll into the r10 staleness window with the rest of the r4/r5
-# cohorts. unique_visitor_approx deliberately KEEPS its slot (the
-# VERDICT r8 #2 re-gate promise).
+# users_except + interval_click_error + users_intersect + users_union
+# (four r3 cohort rows) — to positions 51–57; all seven are r≤8-green
+# with code untouched this round, stay covered by the per-pytest
+# sweep, and roll into the r10 staleness window with the rest of the
+# r4/r5 cohorts. unique_visitor_approx deliberately KEEPS its slot
+# (the VERDICT r8 #2 re-gate promise).
 _GATE_PRIORITY: tuple[str, ...] = (
     "kmv_resemblance",
     "ann_recall_at_k",
@@ -124,6 +126,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "bitmap_distinct_daily",
     "streaming_bitmap_visitors",
     "bitmap_retention_daily",
+    "bitmap_distinct_weekly_rollup",
     "tumbling_ohlc",
     "streaming_tumbling_ohlc",
     "zorder_layout",
@@ -150,7 +153,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "orders_rollup",
     "user_running_value",
     "value_percentiles",
-    "users_except",
     "asof_click_purchase",
     "multimodal_features",
     "multimodal_audio_meta",
@@ -168,6 +170,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "adsb_parse",
     "unique_visitor_approx",
     # --- window boundary (first 50 above) ---
+    "users_except",
     "interval_click_error",
     "users_intersect",
     "users_union",

@@ -414,3 +414,69 @@ def test_hash64_matches_python_and_duckdb(spark, duck, strings):
             "SELECT " + hash64_sql("?"), [s]
         ).fetchone()
         assert dh == h, s
+
+
+# ---------------------------------------------------------------------------
+# Morton interleave (functions/zorder.py): Spark column == Python
+# reference on random 16-bit pairs, and the curve is order-consistent
+# with the bit-interleave definition (bijective on the masked domain).
+
+_xy_pairs = st.lists(
+    st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_xy_pairs)
+def test_morton_spark_matches_python(spark, pairs):
+    from storm_bench_spark.functions.zorder import morton32, morton32_py
+
+    df = spark.createDataFrame(
+        [Row(i=i, x=x, y=y) for i, (x, y) in enumerate(pairs)],
+        schema="i long, x long, y long",
+    )
+    got = {
+        r.i: r.z
+        for r in df.select(
+            "i", morton32(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    }
+    for i, (x, y) in enumerate(pairs):
+        assert got[i] == morton32_py(x, y), (x, y)
+        assert 0 <= got[i] < (1 << 32)
+
+
+# ---------------------------------------------------------------------------
+# Bitmap-block distinct (plans/layout_ops.py): popcount of bit_or'd
+# 63-bit blocks == exact distinct count, on random multisets of ids
+# chosen to straddle block boundaries.
+
+_id_lists = st.lists(
+    st.integers(0, 1000).flatmap(
+        lambda base: st.integers(max(0, base * 63 - 2), base * 63 + 2)
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_id_lists, st.integers(1, 3))
+def test_bitmap_distinct_matches_set(spark, ids, n_groups):
+    from storm_bench_spark.plans.layout_ops import (
+        _bitmap_blocks,
+        _bitmap_popcount,
+    )
+
+    rows = [Row(g=i % n_groups, user_id=v) for i, v in enumerate(ids)]
+    df = spark.createDataFrame(rows, schema="g long, user_id long")
+    got = {
+        r.g: r.n_users
+        for r in _bitmap_popcount(_bitmap_blocks(df, ["g"], "user_id"), ["g"]).collect()
+    }
+    want: dict[int, set] = {}
+    for i, v in enumerate(ids):
+        want.setdefault(i % n_groups, set()).add(v)
+    assert got == {g: len(s) for g, s in want.items()}
