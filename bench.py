@@ -294,6 +294,13 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # box-state gauge at Spark-leg END too (added after the 2026-08-15
+    # evening pairs: churn that ARRIVES mid-leg passes a start-only
+    # gate — pair 20:47 printed 1.226× with drift 0.126 because the
+    # probe ran before the other tenant did; four probes make the gate
+    # see within-leg drift)
+    probe_spark_end = box_probe()
+
     total = round(sum(timings.values()), 3)
     # Full per-query detail goes to a FILE; stdout ends with a compact
     # line that fits the driver's 2 KB stdout-tail capture (at 103
@@ -362,8 +369,11 @@ def main() -> None:
             )
             drift = None
             if probes and probes.get("spark_leg") and probes.get("duck_leg"):
-                a, b = probes["spark_leg"], probes["duck_leg"]
-                drift = round(abs(a - b) / min(a, b), 3)
+                # max pairwise drift over EVERY probe taken (leg
+                # starts AND ends): the gate must see churn that
+                # arrives mid-leg, not only churn present at starts
+                vals = [v for v in probes.values() if v]
+                drift = round((max(vals) - min(vals)) / min(vals), 3)
             if drift is not None and drift > PROBE_DRIFT_MAX:
                 # box state moved mid-pair: a ratio would attribute the
                 # drift to code — refuse it, keep the raw totals
@@ -383,7 +393,12 @@ def main() -> None:
                 )
         print(json.dumps(out), flush=True)
 
-    probes = {"spark_leg": probe_spark, "duck_leg": None}
+    probes = {
+        "spark_leg": probe_spark,
+        "spark_leg_end": probe_spark_end,
+        "duck_leg": None,
+        "duck_leg_end": None,
+    }
     _emit(probes=probes)
     if os.environ.get("SPARK_GRAFT_DUCK", "1") != "0":
         spark.stop()  # free the JVM's memory before DuckDB materializes
@@ -391,6 +406,7 @@ def main() -> None:
 
         probes["duck_leg"] = box_probe()
         duck_timings, duck_spreads = time_oracles(sf_dir, HEADLINE, runs)
+        probes["duck_leg_end"] = box_probe()
         write_detail(duck_timings, sf, runs, pair_id=pair_id,
                      spreads=duck_spreads, probe=probes["duck_leg"])
         _emit(round(sum(duck_timings.values()), 3),
