@@ -170,8 +170,10 @@ HEADLINE = [
     # round 5, late: hybrid retrieval + graded contamination + CMS twin
     "rrf_hybrid_rank",
     "contamination_score",
-    # round 9: exact-n weighted sampling (A-ES via max-of-w-uniforms)
+    # round 9: exact-n weighted sampling (A-ES via max-of-w-uniforms),
+    # global and stratified-per-source (WindowGroupLimit grouped top-n)
     "weighted_sample",
+    "weighted_sample_per_source",
     # round 9, late: bitmap-index exact distinct (batch + streaming
     # fixed-size-state twin), single-agg OHLC bars, Z-order layout audit
     "bitmap_distinct_daily",

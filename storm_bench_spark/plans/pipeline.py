@@ -476,10 +476,11 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def wsmp_keyed(docs: DataFrame) -> DataFrame:
-    """(doc_id, wt, k) — the A-ES key columns shared by the batch query
-    and its streaming twin (identical expressions ⇒ identical keys ⇒
-    one oracle certifies both)."""
+def wsmp_keyed(docs: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id[, extra...], wt, k) — the A-ES key columns shared by the
+    batch query, its streaming twin, and the per-source variant
+    (identical expressions ⇒ identical keys ⇒ one key spec certified by
+    every oracle that consumes it)."""
     wt = F.least(F.lit(_WSMP_MAX_W), F.lit(1) + F.expr("n_chars DIV 256"))
     draws = F.transform(
         F.sequence(F.lit(1), F.col("wt")),
@@ -492,8 +493,75 @@ def wsmp_keyed(docs: DataFrame) -> DataFrame:
             )
         ),
     )
-    return docs.select("doc_id", wt.alias("wt")).select(
-        "doc_id", "wt", F.array_max(draws).alias("k")
+    return docs.select("doc_id", *extra_cols, wt.alias("wt")).select(
+        "doc_id", *extra_cols, "wt", F.array_max(draws).alias("k")
+    )
+
+
+_WSMP_PER_SOURCE_N = 20
+
+
+def _weighted_sample_per_source_oracle() -> str:
+    h = hash64_sql(
+        "concat('wsmp:', CAST(doc_id AS VARCHAR), ':', CAST(j AS VARCHAR))"
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, source, least({_WSMP_MAX_W}, 1 + n_chars // 256) AS wt
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, source, wt,
+         list_max(list_transform(range(1, wt + 1), j -> {h})) AS k
+  FROM w
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY k DESC, doc_id ASC
+  ) AS rk FROM keyed
+)
+SELECT source, doc_id, CAST(wt AS BIGINT) AS weight, k AS sort_key,
+       CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_WSMP_PER_SOURCE_N}
+"""
+
+
+@register(
+    "weighted_sample_per_source", oracle=_weighted_sample_per_source_oracle()
+)
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``weighted_sample`` stratified: exactly n docs PER SOURCE,
+    probability proportional to the same capped-length weight — the
+    primitive behind per-domain mixture sampling ("pick the best N of
+    each domain, quality-weighted"), where the global sampler would
+    let one large domain swallow the budget. Same integer-exact A-ES
+    keys (max of w hash64 draws), same one-scan key computation.
+
+    Shape at scale: the grouped top-n is a rank window over the source
+    partition, which Spark compiles with ``WindowGroupLimit`` — each
+    map task keeps only its local top-n PER SOURCE before the
+    exchange, so the shuffle carries ≤ n·P rows per source, not the
+    corpus (the grouped analog of the global sampler's
+    TakeOrderedAndProject). ``domain_mix_sample`` draws a hash-gated
+    FRACTION per domain; this draws an exact COUNT — the two sampling
+    contracts a mixture builder needs.
+    """
+    from pyspark.sql.window import Window
+
+    keyed = wsmp_keyed(
+        load_table(spark, sf_dir, "documents"), extra_cols=("source",)
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("k"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _WSMP_PER_SOURCE_N)
+        .select(
+            "source",
+            "doc_id",
+            F.col("wt").cast("bigint").alias("weight"),
+            F.col("k").alias("sort_key"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
     )
 
 

@@ -109,11 +109,14 @@ def _ensure_loaded() -> None:
 # re-aggregate), tumbling_ohlc + streaming_tumbling_ohlc (single-agg
 # OHLC bars via min_by/max_by on a packed order key; the streaming
 # twin holds one bar row per key in state), zorder_layout (Morton
-# clustering audit). NEW code must sit in the window, so they
-# displace the 7 lowest-priority staleness fillers — rolling_latlong,
-# ann_topk_ivf_kmeans, asof_click_purchase_tol (the r4 fillers) and
+# clustering audit). An eighth addition closed the session:
+# weighted_sample_per_source (#174 — the stratified exact-n A-ES
+# sampler; WindowGroupLimit grouped top-n). NEW code must sit in the
+# window, so the eight displace the 8 lowest-priority staleness
+# fillers — rolling_latlong, ann_topk_ivf_kmeans,
+# asof_click_purchase_tol (the r4 fillers) and print_passthrough +
 # users_except + interval_click_error + users_intersect + users_union
-# (four r3 cohort rows) — to positions 51–57; all seven are r≤8-green
+# (five r3 cohort rows) — to positions 51–58; all eight are r≤8-green
 # with code untouched this round, stay covered by the per-pytest
 # sweep, and roll into the r10 staleness window with the rest of the
 # r4/r5 cohorts. unique_visitor_approx deliberately KEEPS its slot
@@ -123,6 +126,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "ann_recall_at_k",
     "weighted_sample",
     "streaming_weighted_sample",
+    "weighted_sample_per_source",
     "bitmap_distinct_daily",
     "streaming_bitmap_visitors",
     "bitmap_retention_daily",
@@ -166,10 +170,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "pageview_extract",
     "expand_words",
     "one_per_key",
-    "print_passthrough",
     "adsb_parse",
     "unique_visitor_approx",
     # --- window boundary (first 50 above) ---
+    "print_passthrough",
     "users_except",
     "interval_click_error",
     "users_intersect",
