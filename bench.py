@@ -136,6 +136,7 @@ HEADLINE = [
     # 5th sketch family: rank/quantile via mergeable histogram, and
     # KMV set-resemblance from sketches alone (round 8)
     "histogram_quantiles",
+    "histogram_quantiles_rollup",
     "kmv_resemblance",
     "fuzzy_name_pairs",
     "salted_segment_revenue",

@@ -109,18 +109,21 @@ def _ensure_loaded() -> None:
 # re-aggregate), tumbling_ohlc + streaming_tumbling_ohlc (single-agg
 # OHLC bars via min_by/max_by on a packed order key; the streaming
 # twin holds one bar row per key in state), zorder_layout (Morton
-# clustering audit). An eighth addition closed the session:
+# clustering audit). Two more additions closed the session:
 # weighted_sample_per_source (#174 — the stratified exact-n A-ES
-# sampler; WindowGroupLimit grouped top-n). NEW code must sit in the
-# window, so the eight displace the 8 lowest-priority staleness
-# fillers — rolling_latlong, ann_topk_ivf_kmeans,
-# asof_click_purchase_tol (the r4 fillers) and print_passthrough +
-# users_except + interval_click_error + users_intersect + users_union
-# (five r3 cohort rows) — to positions 51–58; all eight are r≤8-green
-# with code untouched this round, stay covered by the per-pytest
-# sweep, and roll into the r10 staleness window with the rest of the
-# r4/r5 cohorts. unique_visitor_approx deliberately KEEPS its slot
-# (the VERDICT r8 #2 re-gate promise).
+# sampler; WindowGroupLimit grouped top-n) and
+# histogram_quantiles_rollup (#175 — weekly quantiles merged from the
+# daily histogram cell partials, oracle computed from raw: the
+# lossless-merge certification for the rank/quantile sketch family).
+# NEW code must sit in the window, so the nine displace the 9
+# lowest-priority staleness fillers — rolling_latlong,
+# ann_topk_ivf_kmeans, asof_click_purchase_tol (the r4 fillers) and
+# adsb_parse + print_passthrough + users_except + interval_click_error
+# + users_intersect + users_union (six r3 cohort rows) — to positions
+# 51–59; all nine are r≤8-green with code untouched this round, stay
+# covered by the per-pytest sweep, and roll into the r10 staleness
+# window with the rest of the r4/r5 cohorts. unique_visitor_approx
+# deliberately KEEPS its slot (the VERDICT r8 #2 re-gate promise).
 _GATE_PRIORITY: tuple[str, ...] = (
     "kmv_resemblance",
     "ann_recall_at_k",
@@ -131,6 +134,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "streaming_bitmap_visitors",
     "bitmap_retention_daily",
     "bitmap_distinct_weekly_rollup",
+    "histogram_quantiles_rollup",
     "tumbling_ohlc",
     "streaming_tumbling_ohlc",
     "zorder_layout",
@@ -170,9 +174,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "pageview_extract",
     "expand_words",
     "one_per_key",
-    "adsb_parse",
     "unique_visitor_approx",
     # --- window boundary (first 50 above) ---
+    "adsb_parse",
     "print_passthrough",
     "users_except",
     "interval_click_error",

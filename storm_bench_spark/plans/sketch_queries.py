@@ -708,6 +708,134 @@ def streaming_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
     return out
 
 
+def _hist_rollup_oracle() -> str:
+    """Weekly quantiles computed FROM RAW at week grain — the oracle
+    never sees the daily intermediate, so a gate match proves the
+    daily→weekly cell rollup is lossless."""
+    B = N_HIST_BINS
+    per_q = []
+    for label, q in _HIST_QS:
+        per_q.append(f"""
+SELECT week, '{label}' AS q,
+       round(mn + (mx - mn) * CAST(min(bin) AS DOUBLE) / {B}e0, 6) AS est,
+       CAST(min(n_rows) AS BIGINT) AS n_rows,
+       round((mx - mn) / {B}e0, 6) AS err_bound
+FROM cum WHERE c >= {q} * n_rows
+GROUP BY week, mn, mx""")
+    union = " UNION ALL ".join(per_q)
+    return f"""
+WITH v AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) // 7 AS week, value
+  FROM events WHERE value IS NOT NULL
+),
+bounds AS (SELECT min(value) AS mn, max(value) AS mx FROM v),
+binned AS (
+  SELECT week,
+         CASE WHEN mx = mn THEN 0
+              ELSE least({B - 1}, CAST(floor((value - mn) * {B}e0 / (mx - mn)) AS BIGINT))
+         END AS bin,
+         mn, mx
+  FROM v CROSS JOIN bounds
+),
+cells AS (SELECT week, bin, mn, mx, count(*) AS cnt FROM binned GROUP BY ALL),
+cum AS (
+  SELECT week, bin, mn, mx,
+         sum(cnt) OVER (PARTITION BY week ORDER BY bin) AS c,
+         sum(cnt) OVER (PARTITION BY week) AS n_rows
+  FROM cells
+)
+{union}
+"""
+
+
+@register("histogram_quantiles_rollup", oracle=_hist_rollup_oracle())
+def histogram_quantiles_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly p50/p95/p99 rolled up FROM the daily histogram cell
+    partials — the rank/quantile analog of
+    ``bitmap_distinct_weekly_rollup``: a continuous aggregate keeps
+    per-day sketches, and any coarser grain merges by CELL ADDITION
+    (global bin edges make the counts add losslessly), never
+    re-touching raw rows. Exact percentiles can't do this (a
+    per-day p95 tells you nothing about the weekly p95); the sketch's
+    whole point at 100 TB is that the rollup input is ≤ |days|·256
+    integer cells. The oracle computes the weekly quantiles FROM RAW —
+    a gate match certifies the daily→weekly merge is lossless, not
+    merely self-consistent.
+    """
+    from pyspark.sql.window import Window
+
+    B = N_HIST_BINS
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            F.expr("CAST(ts AS LONG) div 86400").alias("day"),
+            "value",
+        )
+    )
+    bounds = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    b = ev.crossJoin(F.broadcast(bounds))
+    bin_col = (
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(B - 1),
+                F.floor(
+                    (F.col("value") - F.col("mn")) * F.lit(float(B))
+                    / (F.col("mx") - F.col("mn"))
+                ),
+            )
+        )
+        .cast("long")
+    )
+    # the per-day cell table — what a continuous aggregate would store
+    daily = (
+        b.select("day", bin_col.alias("bin"), "mn", "mx")
+        .groupBy("day", "bin", "mn", "mx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # the rollup: weekly sketch = cell-wise SUM of the daily sketches
+    weekly = (
+        daily.select(F.expr("day div 7").alias("week"), "bin", "mn", "mx", "cnt")
+        .groupBy("week", "bin", "mn", "mx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    wcum = Window.partitionBy("week").orderBy("bin")
+    wall = Window.partitionBy("week")
+    cum = weekly.select(
+        "week", "bin", "mn", "mx",
+        F.sum("cnt").over(wcum).alias("c"),
+        F.sum("cnt").over(wall).alias("n_rows"),
+    )
+    outs = []
+    for label, q in _HIST_QS:
+        sel = (
+            cum.where(F.col("c") >= F.lit(q) * F.col("n_rows"))
+            .groupBy("week", "mn", "mx")
+            .agg(F.min("bin").alias("bin"), F.min("n_rows").alias("n_rows"))
+        )
+        outs.append(
+            sel.select(
+                "week",
+                F.lit(label).alias("q"),
+                F.round(
+                    F.col("mn")
+                    + (F.col("mx") - F.col("mn")) * F.col("bin").cast("double")
+                    / F.lit(float(B)),
+                    6,
+                ).alias("est"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.round((F.col("mx") - F.col("mn")) / F.lit(float(B)), 6).alias(
+                    "err_bound"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 # --- KMV set resemblance (the sketch's third claimed capability) ----------
 
 

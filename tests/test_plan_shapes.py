@@ -49,6 +49,7 @@ ALLOW_BNLJ = {
     # constant-folded key: two 1-row aggregates at any data size
     "kmv_distinct_users": "1-row __all__ sketch x 1-row truth aggregate",
     "histogram_quantiles": "broadcast 1-row global (mn, mx) bounds",
+    "histogram_quantiles_rollup": "broadcast 1-row global (mn, mx) bounds",
     "kmv_resemblance": "theta self-join of the |types|-row distinct-type table (|types|^2 pairs by construction)",
     "streaming_histogram_quantiles": "broadcast 1-row static (mn, mx) bounds",
     "bloom_high_value_orders": "broadcast ~1 KB bitmap row",
