@@ -40,15 +40,12 @@ def sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
-def time_oracles(
-    sf_dir: str, names: list[str], runs: int = 2, verbose: bool = True
-) -> tuple[dict[str, float], dict[str, float]]:
-    """(min, max−min spread) of ``runs`` wall times per oracle, fully
-    materialized, one DuckDB connection, HEADLINE order — bench.py's
-    protocol mirrored (per-query dispersion since round 9)."""
+def connect(sf_dir: str):
+    """One DuckDB connection with the fixture tables as views — the
+    shared setup for both the sequential leg and bench.py's
+    interleaved per-query pairing (round 10)."""
     import duckdb
 
-    from storm_bench_spark.plans.registry import all_oracles
     from storm_bench_spark.sources.tables import TABLES
 
     con = duckdb.connect()
@@ -56,21 +53,44 @@ def time_oracles(
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+    return con
+
+
+def time_oracle(con, sql: str, runs: int) -> list[float]:
+    """Wall-time samples of one oracle, fully materialized (fetchall —
+    the analog of bench.py's noop write)."""
+    samples: list[float] = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        samples.append(time.perf_counter() - t0)
+    return samples
+
+
+def summarize(samples: list[float]) -> tuple[float, float]:
+    """(min, warm-runs max−min spread): run 1 is the first plan/IO
+    encounter — warm-up, not box noise — so with ≥3 runs the spread
+    is over runs 2..N only (bench.py's convention)."""
+    warm = samples[1:] if len(samples) > 2 else samples
+    return round(min(samples), 3), round(max(warm) - min(warm), 3)
+
+
+def time_oracles(
+    sf_dir: str, names: list[str], runs: int = 2, verbose: bool = True
+) -> tuple[dict[str, float], dict[str, float]]:
+    """(min, max−min spread) of ``runs`` wall times per oracle, fully
+    materialized, one DuckDB connection, HEADLINE order — bench.py's
+    protocol mirrored (per-query dispersion since round 9)."""
+    from storm_bench_spark.plans.registry import all_oracles
+
+    con = connect(sf_dir)
     oracles = all_oracles()
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in names:
-        sql = oracles[name]
-        samples: list[float] = []
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            con.execute(sql).fetchall()
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(min(samples), 3)
-        # warm-runs-only dispersion, mirroring bench.py (run 1 is the
-        # first plan/IO encounter — warm-up, not box noise)
-        warm = samples[1:] if len(samples) > 2 else samples
-        spreads[name] = round(max(warm) - min(warm), 3)
+        timings[name], spreads[name] = summarize(
+            time_oracle(con, oracles[name], runs)
+        )
         if verbose:
             print(
                 f"# duck {name}: {timings[name]}s (min of {runs}, "

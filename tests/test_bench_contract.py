@@ -43,8 +43,18 @@ def test_compact_summary_line_fits_driver_tail():
         "unit": "sec",
         "sf": 0.1,
         "n_queries": len(all_queries()),
+        "value_spread": 99999.999,
+        "stream_floor_total": 99999.999,
         "queries": {n: 99999.999 for n in names},
         "detail": "BENCH_DETAIL.json",
+        "duck_total": 99999.999,
+        "pair_id": "2026-01-01T00:00:00",
+        "ratio_vs_duck": 99.999,
+        "ratio_pm": 99.999,
+        "probe_drift": 9.999,
+        "mode": "interleaved",
+        "ratio_vs_duck_processing": 99.999,
+        "annex_total": 99999.999,
     })
     assert len(worst_line.encode()) < 1536, (
         f"compact bench line could reach {len(worst_line)} B; the driver "
