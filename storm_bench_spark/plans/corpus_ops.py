@@ -557,56 +557,104 @@ def ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding_neardup spelling, no aggregation-order dependence.
 
     Shape at scale: the shortlist is queries × SHORTLIST_K rows —
-    small by construction — so BOTH re-rank joins broadcast it
-    against a (vec_id, v) projection of the vector table: full-
-    precision vectors are read where they live and never cross an
-    exchange; only shortlist-sized rows move. The final window
+    small by construction. The query batch (quantized AND full-
+    precision, k·dim doubles) is collected ONCE and rides driver-side:
+    the quantized copy in the stage-1 Arrow scorer's closure, the
+    full-precision copy as a literal array the re-rank projection
+    indexes by query position — so the QUERY side of the exact re-
+    score needs no join at all. Only the NEIGHBOR vectors are fetched
+    by a keyed join of the shortlist against a (vec_id, v) projection:
+    full-precision vectors are read where they live and never cross
+    an exchange; only shortlist-sized rows move. The final window
     partitions by qid over ≤ SHORTLIST_K rows per key.
 
-    Shared prep (round 10, VERDICT r9 next #1a): the quantized arrays
-    and the full-precision norms both derive from ONE scan of the
-    vector table, computed once and persisted — previously the plan
-    re-scanned and re-quantized per leg (4 parquet scans, 2× the
-    array math; measured 0.94 s vs duck 0.34 s at sf0.1). The
-    query-batch collect materializes the cache, so the corpus scoring
-    pass and both re-rank joins read columnar cached rows. Same
-    fusion that took ann_recall_at_k from 1.62 s to 0.72 s in r9.
+    Round 10 (VERDICT r9 next #1a): the previous spelling ran FOUR
+    sequential driver jobs (query collect, two explicit broadcast
+    builds, final write) — at fixture scale the row was pure job-
+    latency (0.94 s for 2,000 vectors vs duck 0.34 s). This spelling
+    is TWO jobs (one collect, one write; the shortlist join broadcasts
+    at runtime via AQE) and both quantization legs derive from one
+    scanned projection — Catalyst prunes the quantize expressions out
+    of the neighbor-vector re-scan entirely.
+
+    FP discipline: driver-side query norms accumulate sequentially in
+    i (the `_collect_ref` loop), literal doubles repr-round-trip
+    exactly, and the exact cosine is the left-assoc dimension-order
+    unrolled sum — bitwise-identical to the oracle's unrolled chain.
     """
+    import numpy as np
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    prep = SIM._with_norm(
-        _quantized(emb).select(
-            "vec_id",
-            F.col("qarr").cast("array<double>").alias("qv"),
-            "v",
-        ),
-        "v", "nrm", EMB_DIM,
-    ).persist()
-    q = prep.select("vec_id", "qv")
-    queries = q.where(F.col("vec_id") < ANN_QUERIES)
-    shortlist = SIM.ann_topk_bruteforce(
-        q, queries, SHORTLIST_K, vec_col="qv", dim=EMB_DIM
-    ).select("qid", "neighbor", F.col("cos").alias("cos_q"))
-
-    vn = prep.select("vec_id", "v", "nrm")
-    s1 = vn.select(
-        F.col("vec_id").alias("neighbor"),
-        F.col("v").alias("nv"),
-        F.col("nrm").alias("nn"),
-    ).join(F.broadcast(shortlist), "neighbor")
-    s2 = vn.select(
-        F.col("vec_id").alias("qid"),
-        F.col("v").alias("qvf"),
-        F.col("nrm").alias("nq"),
-    ).join(F.broadcast(s1), "qid")
-    rer = s2.select(
-        "qid", "neighbor", "cos_q",
-        F.round(SIM._pair_cos("qvf", "nv", "nq", "nn", EMB_DIM), 6).alias("cos"),
+    prep = _quantized(emb).select(
+        "vec_id", F.col("qarr").cast("array<double>").alias("qv"), "v"
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("neighbor"))
+    rows = sorted(
+        prep.where(F.col("vec_id") < ANN_QUERIES).collect(), key=lambda r: r[0]
+    )
+    qids = [int(r["vec_id"]) for r in rows]
+    qm = np.array([list(r["qv"]) for r in rows], dtype=np.float64)
+    fm = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+
+    def _norms(m):
+        n = np.zeros(m.shape[0])
+        for i in range(m.shape[1]):  # sequential: left-assoc sum
+            n += m[:, i] * m[:, i]
+        return np.sqrt(n)
+
+    qn, fnrm = _norms(qm), _norms(fm)
+    qid_arr = F.array(*[F.lit(q) for q in qids])
+    # full-precision query matrix + norms as literal arrays, indexed by
+    # query position — repr() round-trips IEEE doubles exactly
+    qfv_lit = F.expr(
+        "array(" + ", ".join(
+            "array(" + ", ".join(repr(x) for x in row) + ")"
+            for row in fm.tolist()
+        ) + ")"
+    )
+    qn_lit = F.expr("array(" + ", ".join(repr(x) for x in fnrm.tolist()) + ")")
+
+    scored = (
+        prep.select(
+            F.col("vec_id").alias("neighbor"),
+            F.posexplode(SIM._ref_scores_udf(qm, qn)("qv")).alias("qi", "c"),
+        )
+        .select(
+            "qi",
+            F.element_at(qid_arr, F.col("qi") + 1).alias("qid"),
+            "neighbor",
+            F.round("c", 6).alias("cos_q"),
+        )
+        .where(F.col("qid") != F.col("neighbor"))
+    )
+    w1 = Window.partitionBy("qid").orderBy(F.desc("cos_q"), F.asc("neighbor"))
+    shortlist = (
+        scored.withColumn("r", F.row_number().over(w1))
+        .where(F.col("r") <= SHORTLIST_K)
+        .drop("r")
+    )
+    vn = SIM._with_norm(
+        emb.select(
+            F.col("vec_id").alias("neighbor"),
+            F.col("embedding").cast("array<double>").alias("nv"),
+        ),
+        "nv", "nn", EMB_DIM,
+    )
+    rer = (
+        shortlist.join(vn, "neighbor")
+        .select(
+            "qid", "neighbor", "cos_q", "nv", "nn",
+            F.element_at(qfv_lit, F.col("qi") + 1).alias("qfv"),
+            F.element_at(qn_lit, F.col("qi") + 1).alias("nq"),
+        )
+        .select(
+            "qid", "neighbor", "cos_q",
+            F.round(SIM._pair_cos("qfv", "nv", "nq", "nn", EMB_DIM), 6).alias("cos"),
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("neighbor"))
     return (
-        rer.withColumn("rank", F.row_number().over(w))
+        rer.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= ANN_K)
         .select("qid", "neighbor", "cos_q", "cos", F.col("rank").cast("bigint").alias("rank"))
     )
