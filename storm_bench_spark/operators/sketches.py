@@ -124,13 +124,95 @@ def hll_estimate(registers: DataFrame, keys: Sequence[str], p: int = HLL_P) -> D
         (F.lit(m) - F.count(F.lit(1))).alias("_v"),
     )
     raw = F.lit(numer) / F.col("_s").cast("double")
-    linear = F.lit(None).cast("double")
-    for v in range(1, m):
-        linear = F.when(F.col("_v") == v, F.lit(m * math.log(m / v))).otherwise(
-            linear
-        )
-    est = F.when((F.col("_v") > 0) & (raw <= 2.5 * m), linear).otherwise(raw)
+    est = F.when((F.col("_v") > 0) & (raw <= 2.5 * m), _linear_lookup(m)).otherwise(raw)
     return fin.select(*keys, est.alias("approx_distinct"))
+
+
+def _linear_lookup(m: int) -> Column:
+    """Linear-counting estimate m·ln(m/V) for V ∈ 1..m−1, as ONE
+    element_at over a literal array indexed by the ``_v`` column.
+
+    Same per-V precomputed python-float literals as ever (libm is not
+    guaranteed identical across engines; literals are) — but one parsed
+    expression instead of an (m−1)-deep chained CASE: the chain cost
+    ~100 ms of plan-build per query call at m=16 (measured round 10)
+    and would be quadratic-ish in m at production p=12..14.
+    """
+    vals = ", ".join(repr(m * math.log(m / v)) for v in range(1, m))
+    return F.element_at(F.expr(f"array({vals})"), F.col("_v").cast("int"))
+
+
+def hll_registers_wide(
+    df: DataFrame, keys: Sequence[str], value_col: str, p: int = HLL_P
+) -> DataFrame:
+    """One row per key group with the FULL register vector as m columns
+    (_r0.._r{m-1}) — the vector form most HLL implementations store.
+
+    Same hash/rho math as :func:`hll_registers`; the wide layout exists
+    for window fan-out pipelines (unique_visitor_approx): fanning out
+    one m-column row per slide bucket moves m× fewer rows through the
+    merge shuffle than the row form, and the merge is a plain
+    column-wise MAX (same monoid, so any regrouping stays exact).
+    Empty registers are NULL (max over an empty when-set).
+    """
+    m, rho_cap, _ = _hll_consts(p)
+    d = df.where(F.col(value_col).isNotNull()).select(
+        *keys, hash64(F.col(value_col).cast("string")).alias("_h")
+    )
+    w = F.expr(f"_h DIV {m}")
+    rho = F.when(w > 0, F.lit(rho_cap) - F.length(F.bin(w))).otherwise(
+        F.lit(rho_cap)
+    )
+    b = d.select(*keys, (F.col("_h") % m).alias("_b"), rho.alias("_r"))
+    # one parsed expression per register, not a composed when/max
+    # Column tree: the loop of Column operators costs 4 py4j round
+    # trips per register and dominated plan-build time (house rule,
+    # see operators/similarity.py's unrolled-dot note)
+    return b.groupBy(*keys).agg(
+        *[
+            F.expr(f"max(CASE WHEN _b = {j} THEN _r END)").alias(f"_r{j}")
+            for j in range(m)
+        ]
+    )
+
+
+def hll_merge_wide(df: DataFrame, keys: Sequence[str], p: int = HLL_P) -> DataFrame:
+    """Merge wide register rows by column-wise MAX per key group
+    (NULL-skipping max = empty registers stay empty)."""
+    m, _, _ = _hll_consts(p)
+    return df.groupBy(*keys).agg(
+        *[F.expr(f"max(_r{j})").alias(f"_r{j}") for j in range(m)]
+    )
+
+
+def hll_estimate_wide(
+    registers: DataFrame, keys: Sequence[str], p: int = HLL_P
+) -> DataFrame:
+    """Finalize wide register rows into (keys..., approx_distinct) —
+    a pure PROJECTION (no aggregation): the harmonic denominator is the
+    m-term exact-integer sum over the register columns (empty → the
+    2^rho_cap term, via coalesce), so the whole estimate costs zero
+    shuffles once the registers are merged. Bit-identical to
+    :func:`hll_estimate`: same integer S, same one float divide, same
+    literal linear-counting table.
+    """
+    m, rho_cap, alpha = _hll_consts(p)
+    numer = alpha * m * m * float(2**rho_cap)
+    # single parsed expressions (integer adds: order-free, exact)
+    s = F.expr(
+        " + ".join(
+            f"coalesce(shiftleft(CAST(1 AS BIGINT), {rho_cap} - _r{j}), "
+            f"CAST({2**rho_cap} AS BIGINT))"
+            for j in range(m)
+        )
+    )
+    v = F.expr(
+        " + ".join(f"CAST((_r{j} IS NULL) AS INT)" for j in range(m))
+    )
+    pre = registers.select(*keys, s.alias("_s"), v.alias("_v"))
+    raw = F.lit(numer) / F.col("_s").cast("double")
+    est = F.when((F.col("_v") > 0) & (raw <= 2.5 * m), _linear_lookup(m)).otherwise(raw)
+    return pre.select(*keys, est.alias("approx_distinct"))
 
 
 def hll_estimate_sql(

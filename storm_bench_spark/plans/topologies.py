@@ -290,26 +290,30 @@ def unique_visitor_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit — the registry's last rows-only cell becomes a full
     oracle row, and the estimate survives ANY regrouping because
     register max-merge is the same monoid the windows already use.
+
+    Round 10: the register table moves WIDE (one m-column row per
+    (slide-bucket, url) instead of ≤m rows) — the window fan-out then
+    shuffles m× fewer rows, the per-window merge is a column-wise MAX
+    (same monoid), and the estimate becomes a pure projection, cutting
+    the plan from three shuffles to two. Same hash/rho/harmonic math,
+    so the unchanged DuckDB oracle certifies the layout change.
     """
-    from storm_bench_spark.operators.sketches import hll_estimate, hll_registers
+    from storm_bench_spark.operators.sketches import (
+        hll_estimate_wide,
+        hll_merge_wide,
+        hll_registers_wide,
+    )
 
     pv = D.pageviews(spark, sf_dir).select("sec", "url", "user_id")
     slide, win = 600, 3600
     bucket = (F.col("sec") - (F.col("sec") % slide)).cast("long")
-    regs = hll_registers(pv.withColumn("_sb", bucket), ["_sb", "url"], "user_id")
+    regs = hll_registers_wide(pv.withColumn("_sb", bucket), ["_sb", "url"], "user_id")
     steps = F.explode(F.sequence(F.lit(0), F.lit(win // slide - 1))).alias("_k")
-    winregs = (
-        regs.select("*", steps)
-        .select(
-            (F.col("_sb") - F.col("_k") * slide).alias("ws"),
-            "url",
-            "_bucket",
-            "_r",
-        )
-        .groupBy("ws", "url", "_bucket")
-        .agg(F.max("_r").alias("_r"))
+    fanned = regs.select("*", steps).withColumn(
+        "ws", F.col("_sb") - F.col("_k") * slide
     )
-    return hll_estimate(winregs, ["ws", "url"]).withColumnRenamed(
+    winregs = hll_merge_wide(fanned.drop("_sb", "_k"), ["ws", "url"])
+    return hll_estimate_wide(winregs, ["ws", "url"]).withColumnRenamed(
         "approx_distinct", "uniques"
     )
 
