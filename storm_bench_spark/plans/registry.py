@@ -72,59 +72,88 @@ def _ensure_loaded() -> None:
 # name that somehow escapes the list sorts LAST — fail-safe: an
 # unlisted query can never displace promised window rows.
 #
-# ROUND-9 WINDOW (exactly 50). Touched set, derived from the round-9
-# diff file-by-file: (a) CHANGED semantics/oracle — kmv_resemblance
-# (oracle exact leg fixed from Dice to true Jaccard, ADVICE r8 high);
-# (b) result-invariant rewrites — ann_recall_at_k (fused single-pass
-# operator, VERDICT r8 next #3); (c) NEW — weighted_sample (exact-n
-# A-ES weighted sampling without replacement, integer-exact via the
-# max-of-w-uniforms equivalence, query #165); (d) ALL 18 rows through
-# the shared run_to_memory, which gained wall/processing/floor timing
-# in its per-run diagnostics (VERDICT r8 next #4) — the 16 streaming
-# twins + streaming_kmv_sketch + streaming_histogram_quantiles. That
-# is 23 touched rows (two late additions: streaming_weighted_sample —
-# the A-ES sample as bounded P·n top-n state, query #166 — and
-# rolling_geo_count, whose plan gained the one-shuffle
-# pre-partitioned spelling of sliding_agg_twophase; together they
-# displace the 5th/6th r4 fillers, gap_fill_hourly and
-# scd2_customer_history, to positions 51–52); the remaining 27 slots
-# continue the staleness rotation (VERDICT r8 next #6):
-# rolling_hashtag_count (the single r2-latest row — rotated out at r8
-# and now the oldest gated row in the registry), the full 22-row r3
-# cohort (relational/multimodal/library-op rows last driver-gated in
-# round 3), and the 4 oldest r4 rows — unique_visitor_approx first
-# among them (the VERDICT r8
-# regression suspect: idle-box re-time confirmed box noise; a fresh
-# driver gate pins its correctness alongside the r9 bench row).
-# Every row rotated OUT is r8-green with code untouched this round
-# and stays covered by the per-pytest sf0.001 all-oracle sweep plus
-# the repo-side sf0.01 full-registry replay (COVERAGE.md).
+# ROUND-10 WINDOW (exactly 50) = VERDICT r9 next #2 verbatim — the
+# staleness rotation IS the round's touched set, by design:
+# (a) TOUCHED (result-invariant plan rewrites, all re-verified vs
+# their unchanged oracles at sf0.01 this round): ann_rerank (4 driver
+# jobs -> 2, literal query-side re-rank vectors), boilerplate_ngram_
+# ratio (single-pass per-doc stats via explode_outer, closing join
+# gone), unique_visitor_approx + hll_users_per_type +
+# streaming_hll_visitors (the three consumers of operators/sketches
+# hll_estimate, whose linear-counting branch became an element_at
+# lookup; unique_visitor_approx additionally moved to the new WIDE
+# register-vector form, 3 shuffles -> 2).
+# (b) the FULL r3 cohort (6 rows: adsb_parse, interval_click_error,
+# print_passthrough, users_except/intersect/union) and the FULL r4
+# cohort (18 rows, hll_users_per_type among them — counted once) —
+# the staleness debt VERDICT r9 named row by row.
+# (c) the FULL r5 cohort (23 rows) except cdc_apply — displaced to
+# position 51 because its exactly-once MERGE machinery is co-verified
+# by streaming_cdc_apply (r9-green, same helper path); the other 22
+# (the deep TPC-H tail q2/q7/q8/q9/q11/q13/q15-q18/q20-q22, the
+# flight-dist pair, pivot/unpivot, scrub/profile rows) all re-gate.
+# After this window no registry row's latest driver gate is older
+# than round 5, and r5 survives only as cdc_apply.
 #
-# LATE ROUND-9 ADDITIONS (queries #167–173, plans/layout_ops.py):
-# bitmap_distinct_daily + streaming_bitmap_visitors (exact mergeable
-# bitmap-index distinct, batch + fixed-size-state streaming twin),
-# bitmap_retention_daily (retention as bitmap AND + popcount),
-# bitmap_distinct_weekly_rollup (exact distinct ROLLS UP from daily
-# bitmap partials — the aggregate plain count-distinct partials can't
-# re-aggregate), tumbling_ohlc + streaming_tumbling_ohlc (single-agg
-# OHLC bars via min_by/max_by on a packed order key; the streaming
-# twin holds one bar row per key in state), zorder_layout (Morton
-# clustering audit). Two more additions closed the session:
-# weighted_sample_per_source (#174 — the stratified exact-n A-ES
-# sampler; WindowGroupLimit grouped top-n) and
-# histogram_quantiles_rollup (#175 — weekly quantiles merged from the
-# daily histogram cell partials, oracle computed from raw: the
-# lossless-merge certification for the rank/quantile sketch family).
-# NEW code must sit in the window, so the nine displace the 9
-# lowest-priority staleness fillers — rolling_latlong,
-# ann_topk_ivf_kmeans, asof_click_purchase_tol (the r4 fillers) and
-# adsb_parse + print_passthrough + users_except + interval_click_error
-# + users_intersect + users_union (six r3 cohort rows) — to positions
-# 51–59; all nine are r≤8-green with code untouched this round, stay
-# covered by the per-pytest sweep, and roll into the r10 staleness
-# window with the rest of the r4/r5 cohorts. unique_visitor_approx
-# deliberately KEEPS its slot (the VERDICT r8 #2 re-gate promise).
+# Registry-wide note: sources/tables.load_table gained a per-session
+# scan memo this round (same immutable logical plan returned instead
+# of a fresh spark.read.parquet per call). That helper underlies ALL
+# 175 queries; the 50-row window cannot express it, so the evidence
+# is the full-suite pytest oracle replay (every query, sf0.001) plus
+# the sf0.01 full-registry sweep recorded in COVERAGE.md — both run
+# with the memo live.
 _GATE_PRIORITY: tuple[str, ...] = (
+    "ann_rerank",
+    "boilerplate_ngram_ratio",
+    "unique_visitor_approx",
+    "streaming_hll_visitors",
+    "hll_users_per_type",
+    "adsb_parse",
+    "interval_click_error",
+    "print_passthrough",
+    "users_except",
+    "users_intersect",
+    "users_union",
+    "ann_topk_ivf_kmeans",
+    "ann_topk_quantized",
+    "asof_click_purchase_tol",
+    "bloom_high_value_orders",
+    "cohort_retention",
+    "embedding_quantize",
+    "funnel_conversion",
+    "gap_fill_hourly",
+    "multires_rollup",
+    "props_json_stats",
+    "rolling_latlong",
+    "salted_segment_revenue",
+    "scd2_customer_history",
+    "source_centroids_q8",
+    "source_similarity_q8",
+    "user_moving_avg",
+    "value_zscore_outliers",
+    "rolling_flight_dist",
+    "rolling_flight_dist_bucketed",
+    "embedding_project",
+    "pii_mask",
+    "semdedup",
+    "stratified_sample",
+    "text_normalize",
+    "tpch_q2",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "user_event_pivot",
+    "user_event_unpivot",
+    # --- window boundary (first 50 above) ---
     "kmv_resemblance",
     "ann_recall_at_k",
     "weighted_sample",
@@ -152,7 +181,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "streaming_flight_dist",
     "streaming_user_sessions",
     "streaming_hashtag_count",
-    "streaming_hll_visitors",
     "streaming_funnel",
     "streaming_cdc_apply",
     "trident_wordcount",
@@ -174,19 +202,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "pageview_extract",
     "expand_words",
     "one_per_key",
-    "unique_visitor_approx",
-    # --- window boundary (first 50 above) ---
-    "adsb_parse",
-    "print_passthrough",
-    "users_except",
-    "interval_click_error",
-    "users_intersect",
-    "users_union",
-    "rolling_latlong",
-    "ann_topk_ivf_kmeans",
-    "asof_click_purchase_tol",
-    "gap_fill_hourly",
-    "scd2_customer_history",
     "multimodal_wav_meta",
     "multimodal_ppm_meta",
     "histogram_quantiles",
@@ -260,47 +275,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "ngram_jaccard",
     "simhash",
     "vocab_oov_rate",
-    "boilerplate_ngram_ratio",
     "dsir_select",
     "contamination_score",
     "events_cube",
-    "ann_rerank",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q22",
-    "tpch_q2",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q20",
-    "tpch_q21",
-    "text_normalize",
-    "pii_mask",
-    "user_event_pivot",
-    "user_event_unpivot",
-    "stratified_sample",
-    "embedding_project",
-    "semdedup",
     "cdc_apply",
-    "rolling_flight_dist",
-    "rolling_flight_dist_bucketed",
-    "funnel_conversion",
-    "cohort_retention",
-    "multires_rollup",
-    "user_moving_avg",
-    "value_zscore_outliers",
-    "props_json_stats",
-    "embedding_quantize",
-    "ann_topk_quantized",
-    "source_centroids_q8",
-    "source_similarity_q8",
-    "hll_users_per_type",
-    "bloom_high_value_orders",
-    "salted_segment_revenue",
 )
 
 
