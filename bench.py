@@ -138,6 +138,7 @@ HEADLINE = [
     "histogram_quantiles",
     "histogram_quantiles_rollup",
     "kmv_resemblance",
+    "audience_overlap_hll",
     "fuzzy_name_pairs",
     "salted_segment_revenue",
     # time-series / history / funnel analytics (round 4, late)

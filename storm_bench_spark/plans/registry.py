@@ -95,6 +95,13 @@ def _ensure_loaded() -> None:
 # After this window no registry row's latest driver gate is older
 # than round 5, and r5 survives only as cdc_apply.
 #
+# (d) NEW this round — audience_overlap_hll (pairwise audience overlap
+# from the wide HLL registers by inclusion-exclusion; the set-algebra
+# showcase of the round's wide-register work) takes the 50th slot;
+# user_event_unpivot rolls to position 51 with cdc_apply (its inverse
+# twin user_event_pivot stays in-window; both are spelled over the
+# same events projection, so the pivot gate co-exercises the scan).
+#
 # Registry-wide note: sources/tables.load_table gained a per-session
 # scan memo this round (same immutable logical plan returned instead
 # of a fresh spark.read.parquet per call). That helper underlies ALL
@@ -103,6 +110,7 @@ def _ensure_loaded() -> None:
 # the sf0.01 full-registry sweep recorded in COVERAGE.md — both run
 # with the memo live.
 _GATE_PRIORITY: tuple[str, ...] = (
+    "audience_overlap_hll",
     "ann_rerank",
     "boilerplate_ngram_ratio",
     "unique_visitor_approx",
@@ -152,8 +160,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "tpch_q21",
     "tpch_q22",
     "user_event_pivot",
-    "user_event_unpivot",
     # --- window boundary (first 50 above) ---
+    "user_event_unpivot",
     "kmv_resemblance",
     "ann_recall_at_k",
     "weighted_sample",

@@ -983,3 +983,137 @@ def kmv_resemblance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.col("nx").cast("double") / F.col("nu"), 6).alias("exact_jaccard"),
     )
+
+
+# --- HLL audience overlap (round 10: the wide register algebra) -----------
+
+
+def _audience_overlap_oracle() -> str:
+    """DuckDB replay: row-form registers per type, per-type estimate,
+    per-pair UNION estimate from merged registers (max per bucket —
+    never a rescan), overlap by inclusion–exclusion. Same hash / rho /
+    exact-integer harmonic sum / literal linear-counting spellings as
+    :func:`operators.sketches.hll_estimate_sql`."""
+    import math
+
+    from storm_bench_spark.functions.hashing import hash64_sql
+    from storm_bench_spark.operators.sketches import HLL_P, _hll_consts
+
+    m, rho_cap, alpha = _hll_consts(HLL_P)
+    numer = alpha * m * m * float(2**rho_cap)
+    h = hash64_sql("CAST(user_id AS VARCHAR)")
+    lin = " ".join(f"WHEN {v} THEN {m * math.log(m / v)!r}" for v in range(1, m))
+    est = (
+        f"CASE WHEN v > 0 AND {numer!r} / CAST(s AS DOUBLE) <= {2.5 * m} "
+        f"THEN CASE v {lin} END "
+        f"ELSE {numer!r} / CAST(s AS DOUBLE) END"
+    )
+    fin = (
+        f"SUM(CAST(1 AS BIGINT) << ({rho_cap} - r)) "
+        f"+ ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << {rho_cap}) AS s, "
+        f"{m} - COUNT(*) AS v"
+    )
+    return f"""
+WITH hh AS (
+  SELECT event_type, {h} AS h FROM events WHERE user_id IS NOT NULL
+),
+reg AS (
+  SELECT event_type, h % {m} AS bucket,
+         MAX(CASE WHEN h // {m} > 0 THEN {rho_cap} - length(bin(h // {m}))
+                  ELSE {rho_cap} END) AS r
+  FROM hh GROUP BY 1, 2
+),
+fin AS (SELECT event_type, {fin} FROM reg GROUP BY event_type),
+est AS (SELECT event_type, {est} AS e FROM fin),
+tp AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM (SELECT DISTINCT event_type FROM reg) a
+  JOIN (SELECT DISTINCT event_type FROM reg) b ON a.event_type < b.event_type
+),
+ureg AS (
+  SELECT ta, tb, bucket, MAX(r) AS r FROM (
+    SELECT tp.ta, tp.tb, reg.bucket, reg.r FROM tp JOIN reg ON reg.event_type = tp.ta
+    UNION ALL
+    SELECT tp.ta, tp.tb, reg.bucket, reg.r FROM tp JOIN reg ON reg.event_type = tp.tb
+  ) GROUP BY 1, 2, 3
+),
+ufin AS (SELECT ta, tb, {fin} FROM ureg GROUP BY ta, tb),
+uest AS (SELECT ta, tb, {est} AS eu FROM ufin)
+SELECT u.ta AS type_a, u.tb AS type_b,
+       round(ea.e, 6) AS est_users_a,
+       round(eb.e, 6) AS est_users_b,
+       round(u.eu, 6) AS est_union,
+       round((ea.e + eb.e) - u.eu, 6) AS est_overlap
+FROM uest u
+JOIN est ea ON ea.event_type = u.ta
+JOIN est eb ON eb.event_type = u.tb
+"""
+
+
+@register("audience_overlap_hll", oracle=_audience_overlap_oracle())
+def audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types estimated from the
+    HLL register sketches ALONE — the set-algebra capability the wide
+    register form (round 10, ``hll_registers_wide``) exists for: HLL
+    unions merge losslessly (column-wise register MAX), so
+    ``|A ∩ B| ≈ est(A) + est(B) − est(A ∪ B)`` (inclusion–exclusion)
+    needs only the |types| sketch rows, never a rescan or a pair scan
+    of raw data. The KMV twin (``kmv_resemblance``) estimates the
+    RATIO (Jaccard) from bottom-K samples; this estimates the SIZE of
+    the intersection from registers — together they cover both
+    resemblance questions a sketch store answers.
+
+    Shape at scale: one scan + one |types|-keyed shuffle builds the
+    register table (persisted: |types| rows × m ints); the pair join,
+    union merge, and all three estimates are arithmetic over
+    sketch-sized rows — pairwise overlap across ANY number of
+    10-billion-row audiences costs |types|² fixed-size rows. The
+    estimate is the usual exact-integer harmonic sum; the overlap is
+    (est_a + est_b) − est_union evaluated in that order in both
+    engines (can go slightly negative within sketch error — reported
+    raw, not clamped, so the number is honestly the estimator's).
+    """
+    from storm_bench_spark.operators.sketches import (
+        HLL_P,
+        _hll_consts,
+        hll_estimate_wide,
+        hll_registers_wide,
+    )
+
+    m, _, _ = _hll_consts(HLL_P)
+    ev = load_table(spark, sf_dir, "events")
+    regs = hll_registers_wide(
+        ev.select("event_type", "user_id"), ["event_type"], "user_id"
+    ).persist()
+    est = hll_estimate_wide(regs, ["event_type"])
+    ra = regs.select(
+        F.col("event_type").alias("ta"),
+        *[F.col(f"_r{j}").alias(f"_a{j}") for j in range(m)],
+    )
+    rb = regs.select(
+        F.col("event_type").alias("tb"),
+        *[F.col(f"_r{j}").alias(f"_b{j}") for j in range(m)],
+    )
+    union_regs = ra.join(rb, F.col("ta") < F.col("tb")).select(
+        "ta", "tb",
+        *[F.greatest(f"_a{j}", f"_b{j}").alias(f"_r{j}") for j in range(m)],
+    )
+    uest = hll_estimate_wide(union_regs, ["ta", "tb"]).withColumnRenamed(
+        "approx_distinct", "eu"
+    )
+    ea = est.select(F.col("event_type").alias("ta"), F.col("approx_distinct").alias("e_a"))
+    eb = est.select(F.col("event_type").alias("tb"), F.col("approx_distinct").alias("e_b"))
+    return (
+        uest.join(ea, "ta")
+        .join(eb, "tb")
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            F.round("e_a", 6).alias("est_users_a"),
+            F.round("e_b", 6).alias("est_users_b"),
+            F.round("eu", 6).alias("est_union"),
+            F.round((F.col("e_a") + F.col("e_b")) - F.col("eu"), 6).alias(
+                "est_overlap"
+            ),
+        )
+    )
