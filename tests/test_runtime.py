@@ -156,3 +156,19 @@ print("RETRY_OK")
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
     )
     assert "RETRY_OK" in r.stdout, (r.stdout[-2000:], r.stderr[-2000:])
+
+
+def test_load_table_scan_memo(spark):
+    """Round 10: load_table memoizes the scanned plan per (session,
+    sf_dir, table) — same object back on a repeat call (the ~127 ms
+    file-listing/footer read happens once per session), distinct
+    entries per sf_dir, and results unchanged (the memo returns the
+    same immutable logical plan, so this is identity, not staleness)."""
+    from storm_bench_spark.sources.tables import load_table
+
+    a = load_table(spark, "/root/testdata/sf0.001", "region")
+    b = load_table(spark, "/root/testdata/sf0.001", "region")
+    assert a is b
+    c = load_table(spark, "/root/testdata/sf0.01", "region")
+    assert c is not a
+    assert a.count() == c.count() == 5  # TPC-H region is 5 rows at any sf

@@ -444,3 +444,56 @@ def test_kmv_resemblance_oracle_on_partial_overlap(spark):
     # and the partial pair really is partial: exact strictly between 0 and 1
     ab = engine[(engine.type_a == "a") & (engine.type_b == "b")]
     assert abs(float(ab.exact_jaccard.iloc[0]) - 1 / 3) < 1e-6
+
+
+def test_hll_wide_form_equals_row_form(spark):
+    """Round 10: the wide register-vector form (one m-column row per
+    group) must produce BIT-IDENTICAL estimates to the row form on
+    every group — same hash, same rho, same integer harmonic sum, same
+    literal linear-counting table — across group sizes that exercise
+    both the linear-counting and raw-estimator branches."""
+    from storm_bench_spark.operators.sketches import (
+        hll_estimate_wide,
+        hll_registers_wide,
+    )
+
+    rows = [
+        Row(k=f"g{g}", v=str(v * 7919 + g))
+        for g in range(5)
+        for v in range(3 + g * 120)  # 3, 123, 243, 363, 483 distincts
+    ]
+    df = spark.createDataFrame(rows)
+    row_form = {
+        r["k"]: r["approx_distinct"]
+        for r in hll_estimate(hll_registers(df, ["k"], "v"), ["k"]).collect()
+    }
+    wide_form = {
+        r["k"]: r["approx_distinct"]
+        for r in hll_estimate_wide(
+            hll_registers_wide(df, ["k"], "v"), ["k"]
+        ).collect()
+    }
+    assert row_form == wide_form  # exact float equality, not approx
+
+
+def test_hll_wide_merge_equals_rescan(spark):
+    """Column-wise MAX merge of two shards' wide registers must equal
+    the wide registers of the union — the monoid law the window
+    fan-out in unique_visitor_approx relies on."""
+    from storm_bench_spark.operators.sketches import (
+        hll_merge_wide,
+        hll_registers_wide,
+    )
+
+    a = _vals(spark, range(0, 300))
+    b = _vals(spark, range(200, 500))  # overlapping, like two shards
+    merged = hll_merge_wide(
+        hll_registers_wide(a, ["k"], "v").unionByName(
+            hll_registers_wide(b, ["k"], "v")
+        ),
+        ["k"],
+    )
+    whole = hll_registers_wide(a.unionByName(b), ["k"], "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
