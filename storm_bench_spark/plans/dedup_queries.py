@@ -257,21 +257,34 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine near-dup pairs (baseline; O(n²) — the LSH
     variant below is the scale path).
 
-    Norms are computed once per vector *before* the self-join so the
-    join stage's codegen only carries the dim-term dot product — the
-    full inline cosine (3·dim terms) blows janino's 64KB method limit
-    inside the BNLJ consume and silently drops the whole stage to the
-    interpreted path. Same doubles as a per-pair norm, so the oracle's
-    per-pair spelling still matches bitwise."""
+    Round 10 respelling: the r≤9 plan hoisted norms below a theta
+    self-join so the BNLJ consume carried "only" the 64-term dot — but
+    that is still ~8 KB of bytecode inside the join's generated
+    method, which trips HotSpot's DontCompileHugeMethods threshold
+    (the third silent-slowness mechanism documented at
+    operators/similarity.py:120): the stage ran INTERPRETED at
+    ~15 µs/pair — 67.9 s for the fixture's 2M pairs, first caught by
+    the round-10 bench annex (the row was never headline-timed). Now
+    the whole pair matrix is scored by the Arrow closure kernel
+    (`_ref_scores_udf` with the reference set = the entire vector
+    table): sequential-in-i NumPy accumulation keeps cosines
+    bit-identical to the oracle's list_reduce, and the fixture row
+    drops to ~2 s. The closure carries the full N·dim corpus — fine
+    exactly where an O(N²) BASELINE is usable at all; the LSH variant
+    below remains the 100 TB path, and this baseline exists to certify
+    its recall at oracle-checkable scale."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select(F.col("vec_id").alias("id"), SIM._dvec("embedding").alias("v"))
-    vn = v.select("id", "v", SIM._norm_fixed("v", EMB_DIM).alias("n"))
-    l, r = vn.alias("l"), vn.alias("r")
-    cos = F.round(SIM._pair_cos("l.v", "r.v", "l.n", "r.n", EMB_DIM), 6)
+    ids, m, n = SIM._collect_ref(v, "id", "v")
+    id_arr = F.expr("array(" + ", ".join(str(int(i)) for i in ids) + ")")
     return (
-        l.join(r, F.col("l.id") < F.col("r.id"))
-        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"), cos.alias("cos"))
-        .where(F.col("cos") >= COSINE_T)
+        v.select("id", F.posexplode(SIM._ref_scores_udf(m, n)("v")).alias("qi", "c"))
+        .select(
+            F.col("id").alias("a"),
+            F.element_at(id_arr, F.col("qi") + 1).alias("b"),
+            F.round("c", 6).alias("cos"),
+        )
+        .where((F.col("a") < F.col("b")) & (F.col("cos") >= COSINE_T))
     )
 
 
