@@ -730,6 +730,89 @@ def ann_topk_ivf(
     )
 
 
+def ann_topk_ivf_fused(
+    vectors: DataFrame,
+    n_queries: int,
+    k: int,
+    n_probe: int = IVF_NPROBE,
+    n_centroids: int = IVF_CENTROIDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`ann_topk_ivf` (sampled-centroid mode) as ONE corpus pass —
+    the id-prefix specialization the registered query uses, spelled
+    exactly like :func:`ann_recall_fused`'s candidate leg (round 10;
+    the generic join-based operator remains for arbitrary query /
+    centroid tables and the k-means mode).
+
+    The composed spelling ran three driver-sync'd jobs (centroid
+    collect, probe broadcast build, final) and scanned the vector
+    table three times (centroids, queries, assignment). Here: one
+    reference collect (queries ∪ centroids are id-prefixes of the same
+    table), probe selection on the driver matrices (queries×centroids
+    cosines are bytes), and one Arrow pass per corpus vector yielding
+    its cell (argmax over the centroid slice; first-max = min-cid
+    tie-break, centroids sorted) and its query cosines (element_at
+    into the query slice — no re-scoring join). Bitwise-identical to
+    the composed operator — same sequential-in-i sums — so the
+    unchanged SQL oracle certifies the fusion.
+    """
+    import numpy as np
+    from pyspark.sql.window import Window
+
+    spark = vectors.sparkSession
+    v = vectors.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("v"))
+    pids, pmat, pnorm = _collect_ref(
+        v.where(F.col("id") < max(n_queries, n_centroids)), "id", "v"
+    )
+    qsel = [i for i, p in enumerate(pids) if p < n_queries]
+    csel = [i for i, p in enumerate(pids) if p < n_centroids]
+    qids, qm, qn = [pids[i] for i in qsel], pmat[qsel], pnorm[qsel]
+    cids, cm, cn = [pids[i] for i in csel], pmat[csel], pnorm[csel]
+    nq = len(qids)
+    ref_m = np.vstack([qm, cm])
+    ref_n = np.concatenate([qn, cn])
+
+    acc = np.zeros((nq, cm.shape[0]))
+    for i in range(qm.shape[1]):  # sequential in i: left-assoc sums
+        acc += np.outer(qm[:, i], cm[:, i])
+    ccos = acc / (qn[:, None] * cn[None, :])
+    probe_rows = [
+        (int(qids[qi]), int(qi), int(cids[cpos]))
+        for qi in range(nq)
+        for cpos in np.argsort(-ccos[qi], kind="stable")[:n_probe]
+    ]
+    probes = spark.createDataFrame(probe_rows, "qid long, qi int, cid long")
+
+    cid_arr = F.array(*[F.lit(int(c)) for c in cids])
+    cslice = F.slice("s", nq + 1, len(cids))
+    scored = v.select("id", _ref_scores_udf(ref_m, ref_n)("v").alias("s")).withColumn(
+        "cid",
+        F.element_at(
+            cid_arr, F.array_position(cslice, F.array_max(cslice)).cast("int")
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        F.broadcast(probes)
+        .join(scored, "cid")
+        .where(F.col("qid") != F.col("id"))
+        .select(
+            "qid",
+            F.col("id").alias("nid"),
+            F.round(F.element_at("s", F.col("qi") + 1), 6).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "qid",
+            F.col("nid").alias("neighbor"),
+            "cos",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def ann_recall_fused(
     vectors: DataFrame,
     n_queries: int,

@@ -428,10 +428,12 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: nearest-centroid cell assignment, probe
     the 4 nearest cells per query, exact rank within probed cells —
     per-query scan cost drops from N to ~n_probe·N/C (the 100 TB ANN
-    path; brute-force ``ann_topk`` is the recall baseline)."""
+    path; brute-force ``ann_topk`` is the recall baseline). Round 10:
+    the fused one-pass spelling (``ann_topk_ivf_fused`` — same fusion
+    ann_recall_at_k proved in r9), bitwise-identical to the composed
+    operator; the unchanged SQL oracle certifies it."""
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < ANN_QUERIES)
-    return SIM.ann_topk_ivf(emb, queries, ANN_K, dim=EMB_DIM)
+    return SIM.ann_topk_ivf_fused(emb, ANN_QUERIES, ANN_K)
 
 
 @register(

@@ -289,14 +289,17 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    raw = bi.groupBy("f").agg(F.count("*").alias("cr"))
-    tgt = (
-        bi.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("f")
-        .agg(F.count("*").alias("ct"))
-    )
-    ratio = raw.join(tgt, "f", "left").select(
-        "f", F.expr("(coalesce(ct, 0) + 1) * 1000000 div (cr + 1)").alias("r")
+    # raw and target feature counts in ONE grouped pass (round 10): a
+    # conditional count replaces the separate target aggregate and the
+    # f-keyed left join — one shuffle over the feature stream instead
+    # of two, same integers (a feature with no target rows counts 0)
+    ratio = (
+        bi.groupBy("f")
+        .agg(
+            F.count("*").alias("cr"),
+            F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)).alias("ct"),
+        )
+        .select("f", F.expr("(ct + 1) * 1000000 div (cr + 1)").alias("r"))
     )
     scores = (
         bi.filter(F.col("lang") != DSIR_TARGET_LANG)

@@ -107,6 +107,11 @@ def _ensure_loaded() -> None:
 # 67.9 s -> 2.5 s at sf0.1); it takes a window slot and tpch_q22
 # rolls to position 51 (pure SQL untouched since r5, the lightest
 # displacement; it re-gates in r11 with cdc_apply/user_event_unpivot).
+# Same trade for ann_topk_ivf (fused one-pass spelling, 1.37 s ->
+# 0.80 s) and dsir_select (one-agg ratio table; both in-window),
+# displacing tpch_q21 and tpch_q20 alongside q22 (the
+# displaced r5 set — cdc_apply, user_event_unpivot, q20-q22 — is
+# pure-SQL/co-verified and fronts the r11 rotation).
 #
 # Registry-wide note: sources/tables.load_table gained a per-session
 # scan memo this round (same immutable logical plan returned instead
@@ -118,6 +123,8 @@ def _ensure_loaded() -> None:
 _GATE_PRIORITY: tuple[str, ...] = (
     "audience_overlap_hll",
     "embedding_neardup",
+    "ann_topk_ivf",
+    "dsir_select",
     "ann_rerank",
     "boilerplate_ngram_ratio",
     "unique_visitor_approx",
@@ -163,10 +170,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "tpch_q16",
     "tpch_q17",
     "tpch_q18",
-    "tpch_q20",
-    "tpch_q21",
     "user_event_pivot",
     # --- window boundary (first 50 above) ---
+    "tpch_q20",
+    "tpch_q21",
     "tpch_q22",
     "user_event_unpivot",
     "kmv_resemblance",
@@ -209,7 +216,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "multimodal_audio_meta",
     "multimodal_audio_chunks",
     "ann_topk",
-    "ann_topk_ivf",
     "multimodal_image_meta",
     "multimodal_resize",
     "multimodal_frames",
@@ -289,7 +295,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "ngram_jaccard",
     "simhash",
     "vocab_oov_rate",
-    "dsir_select",
     "contamination_score",
     "events_cube",
     "cdc_apply",
