@@ -497,3 +497,37 @@ def test_hll_wide_merge_equals_rescan(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+def test_hll_overlap_inclusion_exclusion_tracks_truth(spark):
+    """Semantic sanity for the audience-overlap estimator (the oracle
+    gate certifies cross-engine exactness; this certifies the MATH):
+    on planted sets with known intersection, est(A)+est(B)-est(A∪B)
+    must land within the compounded m=16 error envelope of the true
+    overlap — loose bound (3 estimates at ~26% rel error each, scaled
+    by the union) but enough to catch a sign error, a wrong slice, or
+    a non-merged union."""
+    from pyspark.sql import functions as F
+
+    from storm_bench_spark.operators.sketches import (
+        hll_estimate_wide,
+        hll_registers_wide,
+    )
+
+    # A = 0..499, B = 300..799 → |A∩B| = 200, |A∪B| = 800
+    rows = [Row(k="a", v=str(i)) for i in range(500)] + [
+        Row(k="b", v=str(i)) for i in range(300, 800)
+    ]
+    df = spark.createDataFrame(rows)
+    regs = hll_registers_wide(df, ["k"], "v")
+    est = {
+        r["k"]: r["approx_distinct"]
+        for r in hll_estimate_wide(regs, ["k"]).collect()
+    }
+    m = 16
+    union_regs = regs.groupBy().agg(
+        *[F.max(f"_r{j}").alias(f"_r{j}") for j in range(m)]
+    ).withColumn("k", F.lit("u"))
+    eu = hll_estimate_wide(union_regs, ["k"]).collect()[0]["approx_distinct"]
+    overlap = est["a"] + est["b"] - eu
+    assert abs(overlap - 200) < 0.8 * 800, (overlap, est, eu)
