@@ -153,6 +153,13 @@ QUERIES = [
     "bitmap_retention_daily",
     "tumbling_ohlc",
     "zorder_layout",
+    # round 10: the wide-register HLL window plan (register table is
+    # group-count-sized; the scan grows R×, the fan-out/merge does
+    # not) and the register-algebra overlap (|types|² sketch rows at
+    # ANY corpus size — the flattest shape in the suite after the
+    # scan term)
+    "unique_visitor_approx",
+    "audience_overlap_hll",
 ]
 
 EMB_DIM_SMOKE = 64
