@@ -95,7 +95,11 @@ def _ensure_loaded() -> None:
 # After this window no registry row's latest driver gate is older
 # than round 5, and r5 survives only as cdc_apply.
 #
-# (d) NEW this round — audience_overlap_hll (pairwise audience overlap
+# (d) NEW this round — audience_overlap_hll + streaming_audience_overlap
+# (the wide register vector AS the streaming aggregation state — one
+# m-column row per event_type, fixed size; identical final registers,
+# one shared oracle; tpch_q18 joins the displaced-r5 set) and
+# audience_overlap_hll (pairwise audience overlap
 # from the wide HLL registers by inclusion-exclusion; the set-algebra
 # showcase of the round's wide-register work) takes the 50th slot;
 # user_event_unpivot rolls to position 51 with cdc_apply (its inverse
@@ -122,6 +126,7 @@ def _ensure_loaded() -> None:
 # with the memo live.
 _GATE_PRIORITY: tuple[str, ...] = (
     "audience_overlap_hll",
+    "streaming_audience_overlap",
     "embedding_neardup",
     "ann_topk_ivf",
     "dsir_select",
@@ -169,9 +174,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "tpch_q15",
     "tpch_q16",
     "tpch_q17",
-    "tpch_q18",
     "user_event_pivot",
     # --- window boundary (first 50 above) ---
+    "tpch_q18",
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",

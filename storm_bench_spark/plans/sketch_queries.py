@@ -1080,11 +1080,24 @@ def audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         hll_registers_wide,
     )
 
-    m, _, _ = _hll_consts(HLL_P)
     ev = load_table(spark, sf_dir, "events")
     regs = hll_registers_wide(
         ev.select("event_type", "user_id"), ["event_type"], "user_id"
     ).persist()
+    return _overlap_from_wide_regs(regs)
+
+
+def _overlap_from_wide_regs(regs: DataFrame) -> DataFrame:
+    """Pairwise-overlap finalize over a wide register table — shared by
+    the batch query and its streaming twin (identical final registers
+    make the two paths verifiable against ONE oracle)."""
+    from storm_bench_spark.operators.sketches import (
+        HLL_P,
+        _hll_consts,
+        hll_estimate_wide,
+    )
+
+    m, _, _ = _hll_consts(HLL_P)
     est = hll_estimate_wide(regs, ["event_type"])
     ra = regs.select(
         F.col("event_type").alias("ta"),
@@ -1117,3 +1130,28 @@ def audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register("streaming_audience_overlap", oracle=_audience_overlap_oracle())
+@drains_input_bytes_on_error
+def streaming_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``audience_overlap_hll`` through the streaming engine: the WIDE
+    register vector is the streaming aggregation — each event_type
+    holds ONE state row of m conditional-max columns (16 ints, never a
+    growing set), the fixed-size-state ideal for a per-audience
+    sketch store; micro-batches merge by column-wise MAX exactly as
+    shards do in batch (idempotent under replay). The complete-mode
+    snapshot finalizes STATELESS in batch — pair join, union merge,
+    inclusion–exclusion — via the shared ``_overlap_from_wide_regs``,
+    so identical final registers make the streaming path verifiable
+    against the SAME oracle as the batch twin.
+    """
+    from storm_bench_spark.operators.sketches import hll_registers_wide
+    from storm_bench_spark.streaming.streams import run_to_memory, stream_table
+
+    e = stream_table(spark, sf_dir, "events")
+    regs_stream = hll_registers_wide(
+        e.select("event_type", "user_id"), ["event_type"], "user_id"
+    )
+    regs = run_to_memory(regs_stream, output_mode="complete").persist()
+    return _overlap_from_wide_regs(regs)

@@ -52,6 +52,7 @@ ALLOW_BNLJ = {
     "histogram_quantiles_rollup": "broadcast 1-row global (mn, mx) bounds",
     "kmv_resemblance": "theta self-join of the |types|-row distinct-type table (|types|^2 pairs by construction)",
     "audience_overlap_hll": "theta self-join of the |types|-row persisted register table (|types|^2 sketch pairs by construction)",
+    "streaming_audience_overlap": "same |types|-row register theta self-join over the streaming snapshot",
     "streaming_histogram_quantiles": "broadcast 1-row static (mn, mx) bounds",
     "bloom_high_value_orders": "broadcast ~1 KB bitmap row",
     # bounded-side theta/cross joins
