@@ -111,6 +111,8 @@ def _ensure_loaded() -> None:
 # 67.9 s -> 2.5 s at sf0.1); it takes a window slot and tpch_q22
 # rolls to position 51 (pure SQL untouched since r5, the lightest
 # displacement; it re-gates in r11 with cdc_apply/user_event_unpivot).
+# line_dedup (text-never-shuffles respelling of strip_common_segments)
+# also enters; tpch_q17 joins the displaced-r5 set.
 # Same trade for ann_topk_ivf (fused one-pass spelling, 1.37 s ->
 # 0.80 s) and dsir_select (one-agg ratio table; both in-window),
 # displacing tpch_q21 and tpch_q20 alongside q22 (the
@@ -127,6 +129,7 @@ def _ensure_loaded() -> None:
 _GATE_PRIORITY: tuple[str, ...] = (
     "audience_overlap_hll",
     "streaming_audience_overlap",
+    "line_dedup",
     "embedding_neardup",
     "ann_topk_ivf",
     "dsir_select",
@@ -173,9 +176,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "tpch_q13",
     "tpch_q15",
     "tpch_q16",
-    "tpch_q17",
     "user_event_pivot",
     # --- window boundary (first 50 above) ---
+    "tpch_q17",
     "tpch_q18",
     "tpch_q20",
     "tpch_q21",
@@ -266,7 +269,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "pmi_bigrams",
     "containment_pairs",
     "dup_ngram_spans",
-    "line_dedup",
     "pagerank_neardup",
     "pii_scrub",
     "bpe_encode",
