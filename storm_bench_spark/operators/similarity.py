@@ -674,7 +674,14 @@ def ann_topk_ivf(
     runs :func:`kmeans_centroids` with 2-nearest-cell multiple
     assignment (boundary replication) for production-grade recall
     (≥ the sampled variant — asserted in pytest; not SQL-replayable,
-    so the kmeans mode registers rows-only)."""
+    so the kmeans mode registers rows-only).
+
+    Precondition (ADVICE r10): vectors must have NON-ZERO norm — the
+    JVM verify projection computes ``dot/(n_q·n_v)`` and a zero norm
+    raises ANSI DIVIDE_BY_ZERO (pinned in tests/test_scale_ops.py).
+    Filter or epsilon-pad zero vectors upstream; the fused id-prefix
+    specialization (:func:`ann_topk_ivf_fused`) instead NaN-ranks
+    them, matching numpy argmax semantics."""
     from pyspark.sql.window import Window
 
     v = vectors.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("v"))
@@ -756,6 +763,22 @@ def ann_topk_ivf_fused(
     into the query slice — no re-scoring join). Bitwise-identical to
     the composed operator — same sequential-in-i sums — so the
     unchanged SQL oracle certifies the fusion.
+
+    Zero-norm rows (ADVICE r10): a zero-norm corpus vector's cosines
+    are all NaN (0/0 in the Arrow kernel). The argmax spelling here
+    still matches :func:`ivf_assign`'s ``np.argmax`` bit-for-bit
+    because Spark SQL treats NaN as the LARGEST double and ``NaN =
+    NaN`` as true: ``array_max`` returns NaN and ``array_position``
+    finds its FIRST occurrence — first-NaN for mixed rows, position 1
+    for all-NaN rows — exactly numpy's NaN-propagating first-max.
+    ``element_at(cid_arr, 0)`` is therefore unreachable, and the NaN
+    candidate rows rank first (Spark NaN-max ordering) instead of
+    erroring — pinned by tests/test_scale_ops.py::
+    test_ivf_fused_zero_norm_vector. Note the COMPOSED operator is
+    stricter: its JVM verify projection divides by the norm product
+    and raises ANSI DIVIDE_BY_ZERO on such rows (precondition
+    documented on :func:`ann_topk_ivf`), so the fused path is the
+    more permissive of the two, not less.
     """
     import numpy as np
     from pyspark.sql.window import Window

@@ -154,6 +154,16 @@ def hll_registers_wide(
     merge shuffle than the row form, and the merge is a plain
     column-wise MAX (same monoid, so any regrouping stays exact).
     Empty registers are NULL (max over an empty when-set).
+
+    Layout caveat (ADVICE r10): the wide form emits ONE generated agg
+    expression and one output column PER register, so it targets small
+    m (fixture p=4 → 16 columns). At production p=12..14 that is
+    4096–16384 generated columns — plan build and codegen blow up long
+    before the data does. At those precisions keep the ROW form
+    (:func:`hll_registers`) or pack registers into a single
+    binary/array column; the wide layout's shuffle-volume win only
+    pays while m is small relative to the group count. The same bound
+    applies to :func:`hll_merge_wide` / :func:`hll_estimate_wide`.
     """
     m, rho_cap, _ = _hll_consts(p)
     d = df.where(F.col(value_col).isNotNull()).select(

@@ -375,3 +375,41 @@ def test_apply_changes_struct_order_key_survives_large_ids(spark):
         payload_cols=["name"],
     ).collect()
     assert len(out) == 1 and out[0]["name"] == "fresh"
+
+
+def test_ivf_fused_zero_norm_vector(spark):
+    # ADVICE r10 (similarity.py ann_topk_ivf_fused): a zero-norm corpus
+    # vector's cosines are all NaN; the claim was that array_max -> NaN
+    # fails the array_position equality and element_at(cid_arr, 0)
+    # throws. Spark SQL's NaN ordering (NaN = largest, NaN = NaN true)
+    # makes the argmax spelling match np.argmax instead: the fused path
+    # runs green and NaN candidates rank FIRST (NaN-max desc ordering),
+    # while the COMPOSED path's JVM dot/(n*n) verify raises ANSI
+    # DIVIDE_BY_ZERO — the precondition documented on ann_topk_ivf.
+    import math
+
+    import pytest as _pytest
+
+    from storm_bench_spark.operators import similarity as SIM
+
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11 - 5) + 0.25 * d for d in range(4)])
+        for i in range(20)
+    ]
+    rows[15] = (15, [0.0, 0.0, 0.0, 0.0])  # zero-norm, corpus-only id
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    fused = SIM.ann_topk_ivf_fused(
+        vecs, n_queries=3, k=4, n_probe=2, n_centroids=5
+    ).collect()
+    assert len(fused) == 12  # 3 queries x k=4 — no row lost, no throw
+    for r in fused:
+        if r["neighbor"] == 15:  # the zero vector scores NaN -> ranks 1st
+            assert math.isnan(r["cos"]) and r["rank"] == 1
+
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    with _pytest.raises(ArithmeticException, match="DIVIDE_BY_ZERO"):
+        SIM.ann_topk_ivf(
+            vecs, vecs.where("vec_id < 3"), 4, n_probe=2, n_centroids=5
+        ).collect()
