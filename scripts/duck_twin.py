@@ -50,9 +50,11 @@ def connect(sf_dir: str):
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        # driver fixtures are single files; Spark-written tables (the
+        # sf1 tier's R=10 replica) are part-file DIRECTORIES
+        pat = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     return con
 
 
@@ -88,6 +90,10 @@ def time_oracles(
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in names:
+        if name not in oracles:  # rows-only registration (ADVICE r10)
+            if verbose:
+                print(f"# duck {name}: skipped (no oracle)", file=sys.stderr)
+            continue
         timings[name], spreads[name] = summarize(
             time_oracle(con, oracles[name], runs)
         )

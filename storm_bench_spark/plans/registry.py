@@ -72,68 +72,102 @@ def _ensure_loaded() -> None:
 # name that somehow escapes the list sorts LAST — fail-safe: an
 # unlisted query can never displace promised window rows.
 #
-# ROUND-10 WINDOW (exactly 50) = VERDICT r9 next #2 verbatim — the
-# staleness rotation IS the round's touched set, by design:
-# (a) TOUCHED (result-invariant plan rewrites, all re-verified vs
-# their unchanged oracles at sf0.01 this round): ann_rerank (4 driver
-# jobs -> 2, literal query-side re-rank vectors), boilerplate_ngram_
-# ratio (single-pass per-doc stats via explode_outer, closing join
-# gone), unique_visitor_approx + hll_users_per_type +
-# streaming_hll_visitors (the three consumers of operators/sketches
-# hll_estimate, whose linear-counting branch became an element_at
-# lookup; unique_visitor_approx additionally moved to the new WIDE
-# register-vector form, 3 shuffles -> 2).
-# (b) the FULL r3 cohort (6 rows: adsb_parse, interval_click_error,
-# print_passthrough, users_except/intersect/union) and the FULL r4
-# cohort (18 rows, hll_users_per_type among them — counted once) —
-# the staleness debt VERDICT r9 named row by row.
-# (c) the FULL r5 cohort (23 rows) except cdc_apply — displaced to
-# position 51 because its exactly-once MERGE machinery is co-verified
-# by streaming_cdc_apply (r9-green, same helper path); the other 22
-# (the deep TPC-H tail q2/q7/q8/q9/q11/q13/q15-q18/q20-q22, the
-# flight-dist pair, pivot/unpivot, scrub/profile rows) all re-gate.
-# After this window no registry row's latest driver gate is older
-# than round 5, and r5 survives only as cdc_apply.
-#
-# (d) NEW this round — audience_overlap_hll + streaming_audience_overlap
-# (the wide register vector AS the streaming aggregation state — one
-# m-column row per event_type, fixed size; identical final registers,
-# one shared oracle; tpch_q18 joins the displaced-r5 set) and
-# audience_overlap_hll (pairwise audience overlap
-# from the wide HLL registers by inclusion-exclusion; the set-algebra
-# showcase of the round's wide-register work) takes the 50th slot;
-# user_event_unpivot rolls to position 51 with cdc_apply (its inverse
-# twin user_event_pivot stays in-window; both are spelled over the
-# same events projection, so the pivot gate co-exercises the scan).
-# (e) LATE round-10 touch — embedding_neardup (the O(N^2) baseline)
-# respelled onto the Arrow closure scorer after the new bench annex
-# caught its BNLJ stage running interpreted (DontCompileHugeMethods;
-# 67.9 s -> 2.5 s at sf0.1); it takes a window slot and tpch_q22
-# rolls to position 51 (pure SQL untouched since r5, the lightest
-# displacement; it re-gates in r11 with cdc_apply/user_event_unpivot).
-# line_dedup (text-never-shuffles respelling of strip_common_segments)
-# also enters; tpch_q17 joins the displaced-r5 set.
-# Same trade for ann_topk_ivf (fused one-pass spelling, 1.37 s ->
-# 0.80 s) and dsir_select (one-agg ratio table; both in-window),
-# displacing tpch_q21 and tpch_q20 alongside q22 (the
-# displaced r5 set — cdc_apply, user_event_unpivot, q20-q22 — is
-# pure-SQL/co-verified and fronts the r11 rotation).
-#
-# Registry-wide note: sources/tables.load_table gained a per-session
-# scan memo this round (same immutable logical plan returned instead
-# of a fresh spark.read.parquet per call). That helper underlies ALL
-# 175 queries; the 50-row window cannot express it, so the evidence
-# is the full-suite pytest oracle replay (every query, sf0.001) plus
-# the sf0.01 full-registry sweep recorded in COVERAGE.md — both run
-# with the memo live.
+# ROUND-11 WINDOW (exactly 50) = VERDICT r10 next #3 verbatim, plus
+# the round's touched rows. Registry growth is FROZEN at 177 this
+# round (VERDICT r10 next #8 — the explicit window-math statement;
+# rationale in COVERAGE.md), so every slot goes to staleness
+# retirement or touched-row re-gating:
+# (a) the FULL r5 cohort (7: cdc_apply, user_event_unpivot,
+# tpch_q17/q18/q20/q21/q22 — the rows displaced across r10's window,
+# promised to front this rotation) and the FULL r6 cohort (14:
+# bigram_lm_score, chunk_documents, contamination_score,
+# domain_mix_sample, epoch_shuffle, events_cube, heavy_hitters_cms,
+# lang_id, ngram_jaccard, quality_score, repetition_score, simhash,
+# token_budget_select, vocab_oov_rate).
+# (b) TOUCHED this round: chunk_dedup (respelled so corpus text never
+# crosses an exchange — digest + removed-cid int lists only, the
+# line_dedup treatment; bit-identical vs its unchanged oracle at
+# sf0.1 before the swap), plus ann_rerank and
+# embedding_neardup_lsh_scaled (the last two >2x perf rows — profiled
+# this round; in-window so whatever the adjudication touched is
+# driver-gated).
+# (c) r7-cohort staleness fillers (26 of 29 remaining): bm25_rank,
+# bpe_encode, bpe_merge_steps, containment_pairs, corpus_curate,
+# corpus_split, decontaminate, decontaminate_minhash, dedup_keep_best,
+# dup_ngram_spans, fuzzy_name_pairs, fuzzy_name_pairs_d2 (its R=100
+# boundedness determination is BASELINE.md round 11 — no code
+# change), fuzzy_triangles, incremental_dedup, inverted_index,
+# minhash_lsh, neardup_clusters, pagerank_neardup, pii_scrub,
+# pmi_bigrams, simhash_pairs, source_overlap, table_profile,
+# textrank_keywords, tfidf_top_terms, training_corpus_build.
+# The 3 deferred r7 rows (pack_sequences, quality_quantile_filter,
+# rrf_hybrid_rank — untouched since r7, lightweight pure-plan rows)
+# sit at positions 51-53 and front the r12 rotation; after this
+# window no registry row's latest driver gate is older than r7.
+# Docstring-only touches this round (ann_topk_ivf zero-norm semantics
+# note, wide-HLL layout caveat) change no behavior and keep their r10
+# gates.
 _GATE_PRIORITY: tuple[str, ...] = (
+    "cdc_apply",
+    "user_event_unpivot",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "bigram_lm_score",
+    "chunk_documents",
+    "contamination_score",
+    "domain_mix_sample",
+    "epoch_shuffle",
+    "events_cube",
+    "heavy_hitters_cms",
+    "lang_id",
+    "ngram_jaccard",
+    "quality_score",
+    "repetition_score",
+    "simhash",
+    "token_budget_select",
+    "vocab_oov_rate",
+    "chunk_dedup",
+    "ann_rerank",
+    "embedding_neardup_lsh_scaled",
+    "bm25_rank",
+    "bpe_encode",
+    "bpe_merge_steps",
+    "containment_pairs",
+    "corpus_curate",
+    "corpus_split",
+    "decontaminate",
+    "decontaminate_minhash",
+    "dedup_keep_best",
+    "dup_ngram_spans",
+    "fuzzy_name_pairs",
+    "fuzzy_name_pairs_d2",
+    "fuzzy_triangles",
+    "incremental_dedup",
+    "inverted_index",
+    "minhash_lsh",
+    "neardup_clusters",
+    "pagerank_neardup",
+    "pii_scrub",
+    "pmi_bigrams",
+    "simhash_pairs",
+    "source_overlap",
+    "table_profile",
+    "textrank_keywords",
+    "tfidf_top_terms",
+    "training_corpus_build",
+    # --- window boundary (first 50 above) ---
+    "pack_sequences",
+    "quality_quantile_filter",
+    "rrf_hybrid_rank",
     "audience_overlap_hll",
     "streaming_audience_overlap",
     "line_dedup",
     "embedding_neardup",
     "ann_topk_ivf",
     "dsir_select",
-    "ann_rerank",
     "boilerplate_ngram_ratio",
     "unique_visitor_approx",
     "streaming_hll_visitors",
@@ -177,13 +211,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "tpch_q15",
     "tpch_q16",
     "user_event_pivot",
-    # --- window boundary (first 50 above) ---
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "user_event_unpivot",
     "kmv_resemblance",
     "ann_recall_at_k",
     "weighted_sample",
@@ -233,7 +260,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "multimodal_wav_meta",
     "multimodal_ppm_meta",
     "histogram_quantiles",
-    "embedding_neardup_lsh_scaled",
     "lsh_recall_pairs",
     "kmv_distinct_users",
     "embedding_neardup_lsh",
@@ -260,51 +286,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "token_count",
     "top_terms",
     "user_sessions",
-    "incremental_dedup",
-    "corpus_split",
-    "table_profile",
-    "tfidf_top_terms",
-    "source_overlap",
-    "dedup_keep_best",
-    "pmi_bigrams",
-    "containment_pairs",
-    "dup_ngram_spans",
-    "pagerank_neardup",
-    "pii_scrub",
-    "bpe_encode",
-    "fuzzy_name_pairs",
-    "fuzzy_name_pairs_d2",
-    "fuzzy_triangles",
-    "decontaminate",
-    "pack_sequences",
-    "quality_quantile_filter",
-    "decontaminate_minhash",
-    "chunk_dedup",
-    "inverted_index",
-    "bm25_rank",
-    "textrank_keywords",
-    "minhash_lsh",
-    "simhash_pairs",
-    "rrf_hybrid_rank",
-    "bpe_merge_steps",
-    "corpus_curate",
-    "neardup_clusters",
-    "training_corpus_build",
-    "lang_id",
-    "quality_score",
-    "repetition_score",
-    "bigram_lm_score",
-    "chunk_documents",
-    "epoch_shuffle",
-    "token_budget_select",
-    "domain_mix_sample",
-    "heavy_hitters_cms",
-    "ngram_jaccard",
-    "simhash",
-    "vocab_oov_rate",
-    "contamination_score",
-    "events_cube",
-    "cdc_apply",
 )
 
 

@@ -55,6 +55,10 @@ def test_compact_summary_line_fits_driver_tail():
         "mode": "interleaved",
         "ratio_vs_duck_processing": 99.999,
         "annex_total": 99999.999,
+        "sf1_total": 99999.999,
+        "sf1_duck_total": 99999.999,
+        "sf1_ratio": 99.999,
+        "sf1_rows": 999,
     })
     assert len(worst_line.encode()) < 1536, (
         f"compact bench line could reach {len(worst_line)} B; the driver "
@@ -100,3 +104,21 @@ def test_duck_twin_subset_mode_guards(tmp_path, monkeypatch):
     assert merged["queries"]["wordcount"] != 0.5  # re-measured
     assert merged["runs_by_query"] == {"grep": 2, "wordcount": 1}
     assert "pair_id" not in merged  # standalone subset breaks pairing
+
+
+def test_scale_tier_names_resolve():
+    # same failure mode as HEADLINE: a renamed query in the sf1 tier
+    # list would crash the bench's tier leg at driver time
+    from bench import SF1_TIER, SF1_TIER_SPARK_ONLY
+
+    qs, osql = all_queries(), all_oracles()
+    missing = [n for n in SF1_TIER + sorted(SF1_TIER_SPARK_ONLY) if n not in qs]
+    assert not missing, f"sf1 tier references unknown queries: {missing}"
+    # ratio rows must have oracles (they carry the 2x adjudication);
+    # spark-only rows are the documented quadratic-oracle set
+    no_oracle = [n for n in SF1_TIER if n not in osql]
+    assert not no_oracle, f"sf1 ratio rows without oracles: {no_oracle}"
+    overlap = set(SF1_TIER) & set(SF1_TIER_SPARK_ONLY)
+    assert not overlap, f"rows listed both ratio and spark-only: {overlap}"
+    dupes = {n for n in SF1_TIER if SF1_TIER.count(n) > 1}
+    assert not dupes, f"sf1 tier lists queries twice: {dupes}"
