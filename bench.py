@@ -246,6 +246,11 @@ SF1_TIER = [
     "multimodal_ppm_meta",
     "multimodal_audio_meta",
     "expand_words",
+    # probed in the round-11 census and measured affordable (duck 38 /
+    # 19 / 7 s at R=10 — linear-ish oracles after all; BASELINE.md)
+    "semdedup",
+    "ann_topk_ivf_kmeans",
+    "lsh_recall_pairs",
 ]
 # Spark-timed only — the ORACLE is super-linear in data (brute-force
 # quadratic stand-ins), so a duck leg at R=10 is hours; the engine side
@@ -259,9 +264,6 @@ SF1_TIER_SPARK_ONLY = {
 SF1_TIER_EXCLUDED = {
     "embedding_neardup": "O(N^2) recall-certification baseline by design",
     "embedding_neardup_lsh_scaled": "runs on a fixed 600-vector derived corpus — constant at any R",
-    "lsh_recall_pairs": "recall leg needs the quadratic brute-force truth",
-    "semdedup": "Lloyd-loop oracle re-scans the corpus per iteration — duck leg ~minutes/row",
-    "ann_topk_ivf_kmeans": "same Lloyd-loop oracle cost as semdedup",
     "streaming_*": "wall is engine-start floor; processing ratio reported in the annex instead",
 }
 

@@ -85,25 +85,29 @@ def _ensure_loaded() -> None:
 # lang_id, ngram_jaccard, quality_score, repetition_score, simhash,
 # token_budget_select, vocab_oov_rate).
 # (b) TOUCHED this round: chunk_dedup (respelled so corpus text never
-# crosses an exchange — digest + removed-cid int lists only, the
-# line_dedup treatment; bit-identical vs its unchanged oracle at
-# sf0.1 before the swap), plus ann_rerank and
-# embedding_neardup_lsh_scaled (the last two >2x perf rows — profiled
-# this round; in-window so whatever the adjudication touched is
-# driver-gated).
-# (c) r7-cohort staleness fillers (26 of 29 remaining): bm25_rank,
+# crosses an exchange, then window-min ownership — one digest shuffle;
+# bit-identical vs its unchanged oracle at sf0.1 at each swap),
+# line_dedup (strip_common_segments' distinct-doc count moved into a
+# dense-rank digest window — 1.35 s -> 0.72 s at the sf1 tier,
+# bit-identical), plus ann_rerank and embedding_neardup_lsh_scaled
+# (the last two >2x perf rows — profiled and floor-adjudicated in
+# BASELINE.md; in-window so the re-gate covers whatever the
+# adjudication touched).
+# (c) r7-cohort staleness fillers (25 of 29 remaining): bm25_rank,
 # bpe_encode, bpe_merge_steps, containment_pairs, corpus_curate,
 # corpus_split, decontaminate, decontaminate_minhash, dedup_keep_best,
 # dup_ngram_spans, fuzzy_name_pairs, fuzzy_name_pairs_d2 (its R=100
 # boundedness determination is BASELINE.md round 11 — no code
 # change), fuzzy_triangles, incremental_dedup, inverted_index,
 # minhash_lsh, neardup_clusters, pagerank_neardup, pii_scrub,
-# pmi_bigrams, simhash_pairs, source_overlap, table_profile,
-# textrank_keywords, tfidf_top_terms, training_corpus_build.
-# The 3 deferred r7 rows (pack_sequences, quality_quantile_filter,
-# rrf_hybrid_rank — untouched since r7, lightweight pure-plan rows)
-# sit at positions 51-53 and front the r12 rotation; after this
-# window no registry row's latest driver gate is older than r7.
+# simhash_pairs, source_overlap, table_profile, textrank_keywords,
+# tfidf_top_terms, training_corpus_build.
+# The 4 deferred r7 rows (pmi_bigrams — displaced when line_dedup's
+# respell forced it into the window — plus pack_sequences,
+# quality_quantile_filter, rrf_hybrid_rank; all untouched since r7,
+# lightweight pure-plan rows) sit at positions 51-54 and front the
+# r12 rotation; after this window no registry row's latest driver
+# gate is older than r7.
 # Docstring-only touches this round (ann_topk_ivf zero-norm semantics
 # note, wide-HLL layout caveat) change no behavior and keep their r10
 # gates.
@@ -151,7 +155,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "neardup_clusters",
     "pagerank_neardup",
     "pii_scrub",
-    "pmi_bigrams",
+    "line_dedup",
     "simhash_pairs",
     "source_overlap",
     "table_profile",
@@ -159,12 +163,12 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "tfidf_top_terms",
     "training_corpus_build",
     # --- window boundary (first 50 above) ---
+    "pmi_bigrams",
     "pack_sequences",
     "quality_quantile_filter",
     "rrf_hybrid_rank",
     "audience_overlap_hll",
     "streaming_audience_overlap",
-    "line_dedup",
     "embedding_neardup",
     "ann_topk_ivf",
     "dsir_select",

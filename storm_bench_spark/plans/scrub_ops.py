@@ -141,17 +141,30 @@ def strip_common_segments(
     re-grouped them by doc_id to reassemble — shuffling the entire
     corpus text to rebuild strings that never left their source row.
     Now only DIGESTS move: (a) a narrow explode of (doc_id, cid,
-    md5) feeds the digest-keyed distinct-doc count; (b) the removal
-    join emits per-doc REMOVED-cid int lists (boilerplate-sized —
-    chrome repeats, content doesn't); (c) reassembly happens back on
-    the original (doc_id, w) row — filter the chunk-id sequence
-    against the removed list, slice, join — a pure projection where
-    the document lives. Shuffle volume drops from the corpus text to
-    digest+int rows; at fixture scale the two spellings tie (the
-    text is megabytes), at crawl scale the difference is the corpus.
-    Results are bit-identical (verified row-for-row at sf0.1 before
-    the swap; same unit brute-force tests re-certify).
+    md5) feeds the digest-keyed distinct-doc count; (b) boilerplate
+    occurrences collapse to per-doc REMOVED-cid int lists
+    (boilerplate-sized — chrome repeats, content doesn't); (c)
+    reassembly happens back on the original (doc_id, w) row — filter
+    the chunk-id sequence against the removed list, slice, join — a
+    pure projection where the document lives. Shuffle volume drops
+    from the corpus text to digest+int rows; at fixture scale the two
+    spellings tie (the text is megabytes), at crawl scale the
+    difference is the corpus. Results are bit-identical (verified
+    row-for-row at sf0.1 before the swap; same unit brute-force tests
+    re-certify).
+
+    Round 11, the distinct-doc count moved INTO the digest window
+    (the chunk_dedup treatment): ``max(dense_rank ORDER BY doc_id)
+    OVER (PARTITION BY digest)`` computes per-occurrence distinct-doc
+    counts in ONE digest-keyed shuffle+sort, replacing the
+    countDistinct aggregate + join-back's two shuffles of the same
+    rows. Measured at the sf1 tier (R=10): 1.35 s → 0.72 s,
+    bit-identical (exceptAll both ways = 0). Skew class is unchanged
+    — a mega-boilerplate digest lands in one partition under either
+    spelling; the window just stops shipping the rows twice.
     """
+    from pyspark.sql.window import Window
+
     docs = words.where(F.size("w") > 0)
     hashes = docs.select(
         "doc_id",
@@ -164,14 +177,12 @@ def strip_common_segments(
             F.array_join(F.slice("w", F.col("cid") * seg_tokens + 1, seg_tokens), " ")
         ).alias("key"),
     )
-    boiler = (
-        hashes.groupBy("key")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= min_docs)
-        .select("key")
-    )
+    wkey = Window.partitionBy("key").orderBy("doc_id")
+    wall = Window.partitionBy("key")
     removed = (
-        hashes.join(boiler, "key")
+        hashes.withColumn("_dr", F.dense_rank().over(wkey))
+        .withColumn("_nd", F.max("_dr").over(wall))
+        .where(F.col("_nd") >= min_docs)
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("cid")).alias("rm"))
     )
