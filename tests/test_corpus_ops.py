@@ -250,3 +250,56 @@ def test_domain_mix_zero_token_source_keeps_everything(spark, tmp_path):
     for doc_id, rate in by_src.items():
         if doc_id in (2, 3):
             assert rate == 1_000_000
+
+
+def test_chunk_dedup_first_occurrence_rule_brute_force(spark, tmp_path):
+    # Round 11 (window-min respell): pin the FIRST-OCCURRENCE-WINS rule
+    # itself — which occurrence survives, by packed (doc_id, position)
+    # order — against a pure-Python replay on a crafted corpus with
+    # cross-doc repeats, within-doc repeats, a ragged tail, and a
+    # fully-duplicated document. The sf-fixture test above only checks
+    # survivor uniqueness; this one checks WHO survived.
+    B = DEDUP_BLOCK_TOKENS
+
+    def block(tag):  # one full 16-word block of distinct words
+        return [f"{tag}w{i}" for i in range(B)]
+
+    docs = {
+        # doc 0: A B A  (within-doc repeat of A -> second A removed)
+        0: block("a") + block("b") + block("a"),
+        # doc 1: B C  (B already owned by doc 0 -> removed here)
+        1: block("b") + block("c"),
+        # doc 2: A B  (both owned earlier -> clean_text empty)
+        2: block("a") + block("b"),
+        # doc 3: D + ragged 5-word tail (tail is its own block, unique)
+        3: block("d") + ["tail0", "tail1", "tail2", "tail3", "tail4"],
+    }
+    rows = [(i, " ".join(w), "en", "test", len(" ".join(w))) for i, w in docs.items()]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    # pure-Python replay of the rule
+    owner: dict[str, tuple] = {}
+    expected = {}
+    for did in sorted(docs):
+        w = docs[did]
+        cids = list(range((len(w) + B - 1) // B))
+        keep = []
+        removed = 0
+        for c in cids:
+            btxt = " ".join(w[c * B : (c + 1) * B])
+            pos = (did, c)
+            if btxt not in owner:
+                owner[btxt] = pos
+            if owner[btxt] == pos:
+                keep.append(btxt)
+            else:
+                removed += 1
+        expected[did] = (len(cids), removed, " ".join(keep))
+
+    got = {
+        r["doc_id"]: (r["n_blocks"], r["n_blocks_removed"], r["clean_text"])
+        for r in chunk_dedup(spark, str(tmp_path)).collect()
+    }
+    assert got == expected
