@@ -159,9 +159,20 @@ def strip_common_segments(
     counts in ONE digest-keyed shuffle+sort, replacing the
     countDistinct aggregate + join-back's two shuffles of the same
     rows. Measured at the sf1 tier (R=10): 1.35 s → 0.72 s,
-    bit-identical (exceptAll both ways = 0). Skew class is unchanged
-    — a mega-boilerplate digest lands in one partition under either
-    spelling; the window just stops shipping the rows twice.
+    bit-identical (exceptAll both ways = 0).
+
+    Skew bound (round 11, corrected from the first write-up): the r10
+    spelling's boiler probe could BROADCAST (boiler is boilerplate-
+    sized), so this respell does add window-partition exposure — the
+    hottest segment's occurrences sort in one task. That mass is
+    bounded by EXACT STRIDE-ALIGNED duplication (a match needs the
+    same 16 words at the same offset mod 16), categorically below a
+    rank-1 Zipf gram's corpus-constant mass at any alignment — which
+    is why the SAME respell was measured and DECLINED for
+    boilerplate_ngram_ratio (BASELINE.md round 11). If a corpus ever
+    concentrates pathological aligned duplication, the skew-safe
+    fallback is the r10 spelling: two-phase countDistinct + broadcast
+    boiler probe.
     """
     from pyspark.sql.window import Window
 
