@@ -278,12 +278,6 @@ def run_scale_tier(spark, queries, oracles, base_sf_dir: str) -> dict:
 
     r = SCALE_TIER_R
     dst = os.environ.get("SPARK_GRAFT_SCALE_DIR", f"/tmp/spark_graft_scale{r}")
-    t0 = time.perf_counter()
-    if not os.path.exists(os.path.join(dst, "_DONE")):
-        replicate(spark, base_sf_dir, dst, r)
-        with open(os.path.join(dst, "_DONE"), "w") as f:
-            f.write("ok")
-    build_s = round(time.perf_counter() - t0, 3)
 
     runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
     slow_s = float(os.environ.get("SPARK_GRAFT_SCALE_SLOW_S", "30"))
@@ -293,11 +287,56 @@ def run_scale_tier(spark, queries, oracles, base_sf_dir: str) -> dict:
         if sel
         else SF1_TIER + sorted(SF1_TIER_SPARK_ONLY)
     )
+    # Validate BEFORE the expensive replica build (ADVICE r11): a typo
+    # in SCALE_TIER_QUERIES used to raise KeyError mid-tier, after the
+    # R=10 replication and possibly after some rows had already timed.
+    unknown = [n for n in names if n not in queries]
+    if unknown:
+        raise SystemExit(
+            f"SPARK_GRAFT_SCALE_TIER_QUERIES names not in the registry: "
+            f"{unknown}"
+        )
+    for n in names:
+        if n not in oracles and n not in SF1_TIER_SPARK_ONLY:
+            print(
+                f"# sf1 WARNING: {n} has no oracle and is not in "
+                "SF1_TIER_SPARK_ONLY — it will time Spark-only",
+                file=sys.stderr,
+            )
+
+    # Replica provenance marker (ADVICE r11): the _DONE marker records
+    # the base SF dir and R it was built from, so a SCALE_DIR reused
+    # across pairs built from a DIFFERENT base is rebuilt instead of
+    # silently mislabeling the tier's provenance. (replicate() writes
+    # mode=overwrite per table, so rebuilding into a dirty dir is safe.)
+    t0 = time.perf_counter()
+    marker = os.path.join(dst, "_DONE")
+    want = {"base": os.path.abspath(base_sf_dir), "r": r}
+    have = None
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                have = json.load(f)
+        except (ValueError, OSError):
+            have = None  # pre-r12 "ok" marker or corrupt — rebuild
+    if have != want:
+        if have is not None:
+            print(
+                f"# sf1 replica marker mismatch ({have} != {want}) — "
+                "re-replicating",
+                file=sys.stderr,
+            )
+        replicate(spark, base_sf_dir, dst, r)
+        with open(marker, "w") as f:
+            json.dump(want, f)
+    build_s = round(time.perf_counter() - t0, 3)
+
     con = connect(dst)
     t: dict[str, float] = {}
     d: dict[str, float] = {}
     ratio: dict[str, float | None] = {}
     n_samples: dict[str, int] = {}
+    duck_n_samples: dict[str, int] = {}
     for name in names:
         samples, _fl = _run_spark_query(spark, queries[name], dst, 1)
         if samples[0] < slow_s and runs > 1:
@@ -307,12 +346,19 @@ def run_scale_tier(spark, queries, oracles, base_sf_dir: str) -> dict:
         n_samples[name] = len(samples)
         msg = f"# sf1 {name}: {t[name]}s (n={len(samples)})"
         if name not in SF1_TIER_SPARK_ONLY and name in oracles:
+            # symmetric sampling (ADVICE r11 medium): the duck leg gets
+            # the SAME runs-1 extra samples under the SAME adaptive cut
+            # as the Spark leg — min-of-N falls with N, so a duck leg
+            # hard-capped at 2 while Spark took `runs` biased tier
+            # ratios in Spark's favor on the rows that carry the 2x
+            # adjudication. Duck sample counts are recorded too.
             ds = time_oracle(con, oracles[name], 1)
-            if ds[0] < slow_s:
-                ds += time_oracle(con, oracles[name], 1)
+            if ds[0] < slow_s and runs > 1:
+                ds += time_oracle(con, oracles[name], runs - 1)
+            duck_n_samples[name] = len(ds)
             d[name], _ = summarize(ds)
             ratio[name] = round(t[name] / d[name], 3) if d[name] else None
-            msg += f" | duck {d[name]}s | ratio {ratio[name]}"
+            msg += f" | duck {d[name]}s (n={len(ds)}) | ratio {ratio[name]}"
         print(msg, file=sys.stderr)
     con.close()
     duck_total = round(sum(d.values()), 3)
@@ -325,6 +371,7 @@ def run_scale_tier(spark, queries, oracles, base_sf_dir: str) -> dict:
         "runs": runs,
         "adaptive_cut_s": slow_s,
         "n_samples": n_samples,
+        "duck_n_samples": duck_n_samples,
         "queries": t,
         "duck": d,
         "ratio": ratio,
@@ -347,6 +394,12 @@ def run_scale_tier(spark, queries, oracles, base_sf_dir: str) -> dict:
 # tenants, thermal, page-cache pressure) and the aggregate ratio would
 # be attributing box drift to code — suppress it, keep both totals.
 PROBE_DRIFT_MAX = 0.25
+# Closing-pair acceptance thresholds (VERDICT r11 next #6): tighter than
+# the sequential-mode suppression gate above — they don't suppress
+# anything, they flag a pair that should be retaken on an idle box
+# before it becomes the round's committed headline.
+RETAKE_DRIFT_MAX = 0.1
+RETAKE_SPREAD_FRAC = 0.15
 
 
 def box_probe(runs: int = 3) -> float:
@@ -529,6 +582,14 @@ def main() -> None:
     mode = "interleaved" if interleave else "sequential"
     annex: dict | None = None
     scale_tier: dict | None = None
+    # Which progressive emits will run (ADVICE r11: the compact line
+    # prints once per completed stage for crash-safety — headline,
+    # +annex, +scale tier — and the driver contract is LAST-LINE-WINS.
+    # Each line now carries "final": whether any stage is still
+    # pending, so a consumer parsing all stdout JSON lines can tell a
+    # progressive snapshot from the round's number of record.)
+    annex_on = interleave and os.environ.get("SPARK_GRAFT_ANNEX", "1") != "0"
+    tier_on = interleave and os.environ.get("SPARK_GRAFT_SCALE_TIER", "1") != "0"
 
     def _emit(duck_total=None, duck_spread=None, probes=None):
         with open(detail_path, "w") as f:
@@ -626,6 +687,40 @@ def main() -> None:
             out["sf1_duck_total"] = scale_tier["duck_total"]
             out["sf1_ratio"] = scale_tier["ratio_total"]
             out["sf1_rows"] = len(scale_tier["duck"])
+        # last-line-wins marker (ADVICE r11): progressive crash-safety
+        # emits are snapshots; only the line with final=true carries
+        # every enabled stage
+        out["final"] = not (
+            (annex_on and annex is None)
+            or (tier_on and scale_tier is None)
+            or (mode == "sequential" and duck_on and duck_total is None)
+        )
+        # Closing-pair acceptance rule (VERDICT r11 next #6): the r11
+        # closing pair ran at probe_drift 0.139 / spread 20 s and only
+        # the three-pair envelope saved the round. Encode the informal
+        # rule: a pair whose probe drift exceeds 0.1 or whose summed
+        # spread exceeds 15% of its value should be retaken once on an
+        # idle box before the round's headline is committed. Advisory
+        # (the numbers still print — per-row pairing keeps ratios
+        # honest under drift); the flag makes the retake decision
+        # mechanical instead of judgment.
+        retake = []
+        d_ = out.get("probe_drift") or out.get("ratio_suppressed_box_drift")
+        if d_ is not None and d_ > RETAKE_DRIFT_MAX:
+            retake.append(f"probe_drift {d_} > {RETAKE_DRIFT_MAX}")
+        if total > 0 and total_spread > RETAKE_SPREAD_FRAC * total:
+            retake.append(
+                f"value_spread {total_spread} > "
+                f"{int(RETAKE_SPREAD_FRAC * 100)}% of value {total}"
+            )
+        if retake:
+            out["retake_recommended"] = "; ".join(retake)
+            if out["final"]:
+                print(
+                    f"# RETAKE RECOMMENDED before committing this pair: "
+                    f"{out['retake_recommended']}",
+                    file=sys.stderr,
+                )
         print(json.dumps(out), flush=True)
 
     from scripts.duck_twin import write_detail

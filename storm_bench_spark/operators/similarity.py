@@ -94,9 +94,26 @@ def _with_norm(df: DataFrame, vec: str, out: str, dim: int | None) -> DataFrame:
 
 
 def _pair_cos(a: str, b: str, na: str, nb: str, dim: int | None) -> Column:
+    """Cosine of two vectors given precomputed norms.
+
+    Zero-norm guard (ADVICE r11): under ANSI mode a zero norm product
+    raised DIVIDE_BY_ZERO, so the composed IVF operator crashed on an
+    input class the fused path tolerates. ``nullif`` makes a zero norm
+    product yield NULL — which is what the fused path REALLY produces
+    for such rows (its Arrow kernel computes 0/0 = NaN, and the
+    pandas→Arrow hand-off converts float NaN to null), so NULL
+    cosines sort LAST under the desc rankings and a zero-norm vector
+    drops out of any top-k with enough real candidates. The two
+    certified-equivalent spellings now agree on this input class, and
+    every non-zero-norm row is bit-identical (the division itself is
+    untouched)."""
     if dim:
-        return F.expr(f"({_dot_terms(a, b, dim)}) / ({na} * {nb})")
-    return _dot(F.col(a), F.col(b)) / (F.col(na) * F.col(nb))
+        return F.expr(
+            f"({_dot_terms(a, b, dim)}) / nullif(({na} * {nb}), 0e0)"
+        )
+    return _dot(F.col(a), F.col(b)) / F.nullif(
+        F.col(na) * F.col(nb), F.lit(0.0)
+    )
 
 
 DOT_SQL = (
@@ -676,12 +693,14 @@ def ann_topk_ivf(
     (≥ the sampled variant — asserted in pytest; not SQL-replayable,
     so the kmeans mode registers rows-only).
 
-    Precondition (ADVICE r10): vectors must have NON-ZERO norm — the
-    JVM verify projection computes ``dot/(n_q·n_v)`` and a zero norm
-    raises ANSI DIVIDE_BY_ZERO (pinned in tests/test_scale_ops.py).
-    Filter or epsilon-pad zero vectors upstream; the fused id-prefix
-    specialization (:func:`ann_topk_ivf_fused`) instead NaN-ranks
-    them, matching numpy argmax semantics."""
+    Zero-norm rows (ADVICE r11): the scoring projection NULL-ranks a
+    zero norm product (``_pair_cos``'s nullif guard — NULLs sort last
+    under the desc rank window) instead of raising ANSI
+    DIVIDE_BY_ZERO, so this composed spelling and the fused id-prefix
+    specialization (:func:`ann_topk_ivf_fused`, whose Arrow kernel
+    delivers the same rows as NULLs after the pandas→Arrow NaN
+    conversion) agree on that input class (pinned in
+    tests/test_scale_ops.py::test_ivf_fused_zero_norm_vector)."""
     from pyspark.sql.window import Window
 
     v = vectors.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("v"))
@@ -764,21 +783,19 @@ def ann_topk_ivf_fused(
     the composed operator — same sequential-in-i sums — so the
     unchanged SQL oracle certifies the fusion.
 
-    Zero-norm rows (ADVICE r10): a zero-norm corpus vector's cosines
-    are all NaN (0/0 in the Arrow kernel). The argmax spelling here
-    still matches :func:`ivf_assign`'s ``np.argmax`` bit-for-bit
-    because Spark SQL treats NaN as the LARGEST double and ``NaN =
-    NaN`` as true: ``array_max`` returns NaN and ``array_position``
-    finds its FIRST occurrence — first-NaN for mixed rows, position 1
-    for all-NaN rows — exactly numpy's NaN-propagating first-max.
-    ``element_at(cid_arr, 0)`` is therefore unreachable, and the NaN
-    candidate rows rank first (Spark NaN-max ordering) instead of
-    erroring — pinned by tests/test_scale_ops.py::
-    test_ivf_fused_zero_norm_vector. Note the COMPOSED operator is
-    stricter: its JVM verify projection divides by the norm product
-    and raises ANSI DIVIDE_BY_ZERO on such rows (precondition
-    documented on :func:`ann_topk_ivf`), so the fused path is the
-    more permissive of the two, not less.
+    Zero-norm rows (ADVICE r10/r11): a zero-norm corpus vector's
+    cosines are 0/0 = NaN in the Arrow kernel, and the pandas→Arrow
+    hand-off converts float NaN to NULL — so its score array arrives
+    JVM-side as all-NULLs (measured round 12; the r11 docstring's
+    "NaN ranks first" claim was wrong — NaN never survives the Arrow
+    boundary). NULL cosines sort LAST under the desc rank window, so
+    a zero-norm vector drops out of any top-k with enough real
+    candidates instead of erroring. Since round 12 the COMPOSED
+    operator agrees: ``_pair_cos`` guards the norm product with
+    ``nullif`` (NULL, ranks last) instead of raising ANSI
+    DIVIDE_BY_ZERO, so the two certified-equivalent spellings return
+    identical rows on this input class — pinned by
+    tests/test_scale_ops.py::test_ivf_fused_zero_norm_vector.
     """
     import numpy as np
     from pyspark.sql.window import Window

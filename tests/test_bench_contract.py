@@ -59,6 +59,11 @@ def test_compact_summary_line_fits_driver_tail():
         "sf1_duck_total": 99999.999,
         "sf1_ratio": 99.999,
         "sf1_rows": 999,
+        "final": False,
+        "retake_recommended": (
+            "probe_drift 9.999 > 0.1; value_spread 99999.999 > 15% of "
+            "value 99999.999"
+        ),
     })
     assert len(worst_line.encode()) < 1536, (
         f"compact bench line could reach {len(worst_line)} B; the driver "
@@ -104,6 +109,21 @@ def test_duck_twin_subset_mode_guards(tmp_path, monkeypatch):
     assert merged["queries"]["wordcount"] != 0.5  # re-measured
     assert merged["runs_by_query"] == {"grep": 2, "wordcount": 1}
     assert "pair_id" not in merged  # standalone subset breaks pairing
+
+
+def test_scale_tier_env_selection_validated(monkeypatch):
+    """ADVICE r11 (low): a typo in SPARK_GRAFT_SCALE_TIER_QUERIES must
+    fail BEFORE the expensive R=10 replica build, not KeyError mid-tier.
+    run_scale_tier validates the selection against the registry first —
+    so with a bogus name it exits without ever touching spark (passing
+    spark=None proves no Spark work preceded the check)."""
+    import pytest
+
+    from bench import run_scale_tier
+
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_TIER_QUERIES", "no_such_query")
+    with pytest.raises(SystemExit, match="no_such_query"):
+        run_scale_tier(None, {"wordcount": None}, {}, "/nonexistent")
 
 
 def test_scale_tier_names_resolve():

@@ -378,18 +378,15 @@ def test_apply_changes_struct_order_key_survives_large_ids(spark):
 
 
 def test_ivf_fused_zero_norm_vector(spark):
-    # ADVICE r10 (similarity.py ann_topk_ivf_fused): a zero-norm corpus
-    # vector's cosines are all NaN; the claim was that array_max -> NaN
-    # fails the array_position equality and element_at(cid_arr, 0)
-    # throws. Spark SQL's NaN ordering (NaN = largest, NaN = NaN true)
-    # makes the argmax spelling match np.argmax instead: the fused path
-    # runs green and NaN candidates rank FIRST (NaN-max desc ordering),
-    # while the COMPOSED path's JVM dot/(n*n) verify raises ANSI
-    # DIVIDE_BY_ZERO — the precondition documented on ann_topk_ivf.
-    import math
-
-    import pytest as _pytest
-
+    # ADVICE r10+r11 (similarity.py): a zero-norm corpus vector's
+    # cosines are 0/0 = NaN in the Arrow kernel, but the pandas→Arrow
+    # hand-off converts float NaN to NULL, so the fused path's score
+    # array arrives JVM-side as all-NULLs and the zero vector sorts
+    # LAST under the desc rank window (out of top-k). The COMPOSED
+    # path's _pair_cos used to raise ANSI DIVIDE_BY_ZERO on the same
+    # input; its nullif guard (round 12) makes it NULL-rank too. This
+    # test pins BOTH spellings running green AND returning identical
+    # rows on the zero-norm input class.
     from storm_bench_spark.operators import similarity as SIM
 
     rows = [
@@ -403,13 +400,17 @@ def test_ivf_fused_zero_norm_vector(spark):
         vecs, n_queries=3, k=4, n_probe=2, n_centroids=5
     ).collect()
     assert len(fused) == 12  # 3 queries x k=4 — no row lost, no throw
-    for r in fused:
-        if r["neighbor"] == 15:  # the zero vector scores NaN -> ranks 1st
-            assert math.isnan(r["cos"]) and r["rank"] == 1
+    # the zero vector's NULL cosine never outranks a real candidate
+    assert all(r["neighbor"] != 15 for r in fused)
 
-    from pyspark.errors.exceptions.captured import ArithmeticException
+    composed = SIM.ann_topk_ivf(
+        vecs, vecs.where("vec_id < 3"), 4, n_probe=2, n_centroids=5
+    ).collect()
+    assert len(composed) == 12  # no throw (was DIVIDE_BY_ZERO pre-r12)
 
-    with _pytest.raises(ArithmeticException, match="DIVIDE_BY_ZERO"):
-        SIM.ann_topk_ivf(
-            vecs, vecs.where("vec_id < 3"), 4, n_probe=2, n_centroids=5
-        ).collect()
+    def key(rs):
+        return sorted(
+            (r["qid"], r["rank"], r["neighbor"], r["cos"]) for r in rs
+        )
+
+    assert key(composed) == key(fused)
