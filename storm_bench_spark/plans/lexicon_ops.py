@@ -52,16 +52,21 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(load_table(spark, sf_dir, "documents"), sf_dir)
 
 
-def _trigram_expr():
-    """Word 3-grams of the bound token array ``w`` as space-joined
-    strings (empty for <3-word docs)."""
+def _trigram_hash_expr():
+    """Word-3-gram ``hash64`` values of the bound token array ``w`` as
+    one array<bigint> per doc (empty for <3-word docs) — the gram
+    string never materializes outside the transform lambda, so the
+    per-doc cache holds 8 B/position instead of the gram text."""
+    # hash64's md5 spelling (functions/hashing.py:43) inlined into the
+    # lambda so the whole position -> hash pipeline is one HOF pass
+    gram = "concat_ws(' ', w[i - 1], w[i], w[i + 1])"
     body = (
         "transform(sequence(1, size(w) - 2), "
-        "i -> concat_ws(' ', w[i - 1], w[i], w[i + 1]))"
+        f"i -> CAST(conv(substr(md5({gram}), 1, 15), 16, 10) AS BIGINT))"
     )
     return F.expr(
         f"CASE WHEN size(w) >= {NGRAM_N} THEN {body} "
-        "ELSE CAST(array() AS array<string>) END"
+        "ELSE CAST(array() AS array<bigint>) END"
     )
 
 
@@ -115,32 +120,48 @@ def boilerplate_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derived ``words`` from raw), and the per-doc hit count joined
     back to the total in a closing doc-keyed join. ``explode_outer``
     keeps a NULL-gram row for <3-word docs, so ONE grouped pass over
-    the marker-joined gram table yields both n_grams (count of
-    non-null gh) and n_frequent (count of markers) — one split, one
-    doc-keyed shuffle, no closing join. The stage profile (BASELINE.md
-    round 10) shows the remaining ~1.1 s at sf0.1 is stage-count
-    floor, not data: gram materialization 0.38 s + the exact-distinct
-    DF aggregate 0.50 s + probe/group 0.35 s on 260k cached rows —
-    each a fixed scheduling quantum at fixture scale, each the
-    scale-correct shape at 100 TB (map-side-partialed keyed aggs, a
-    boilerplate-sized broadcast probe).
+    the marker-joined gram table yields both n_grams and n_frequent —
+    one split, one doc-keyed shuffle, no closing join.
+
+    Round 12 respell (VERDICT r11 next #1 — the last row above the 2x
+    tier bar): the r10 spelling persisted raw gram POSITIONS and its
+    countDistinct DF build shuffled every distinct (gh, doc_id) pair —
+    the row's only big exchange. Hashing the trigrams IN-ARRAY (the
+    ``hash64`` md5 spelling inlined into the trigram transform lambda)
+    removes it entirely: the persisted table is one array<bigint> of
+    position hashes per doc (8 B/position — half the exploded row
+    form), the DF build explodes ``array_distinct(h)`` so the
+    per-doc dedup happens inside the array (no (gh, doc)-keyed
+    exchange at all — the groupBy(gh).count() ships only map-side
+    partial counts, ≤ #partitions rows for even a corpus-constant
+    Zipf gram), and the probe explodes the cached arrays into the
+    boilerplate-sized broadcast join + doc-keyed count. NOTHING
+    position-sized crosses an exchange anywhere in the plan — the
+    window-funnel respell r11 declined stays declined. The in-lambda
+    md5 runs on Catalyst's interpreted HOF path, but md5 itself
+    dominates the eval cost (measured: 1.34 s vs 1.59 s for the
+    exploded-codegen spelling at the sf1 tier, min-of-8).
+    Bit-identical to the r10 spelling (exceptAll both ways = 0,
+    BASELINE.md round 12); oracle unchanged.
     """
     words = _docs(spark, sf_dir).select("doc_id", word_split("text").alias("w"))
-    tri = (
-        words.select("doc_id", F.explode_outer(_trigram_expr()).alias("g"))
-        .select("doc_id", hash64(F.col("g")).alias("gh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    tga = words.select("doc_id", _trigram_hash_expr().alias("h")).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     freq = (
-        tri.groupBy("gh")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        tga.select(F.explode(F.array_distinct("h")).alias("gh"))
+        .groupBy("gh")
+        .agg(F.count("*").alias("df"))
         .filter(F.col("df") >= MIN_DOCS)
         .select("gh", F.lit(1).alias("_f"))
     )
-    # NULL gh (a <3-word doc's placeholder row) never equi-joins, so it
-    # survives as an unmarked row keeping its doc in the group count
+    # explode_outer keeps a NULL-gh placeholder row for <3-word docs
+    # (empty hash array); NULL never equi-joins, so the row survives
+    # the left join unmarked — count("gh") skips it (n_grams = 0) and
+    # the doc stays in the output
+    probe = tga.select("doc_id", F.explode_outer("h").alias("gh"))
     return (
-        tri.join(freq, "gh", "left")
+        probe.join(freq, "gh", "left")
         .groupBy("doc_id")
         .agg(
             F.count("gh").alias("n_grams"),
