@@ -72,46 +72,94 @@ def _ensure_loaded() -> None:
 # name that somehow escapes the list sorts LAST — fail-safe: an
 # unlisted query can never displace promised window rows.
 #
-# ROUND-11 WINDOW (exactly 50) = VERDICT r10 next #3 verbatim, plus
-# the round's touched rows. Registry growth is FROZEN at 177 this
-# round (VERDICT r10 next #8 — the explicit window-math statement;
-# rationale in COVERAGE.md), so every slot goes to staleness
-# retirement or touched-row re-gating:
-# (a) the FULL r5 cohort (7: cdc_apply, user_event_unpivot,
-# tpch_q17/q18/q20/q21/q22 — the rows displaced across r10's window,
-# promised to front this rotation) and the FULL r6 cohort (14:
-# bigram_lm_score, chunk_documents, contamination_score,
-# domain_mix_sample, epoch_shuffle, events_cube, heavy_hitters_cms,
-# lang_id, ngram_jaccard, quality_score, repetition_score, simhash,
-# token_budget_select, vocab_oov_rate).
-# (b) TOUCHED this round: chunk_dedup (respelled so corpus text never
-# crosses an exchange, then window-min ownership — one digest shuffle;
-# bit-identical vs its unchanged oracle at sf0.1 at each swap),
-# line_dedup (strip_common_segments' distinct-doc count moved into a
-# dense-rank digest window — 1.35 s -> 0.72 s at the sf1 tier,
-# bit-identical), plus ann_rerank and embedding_neardup_lsh_scaled
-# (the last two >2x perf rows — profiled and floor-adjudicated in
-# BASELINE.md; in-window so the re-gate covers whatever the
-# adjudication touched).
-# (c) r7-cohort staleness fillers (25 of 29 remaining): bm25_rank,
-# bpe_encode, bpe_merge_steps, containment_pairs, corpus_curate,
-# corpus_split, decontaminate, decontaminate_minhash, dedup_keep_best,
-# dup_ngram_spans, fuzzy_name_pairs, fuzzy_name_pairs_d2 (its R=100
-# boundedness determination is BASELINE.md round 11 — no code
-# change), fuzzy_triangles, incremental_dedup, inverted_index,
-# minhash_lsh, neardup_clusters, pagerank_neardup, pii_scrub,
-# simhash_pairs, source_overlap, table_profile, textrank_keywords,
-# tfidf_top_terms, training_corpus_build.
-# The 4 deferred r7 rows (pmi_bigrams — displaced when line_dedup's
-# respell forced it into the window — plus pack_sequences,
-# quality_quantile_filter, rrf_hybrid_rank; all untouched since r7,
-# lightweight pure-plan rows) sit at positions 51-54 and front the
-# r12 rotation; after this window no registry row's latest driver
-# gate is older than r7.
-# Docstring-only touches this round (ann_topk_ivf zero-norm semantics
-# note, wide-HLL layout caveat) change no behavior and keep their r10
-# gates.
+# ROUND-12 WINDOW (exactly 50). Registry growth stays FROZEN at 177
+# (VERDICT r11 next #8 — window math: 177 rows / 50 slots; unfreezing
+# before the old cohorts re-gate would reopen the staleness gap;
+# revisit at r13 when the oldest gated row is r9). Composition, from
+# per-query max-round over all CORRECTNESS_r*.json files (note: the
+# VERDICT r11 #2 "15 r7-gated rows" list was stale — most of it
+# re-gated in r11; the true map is r7=4, r8=29, r9=46):
+# (a) TOUCHED this round (5): boilerplate_ngram_ratio (in-array
+# trigram-hash respell — the big exchange removed; bit-identical,
+# BASELINE.md round 12) and the four registered queries whose plans
+# contain _pair_cos, which now nullif-guards the norm product
+# (zero-norm rows NULL-rank instead of ANSI DIVIDE_BY_ZERO):
+# embedding_neardup_lsh, embedding_neardup_lsh_scaled, semdedup,
+# ann_topk_ivf_kmeans. (The registered ann_topk_ivf runs the FUSED
+# path — docstring-only change, keeps its r9 gate via the filler
+# below; embedding_neardup and ann_recall_at_k use the Arrow
+# reference scorer, untouched.)
+# (b) the FULL r7 cohort (4): pmi_bigrams, pack_sequences,
+# quality_quantile_filter, rrf_hybrid_rank — the rows deferred at
+# positions 51-54 across the r11 window, promised to front this one.
+# (c) the FULL r8 cohort (29): dataclean, dedup_exact, distinct_users,
+# doc_fingerprint, grep, histogram_quantiles, kmv_distinct_users,
+# lsh_recall_pairs, multimodal_ppm_meta, multimodal_wav_meta,
+# pageview_count, rolling_count, rolling_sort, sol, token_count,
+# top_terms, tpch_q1/q3/q4/q5/q6/q10/q12/q14/q19, unique_visitor,
+# user_sessions, wordcount (embedding_neardup_lsh is r8 AND touched —
+# counted once).
+# (d) r9-cohort fillers (13, oldest-first alphabetical):
+# ann_recall_at_k, ann_topk (the fused-path family neighbors of the
+# touched code — cheap insurance), asof_click_purchase,
+# bitmap_distinct_daily, bitmap_distinct_weekly_rollup,
+# bitmap_retention_daily, expand_words, histogram_quantiles_rollup,
+# kmv_resemblance, multimodal_audio_chunks, multimodal_audio_meta,
+# multimodal_features, multimodal_frames.
+# After this window the oldest gated row is r9 (33 remaining), then
+# r10/r11 — the r13 rotation takes the rest of the r9 cohort.
 _GATE_PRIORITY: tuple[str, ...] = (
+    "boilerplate_ngram_ratio",
+    "embedding_neardup_lsh",
+    "embedding_neardup_lsh_scaled",
+    "semdedup",
+    "ann_topk_ivf_kmeans",
+    "pmi_bigrams",
+    "pack_sequences",
+    "quality_quantile_filter",
+    "rrf_hybrid_rank",
+    "dataclean",
+    "dedup_exact",
+    "distinct_users",
+    "doc_fingerprint",
+    "grep",
+    "histogram_quantiles",
+    "kmv_distinct_users",
+    "lsh_recall_pairs",
+    "multimodal_ppm_meta",
+    "multimodal_wav_meta",
+    "pageview_count",
+    "rolling_count",
+    "rolling_sort",
+    "sol",
+    "token_count",
+    "top_terms",
+    "tpch_q1",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q19",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "unique_visitor",
+    "user_sessions",
+    "wordcount",
+    "ann_recall_at_k",
+    "ann_topk",
+    "asof_click_purchase",
+    "bitmap_distinct_daily",
+    "bitmap_distinct_weekly_rollup",
+    "bitmap_retention_daily",
+    "expand_words",
+    "histogram_quantiles_rollup",
+    "kmv_resemblance",
+    "multimodal_audio_chunks",
+    "multimodal_audio_meta",
+    "multimodal_features",
+    "multimodal_frames",
+    # --- window boundary (first 50 above) ---
     "cdc_apply",
     "user_event_unpivot",
     "tpch_q17",
@@ -135,7 +183,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "vocab_oov_rate",
     "chunk_dedup",
     "ann_rerank",
-    "embedding_neardup_lsh_scaled",
     "bm25_rank",
     "bpe_encode",
     "bpe_merge_steps",
@@ -162,17 +209,11 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "textrank_keywords",
     "tfidf_top_terms",
     "training_corpus_build",
-    # --- window boundary (first 50 above) ---
-    "pmi_bigrams",
-    "pack_sequences",
-    "quality_quantile_filter",
-    "rrf_hybrid_rank",
     "audience_overlap_hll",
     "streaming_audience_overlap",
     "embedding_neardup",
     "ann_topk_ivf",
     "dsir_select",
-    "boilerplate_ngram_ratio",
     "unique_visitor_approx",
     "streaming_hll_visitors",
     "hll_users_per_type",
@@ -182,7 +223,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "users_except",
     "users_intersect",
     "users_union",
-    "ann_topk_ivf_kmeans",
     "ann_topk_quantized",
     "asof_click_purchase_tol",
     "bloom_high_value_orders",
@@ -203,7 +243,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "rolling_flight_dist_bucketed",
     "embedding_project",
     "pii_mask",
-    "semdedup",
     "stratified_sample",
     "text_normalize",
     "tpch_q2",
@@ -215,16 +254,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "tpch_q15",
     "tpch_q16",
     "user_event_pivot",
-    "kmv_resemblance",
-    "ann_recall_at_k",
     "weighted_sample",
     "streaming_weighted_sample",
     "weighted_sample_per_source",
-    "bitmap_distinct_daily",
     "streaming_bitmap_visitors",
-    "bitmap_retention_daily",
-    "bitmap_distinct_weekly_rollup",
-    "histogram_quantiles_rollup",
     "tumbling_ohlc",
     "streaming_tumbling_ohlc",
     "zorder_layout",
@@ -250,46 +283,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "orders_rollup",
     "user_running_value",
     "value_percentiles",
-    "asof_click_purchase",
-    "multimodal_features",
-    "multimodal_audio_meta",
-    "multimodal_audio_chunks",
-    "ann_topk",
     "multimodal_image_meta",
     "multimodal_resize",
-    "multimodal_frames",
     "pageview_extract",
-    "expand_words",
     "one_per_key",
-    "multimodal_wav_meta",
-    "multimodal_ppm_meta",
-    "histogram_quantiles",
-    "lsh_recall_pairs",
-    "kmv_distinct_users",
-    "embedding_neardup_lsh",
-    "wordcount",
-    "grep",
-    "rolling_count",
-    "rolling_sort",
-    "sol",
-    "pageview_count",
-    "dataclean",
-    "distinct_users",
-    "unique_visitor",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q6",
-    "tpch_q14",
-    "tpch_q19",
-    "tpch_q10",
-    "tpch_q12",
-    "tpch_q5",
-    "dedup_exact",
-    "doc_fingerprint",
-    "token_count",
-    "top_terms",
-    "user_sessions",
 )
 
 

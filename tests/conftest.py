@@ -9,7 +9,17 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="sbs-tests", master="local[4]", shuffle_partitions=4)
+    # codegen.fallback=false (tests only — VERDICT r11 next #7): a
+    # janino compile failure (e.g. the 64KB method limit the unrolled
+    # dot products tripped in r10) is a HARD error here instead of a
+    # silent interpreted 10x; production sessions keep the default
+    # graceful fallback.
+    s = get_spark(
+        app_name="sbs-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.codegen.fallback": "false"},
+    )
     yield s
     s.stop()
 

@@ -146,7 +146,15 @@ def _tree_edges(plan_text: str):
         while stack and stack[-1][0] >= indent:
             stack.pop()
         parent = stack[-1][1] if stack else None
-        nodes[num] = {"name": name, "parent": parent, "children": []}
+        # '*' in the tree prefix marks whole-stage-codegen membership —
+        # more faithful than the detail-header '[codegen id : k]' tag,
+        # which formatted explain elides on some streamed-side nodes
+        nodes[num] = {
+            "name": name,
+            "parent": parent,
+            "children": [],
+            "codegen": "*" in m.group(1),
+        }
         if parent is not None:
             nodes[parent]["children"].append(num)
         stack.append((indent, num))
@@ -291,6 +299,146 @@ def test_bnlj_allowlist_is_not_stale(spark):
     assert not missing_sp, f"allowlist references unknown queries: {missing_sp}"
     missing_rr = ALLOW_SPREAD - set(all_queries())
     assert not missing_rr, f"allowlist references unknown queries: {missing_rr}"
+    missing_cg = set(CODEGEN_HOF_ALLOW) - set(all_queries())
+    assert not missing_cg, f"allowlist references unknown queries: {missing_cg}"
+
+
+# --- whole-stage-codegen canary (VERDICT r11 next #7) ---------------------
+# The suite has caught three silent-slowness mechanisms ad hoc (janino
+# 64KB compile fail, HOF interpreted fallback inside a join condition,
+# HotSpot DontCompileHugeMethods) — each found via bench anomalies, not
+# CI. This lint makes one class mechanical: every JVM row-processing
+# node of the HOT plans (the sf1-tier rows — the ones whose wall
+# carries the 2x adjudication) must sit inside a WholeStageCodegen
+# region. Plans are explained with AQE off because an unexecuted AQE
+# plan (isFinalPlan=false) hides codegen assignment entirely.
+#
+# What this does NOT see: expression-level CodegenFallback (HOFs run
+# interpreted INSIDE a codegen'd node — deliberate where used, e.g.
+# boilerplate's in-lambda md5, measured faster than the exploded
+# codegen spelling) and HotSpot-level huge-method deoptimization
+# (JVM-internal; the bench annex's per-row timings remain the net for
+# that). Janino compile failures are covered suite-wide by
+# conftest.py setting spark.sql.codegen.fallback=false — a compile
+# error is a hard test failure, not a silent 10x.
+
+# Node types that must be codegen'd when they appear in a hot plan.
+# Not listed (legitimately outside whole-stage codegen): Exchange,
+# Scan/BatchScan, ColumnarToRow, Generate, Window, TakeOrderedAndProject,
+# ObjectHashAggregate, ArrowEvalPython / *InPandas, Union, Coalesce.
+_CODEGEN_EXPECTED = (
+    "HashAggregate", "Project", "Filter", "Sort", "Expand",
+    "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+)
+
+# query -> reason its HOF-bearing nodes may run outside codegen. The
+# exemption applies ONLY to uncovered nodes whose detail block contains
+# ``lambdafunction(`` — a deliberate higher-order function (the
+# engine's in-array idiom: word_split's filter(split(..)), minhash
+# permutation transforms, quantization lambdas), where the lambda body
+# cost (regex split, md5, arithmetic) dominates the interpreted-eval
+# wrapper and the row is bench-measured under bar. A non-HOF node
+# falling out of codegen still fails in these queries — that is the
+# silent-fallback class the canary exists for.
+CODEGEN_HOF_ALLOW: dict[str, str] = {
+    "corpus_curate": "word_split filter(split(text)) token-count lambda — regex split dominates",
+    "dedup_keep_best": "word_split token-count lambda on the keep-best scorer",
+    "source_overlap": "minhash permutation transform chain — per-element md5 dominates",
+    "minhash_lsh": "minhash permutation transform chain — per-element md5 dominates",
+    "lsh_recall_pairs": "same minhash permutation transform chain as minhash_lsh (composes it)",
+    "bpe_encode": "in-string merge replace + split filter; bounded by doc length",
+    "dup_ngram_spans": "word_split + shingle-window lambdas; per-doc bounded",
+    "line_dedup": "word_split + stride segment/reassembly lambdas (r11 respell, measured 1.09x at tier)",
+    "chunk_dedup": "word_split + block segment/reassembly lambdas (r11 respell, measured 1.88x idle-box)",
+    "ann_rerank": "int8 quantization transform lambdas, dim-bounded per vector; scoring runs in the Arrow kernel",
+    "boilerplate_ngram_ratio": "in-lambda md5 trigram hashing (r12 respell — measured faster than the exploded codegen spelling); usually under the cache subtree, listed for cache-off configs",
+}
+
+
+def _codegen_uncovered(plan_text: str) -> list[str]:
+    """Node strings for every _CODEGEN_EXPECTED node the tree diagram
+    prints WITHOUT the ``*`` codegen prefix (= Spark left it outside
+    every WholeStageCodegen region — for Project/Filter that means an
+    expression in it is CodegenFallback, e.g. a higher-order function,
+    and the node evaluates interpreted per row). Nodes under an
+    InMemoryRelation are skipped: the cache-build subtree is printed
+    from the stored snapshot without codegen assignment — it gets its
+    own codegen stages at materialization, invisible statically."""
+    nodes = _tree_edges(plan_text)
+
+    def _under_cache(num: int) -> bool:
+        p = nodes[num]["parent"]
+        while p is not None:
+            if nodes[p]["name"].startswith("InMemoryRelation"):
+                return True
+            p = nodes[p]["parent"]
+        return False
+
+    out = []
+    for num, nd in nodes.items():
+        base = nd["name"].split()[0]
+        if base not in _CODEGEN_EXPECTED or _under_cache(num):
+            continue
+        if not nd["codegen"]:
+            out.append(f"{nd['name']} ({num})")
+    return out
+
+
+def _hot_queries() -> list[str]:
+    from bench import SF1_TIER, SF1_TIER_SPARK_ONLY
+
+    hot = list(SF1_TIER) + sorted(SF1_TIER_SPARK_ONLY)
+    hot.append("embedding_neardup")  # the r10 regression's row
+    return [n for n in hot if not n.startswith(_SKIP_PREFIXES)]
+
+
+@pytest.mark.parametrize("name", _hot_queries())
+def test_codegen_covers_hot_plans(name, spark):
+    # cache-free plan: persisted subtrees registered by earlier tests
+    # reshape this query's tree (cache reuse swaps which nodes exist),
+    # making the uncovered set order-dependent
+    spark.catalog.clearCache()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan_text = _plan(spark, name)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    uncovered = _codegen_uncovered(plan_text)
+    if name in CODEGEN_HOF_ALLOW:
+        uncovered = [
+            u
+            for u in uncovered
+            if "lambdafunction("
+            not in _detail_block(plan_text, int(re.search(r"\((\d+)\)$", u).group(1)))
+        ]
+    assert not uncovered, (
+        f"{name}: row-processing node(s) outside every WholeStageCodegen "
+        f"region: {uncovered} — interpreted evaluation on a hot path "
+        f"(the silent 10x class). Fix the expression, or — if it is a "
+        f"deliberate, measured HOF — add the query to CODEGEN_HOF_ALLOW"
+    )
+
+
+def test_codegen_canary_fails_red_when_codegen_disabled(spark):
+    """The canary's own canary: with whole-stage codegen artificially
+    off (how the r10-class regressions LOOK to the engine), the check
+    must flag every expected node — proving it would not silently pass
+    a fallen-back plan."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        # a cache-free query: a persisted subtree planned codegen-on by
+        # an earlier test would leak `[codegen id` tags into this plan
+        plan_text = _plan(spark, "wordcount")
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "[codegen id" not in plan_text
+    uncovered = _codegen_uncovered(plan_text)
+    assert uncovered, (
+        "codegen canary failed to flag a plan with codegen disabled — "
+        "the formatted-explain parsing it relies on has changed"
+    )
 
 
 # --- _spread conditional guard (plans/pipeline.py) -----------------------
