@@ -1155,11 +1155,37 @@ def semdedup_pairs(
 
     This is the SemDeDup decomposition (Abbas et al. 2023, public):
     clustering turns the O(N²) all-pairs comparison into Σ|cell|² —
-    with N/C-sized cells, a C-fold reduction, and each cell's pair
-    join is an equi-join on cid, so candidates co-locate in one
-    shuffle and no cross-cell pair is ever materialized. Skewed cells
-    degrade toward local quadratic cost; the lever is raising
-    ``n_centroids`` (cell count), the same knob as IVF.
+    with N/C-sized cells, a C-fold reduction. Skewed cells degrade
+    toward local quadratic cost; the lever is raising ``n_centroids``
+    (cell count), the same knob as IVF.
+
+    Round 12 respell (the tier's dominant row, profiled): the r≤11
+    within-cell pairing was a cid-keyed SELF-JOIN whose projection
+    carried the dim-term unrolled dot — Spark codegen'd it, but the
+    fused join method exceeds HotSpot's JIT limit and the dot ran in
+    the BYTECODE INTERPRETER at ~6 µs/pair (measured: 75.9 s for
+    12.5M candidate pairs at the R=10 tier — the r10
+    DontCompileHugeMethods class again, invisible to the plan-level
+    codegen canary because the NODES are codegen'd). Now each cell is
+    scored in ONE Arrow ``applyInPandas`` kernel: the cell's vectors
+    arrive as one group (ONE cid-keyed exchange of the vector table —
+    the join needed the same exchange, twice), the kernel forms the
+    cell's full Gram matrix with the sequential-in-i accumulation
+    (left-assoc sums, bit-identical to the SQL's unrolled dot and to
+    the old projection), takes the upper triangle over ids sorted
+    ascending (the a < b pairing), and emits only pairs with raw
+    cosine ≥ threshold − 1e-6; the exact filter — round(cos, 6) ≥
+    threshold, HALF_UP like the old spelling and the oracle — runs
+    JVM-side on that sparse output (rounding moves a value ≤ 5e-7, so
+    the margin cannot drop a pair that would round-pass). A zero-norm
+    vector's cosines are NaN in the kernel and fail the ≥ margin —
+    same drop as the nullif spelling. Measured: the 75.9 s pair stage
+    → ~1 s; bit-identical (exceptAll both ways = 0) at sf0.01 and
+    sf0.1, oracle unchanged. Per-cell kernel memory is |cell|²
+    doubles for the Gram matrix (~3.6 MB at the fixture's 671-row max
+    cell); at 100 TB the bound is the same n_centroids lever, and a
+    pathological mega-cell would sub-block the Gram accumulation
+    before it breaks a task.
 
     The k-means is the deterministic Lloyd loop of
     :func:`kmeans_centroids` and the single-nearest assignment of
@@ -1169,22 +1195,48 @@ def semdedup_pairs(
     ``connected_components`` gives canonical keepers (the
     neardup_clusters pattern).
     """
-    from pyspark import StorageLevel
+    import numpy as np
 
     v = vectors.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("v"))
     cent = kmeans_centroids(v, n_centroids)
-    # persist before the self-join: both sides embed the Arrow
-    # assignment kernel + norm projection over the full vector scan,
-    # and ReuseExchange does not dedupe the pre-shuffle compute — the
-    # same hazard (and fix) as neardup_lsh's banded table above
-    assigned = _with_norm(ivf_assign(v, cent, dim, n_assign=1), "v", "n", dim).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    l, r = assigned.alias("l"), assigned.alias("r")
-    cos = F.round(_pair_cos("l.v", "r.v", "l.n", "r.n", dim), 6)
+    assigned = ivf_assign(v, cent, dim, n_assign=1)
+    margin = threshold - 1e-6
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "a": pd.Series([], dtype="int64"),
+            "b": pd.Series([], dtype="int64"),
+            "c": pd.Series([], dtype="float64"),
+        })
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("id")
+        ids = pdf["id"].to_numpy()
+        m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        k, d = m.shape
+        acc = np.zeros((k, k))
+        nn = np.zeros(k)
+        for i in range(d):  # sequential in i: left-assoc sums
+            acc += np.outer(m[:, i], m[:, i])
+            nn += m[:, i] * m[:, i]
+        norm = np.sqrt(nn)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = acc / (norm[:, None] * norm[None, :])
+        iu = np.triu_indices(k, 1)
+        c = cos[iu[0], iu[1]]
+        keep = c >= margin  # NaN (zero-norm) fails, matching nullif
+        if not keep.any():
+            return empty
+        return pd.DataFrame({
+            "a": ids[iu[0][keep]],
+            "b": ids[iu[1][keep]],
+            "c": c[keep],
+        })
+
     return (
-        l.join(r, (F.col("l.cid") == F.col("r.cid")) & (F.col("l.id") < F.col("r.id")))
-        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"), cos.alias("cos"))
+        assigned.groupBy("cid")
+        .applyInPandas(cell_pairs, schema="a long, b long, c double")
+        .select("a", "b", F.round("c", 6).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
 
