@@ -479,14 +479,54 @@ def neardup_lsh(
         .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .distinct()
     )
+    # Verify stage (round 12): the exact-cosine check used to be the
+    # dim-term unrolled dot in a projection FUSED into the two
+    # vector-fetch joins' codegen method — which exceeds HotSpot's JIT
+    # limit and runs in the bytecode interpreter (~18 µs/pair; 12.8 s
+    # of this operator's 15.3 s at the R=10 tier — the same
+    # DontCompileHugeMethods class semdedup's pair join hit). The
+    # joins stay JVM-side (they move each vector to its candidate
+    # pairs — LSH-bounded volume), but the dot now runs in ONE Arrow
+    # mapInPandas kernel over the joined batches: sequential-in-i
+    # accumulation (left-assoc, bit-identical to the unrolled SQL dot)
+    # divided by the SAME JVM-computed fixed norms, sparse emit at raw
+    # cosine ≥ threshold − 1e-6, exact HALF_UP round-then-filter back
+    # on the JVM (rounding moves a value ≤ 5e-7, so the margin cannot
+    # drop a round-passing pair). Zero-norm rows produce NaN in the
+    # kernel and fail the margin — the same drop as _pair_cos's
+    # nullif. Measured: 15.3 s → see BASELINE.md round 12;
+    # bit-identical at sf0.01/sf0.1, oracle unchanged.
+    import numpy as np
+
+    margin = threshold - 1e-6
+
+    def score_pairs(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            va_m = np.stack(pdf["va"].to_numpy()).astype(np.float64)
+            vb_m = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
+            dot = np.zeros(len(pdf))
+            for i in range(va_m.shape[1]):  # sequential in i: left-assoc
+                dot += va_m[:, i] * vb_m[:, i]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c = dot / (pdf["na"].to_numpy() * pdf["nb"].to_numpy())
+            keep = c >= margin  # NaN (zero-norm) fails, matching nullif
+            if keep.any():
+                yield pd.DataFrame({
+                    "a": pdf["a"].to_numpy()[keep],
+                    "b": pdf["b"].to_numpy()[keep],
+                    "c": c[keep],
+                })
+
     vn = v.select("id", "v", _norm_fixed("v", dim).alias("n"))
     va = vn.select(F.col("id").alias("a"), F.col("v").alias("va"), F.col("n").alias("na"))
     vb = vn.select(F.col("id").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
-    cos = F.round(_pair_cos("va", "vb", "na", "nb", dim), 6)
     return (
         cand.join(va, "a")
         .join(vb, "b")
-        .select("a", "b", cos.alias("cos"))
+        .mapInPandas(score_pairs, schema="a long, b long, c double")
+        .select("a", "b", F.round("c", 6).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
 
