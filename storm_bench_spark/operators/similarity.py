@@ -190,6 +190,54 @@ def _ref_scores_udf(ref_m, ref_n):
     return scores
 
 
+def _pair_scores_udf(ref_m, ref_n):
+    """double: exact cosine of the input vector to ONE closed-over
+    reference, selected per row by reference position ``qi``.
+
+    The paired twin of ``_ref_scores_udf`` for re-rank stages: a
+    shortlist row already knows WHICH reference it belongs to, so
+    scoring it against all k references (and discarding k-1 scores)
+    — or, worse, shipping the reference vectors as a giant literal
+    array the JVM projection indexes per row — wastes either Arrow
+    bandwidth or Catalyst analysis time. The round-12 ``ann_rerank``
+    spelling did the latter: a k×dim literal double matrix plus an
+    unrolled dim-term ``_pair_cos`` cost ~0.6 s of per-run plan
+    compile at k=10, dim=64 (and an 8.9 s first encounter while C2
+    chewed the generated method). This kernel closes over the same
+    matrix instead; the plan carries one ArrowEvalPython node.
+
+    FP discipline (same contract as ``_ref_scores_udf``): the dot and
+    the squared norm accumulate sequentially in i — the left-assoc
+    double sums of the unrolled/fold spellings and DuckDB's
+    ``list_reduce`` — and the denominator multiplies the two norms
+    before the single division, so every finite cosine is bitwise
+    equal to ``_pair_cos`` / the SQL oracle's unrolled chain. A
+    zero-norm pair divides 0/0 = NaN, which the pandas→Arrow hand-off
+    delivers JVM-side as NULL — the ``nullif`` agreement point.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def score(qi: pd.Series, vec: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(vec) == 0:
+            return pd.Series([], dtype=np.float64)
+        m = np.stack(vec.to_numpy()).astype(np.float64)
+        q = qi.to_numpy().astype(np.int64)
+        qm = ref_m[q]
+        acc = np.zeros(m.shape[0])
+        n = np.zeros(m.shape[0])
+        for i in range(m.shape[1]):  # sequential in i: left-assoc sums
+            acc += qm[:, i] * m[:, i]
+            n += m[:, i] * m[:, i]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = acc / (ref_n[q] * np.sqrt(n))
+        return pd.Series(cos)
+
+    return score
+
+
 # --- brute-force top-k ---------------------------------------------------
 
 def ann_topk_bruteforce(

@@ -596,15 +596,15 @@ def ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape at scale: the shortlist is queries × SHORTLIST_K rows —
     small by construction. The query batch (quantized AND full-
-    precision, k·dim doubles) is collected ONCE and rides driver-side:
-    the quantized copy in the stage-1 Arrow scorer's closure, the
-    full-precision copy as a literal array the re-rank projection
-    indexes by query position — so the QUERY side of the exact re-
-    score needs no join at all. Only the NEIGHBOR vectors are fetched
-    by a keyed join of the shortlist against a (vec_id, v) projection:
-    full-precision vectors are read where they live and never cross
-    an exchange; only shortlist-sized rows move. The final window
-    partitions by qid over ≤ SHORTLIST_K rows per key.
+    precision, k·dim doubles) is collected ONCE and rides driver-side
+    in the two Arrow kernels' closures: the quantized copy in the
+    stage-1 scorer, the full-precision copy in the stage-2 per-pair
+    scorer (`SIM._pair_scores_udf`) — so the QUERY side of the exact
+    re-score needs no join at all. Only the NEIGHBOR vectors are
+    fetched by a keyed join of the shortlist against a (vec_id, v)
+    projection: full-precision vectors are read where they live and
+    never cross an exchange; only shortlist-sized rows move. The
+    final window partitions by qid over ≤ SHORTLIST_K rows per key.
 
     Round 10 (VERDICT r9 next #1a): the previous spelling ran FOUR
     sequential driver jobs (query collect, two explicit broadcast
@@ -615,10 +615,20 @@ def ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned projection — Catalyst prunes the quantize expressions out
     of the neighbor-vector re-scan entirely.
 
+    Round 13 (VERDICT r12 next #6): the stage-2 exact cosine moved
+    from a k×dim literal double matrix + unrolled dim-term
+    ``_pair_cos`` projection into the per-pair Arrow kernel. The old
+    spelling's cost was not execution (the rerank touches only
+    shortlist-sized rows) but PLAN COMPILE: ~0.6 s/run of Catalyst
+    analysis + codegen over the 640-literal expression tree at the
+    sf1 tier, and an 8.9 s first encounter while C2 compiled the
+    generated method. Kernel spelling: 1.19 s → ~0.75 s steady at the
+    tier, bit-identical output (git-stash A/B, BASELINE.md round 13).
+
     FP discipline: driver-side query norms accumulate sequentially in
-    i (the `_collect_ref` loop), literal doubles repr-round-trip
-    exactly, and the exact cosine is the left-assoc dimension-order
-    unrolled sum — bitwise-identical to the oracle's unrolled chain.
+    i (the `_collect_ref` loop), and both kernels accumulate dot and
+    norm sequentially in i — the left-assoc dimension-order sums of
+    the oracle's unrolled chain, bitwise-identical cosines.
     """
     import numpy as np
     from pyspark.sql.window import Window
@@ -642,15 +652,6 @@ def ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     qn, fnrm = _norms(qm), _norms(fm)
     qid_arr = F.array(*[F.lit(q) for q in qids])
-    # full-precision query matrix + norms as literal arrays, indexed by
-    # query position — repr() round-trips IEEE doubles exactly
-    qfv_lit = F.expr(
-        "array(" + ", ".join(
-            "array(" + ", ".join(repr(x) for x in row) + ")"
-            for row in fm.tolist()
-        ) + ")"
-    )
-    qn_lit = F.expr("array(" + ", ".join(repr(x) for x in fnrm.tolist()) + ")")
 
     scored = (
         prep.select(
@@ -671,24 +672,15 @@ def ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("r") <= SHORTLIST_K)
         .drop("r")
     )
-    vn = SIM._with_norm(
-        emb.select(
-            F.col("vec_id").alias("neighbor"),
-            F.col("embedding").cast("array<double>").alias("nv"),
-        ),
-        "nv", "nn", EMB_DIM,
+    vn = emb.select(
+        F.col("vec_id").alias("neighbor"),
+        F.col("embedding").cast("array<double>").alias("nv"),
     )
-    rer = (
-        shortlist.join(vn, "neighbor")
-        .select(
-            "qid", "neighbor", "cos_q", "nv", "nn",
-            F.element_at(qfv_lit, F.col("qi") + 1).alias("qfv"),
-            F.element_at(qn_lit, F.col("qi") + 1).alias("nq"),
-        )
-        .select(
-            "qid", "neighbor", "cos_q",
-            F.round(SIM._pair_cos("qfv", "nv", "nq", "nn", EMB_DIM), 6).alias("cos"),
-        )
+    rer = shortlist.join(vn, "neighbor").select(
+        "qid", "neighbor", "cos_q",
+        F.round(
+            SIM._pair_scores_udf(fm, fnrm)(F.col("qi"), F.col("nv")), 6
+        ).alias("cos"),
     )
     w2 = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("neighbor"))
     return (
