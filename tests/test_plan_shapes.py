@@ -331,15 +331,26 @@ _CODEGEN_EXPECTED = (
     "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
 )
 
-# query -> reason its HOF-bearing nodes may run outside codegen. The
-# exemption applies ONLY to uncovered nodes whose detail block contains
-# ``lambdafunction(`` — a deliberate higher-order function (the
-# engine's in-array idiom: word_split's filter(split(..)), minhash
-# permutation transforms, quantization lambdas), where the lambda body
-# cost (regex split, md5, arithmetic) dominates the interpreted-eval
-# wrapper and the row is bench-measured under bar. A non-HOF node
-# falling out of codegen still fails in these queries — that is the
-# silent-fallback class the canary exists for.
+# query -> reason its fallback-bearing nodes may run outside codegen.
+# The exemption applies ONLY to uncovered nodes whose detail block
+# contains one of _CODEGEN_FALLBACK_MARKERS — expression classes
+# Catalyst itself evaluates via CodegenFallback (or that disqualify a
+# node from whole-stage codegen) BY DESIGN, where the inner work
+# dominates the interpreted-eval wrapper:
+#   lambdafunction( — a deliberate higher-order function (the engine's
+#     in-array idiom: word_split's filter(split(..)), minhash
+#     permutation transforms, quantization lambdas; regex/md5/
+#     arithmetic bodies dominate), bench-measured under bar;
+#   from_json(     — JsonToStructs is CodegenFallback in Spark; the
+#     JSON parse dominates;
+#   pivotfirst(    — an ImperativeAggregate: HashAggregate whole-stage
+#     codegen requires declarative aggregates, so a pivot node can
+#     never be covered (bounded by the pivoted-column cardinality).
+# A node outside these classes falling out of codegen still fails in
+# these queries — that is the silent-fallback class the canary exists
+# for (janino fail / DontCompileHugeMethods / accidental fallback).
+_CODEGEN_FALLBACK_MARKERS = ("lambdafunction(", "from_json(", "pivotfirst(")
+
 CODEGEN_HOF_ALLOW: dict[str, str] = {
     "corpus_curate": "word_split filter(split(text)) token-count lambda — regex split dominates",
     "dedup_keep_best": "word_split token-count lambda on the keep-best scorer",
@@ -351,7 +362,27 @@ CODEGEN_HOF_ALLOW: dict[str, str] = {
     "line_dedup": "word_split + stride segment/reassembly lambdas (r11 respell, measured 1.09x at tier)",
     "chunk_dedup": "word_split + block segment/reassembly lambdas (r11 respell, measured 1.88x idle-box)",
     "ann_rerank": "int8 quantization transform lambdas, dim-bounded per vector; scoring runs in the Arrow kernel",
+    "embedding_neardup_lsh_scaled": "scaled-twin construction: one arithmetic perturbation transform per vector (dim-bounded); scoring runs in the Arrow kernel",
     "boilerplate_ngram_ratio": "in-lambda md5 trigram hashing (r12 respell — measured faster than the exploded codegen spelling); usually under the cache subtree, listed for cache-off configs",
+    # --- registry-wide extension (round 13, VERDICT r12 next #5) ---
+    "ann_topk_quantized": "int8 quantization transform lambdas, dim-bounded per vector; scoring runs in the Arrow kernel",
+    "embedding_quantize": "quantization + zip_with round-trip-error lambdas, dim-bounded per vector",
+    "source_centroids_q8": "int8 quantization transform lambdas, dim-bounded per vector",
+    "source_similarity_q8": "int8 quantization transform lambdas, dim-bounded per vector",
+    "chunk_documents": "word_split filter(split(text)) lambda — regex split dominates",
+    "corpus_split": "word_split token-count lambda on the split-stat projection",
+    "domain_mix_sample": "word_split token-count lambda (budget + per-doc passes)",
+    "pmi_bigrams": "word_split filter(split(text)) lambda — regex split dominates",
+    "repetition_score": "word_split filter(split(text)) lambda — regex split dominates",
+    "textrank_keywords": "word_split filter(split(text)) lambda — regex split dominates",
+    "token_count": "word_split token-count lambda — regex split dominates (r12 tier: 0.42x)",
+    "doc_fingerprint": "rolling shingle-hash min via nested transform lambdas, doc-bounded",
+    "pii_scrub": "regexp_extract_all length-aggregate lambdas — the regex scan dominates",
+    "weighted_sample": "per-replica md5 key transform, weight-bounded per doc",
+    "weighted_sample_per_source": "per-replica md5 key transform, weight-bounded per doc",
+    "props_json_stats": "from_json projection — JsonToStructs is CodegenFallback by design",
+    "user_event_pivot": "pivotfirst ImperativeAggregate — pivot HashAggregates cannot whole-stage-codegen",
+    "user_event_unpivot": "pivotfirst ImperativeAggregate on the pivot stage it unpivots",
 }
 
 
@@ -384,15 +415,14 @@ def _codegen_uncovered(plan_text: str) -> list[str]:
     return out
 
 
-def _hot_queries() -> list[str]:
-    from bench import SF1_TIER, SF1_TIER_SPARK_ONLY
-
-    hot = list(SF1_TIER) + sorted(SF1_TIER_SPARK_ONLY)
-    hot.append("embedding_neardup")  # the r10 regression's row
-    return [n for n in hot if not n.startswith(_SKIP_PREFIXES)]
-
-
-@pytest.mark.parametrize("name", _hot_queries())
+# Round 13 (VERDICT r12 next #5): the canary runs REGISTRY-WIDE, not
+# just over the sf1 tier. All three silent-slowness classes it guards
+# against (janino compile fail, HOF fallback on a non-HOF node,
+# DontCompileHugeMethods) were found on rows that happened to be hot
+# THAT round — the next one may not be in the tier. The scale-killer
+# lint already builds every batch plan, so the marginal cost is one
+# more formatted-explain per query.
+@pytest.mark.parametrize("name", _BATCH_QUERIES)
 def test_codegen_covers_hot_plans(name, spark):
     # cache-free plan: persisted subtrees registered by earlier tests
     # reshape this query's tree (cache reuse swaps which nodes exist),
@@ -408,8 +438,13 @@ def test_codegen_covers_hot_plans(name, spark):
         uncovered = [
             u
             for u in uncovered
-            if "lambdafunction("
-            not in _detail_block(plan_text, int(re.search(r"\((\d+)\)$", u).group(1)))
+            if not any(
+                m
+                in _detail_block(
+                    plan_text, int(re.search(r"\((\d+)\)$", u).group(1))
+                )
+                for m in _CODEGEN_FALLBACK_MARKERS
+            )
         ]
     assert not uncovered, (
         f"{name}: row-processing node(s) outside every WholeStageCodegen "
