@@ -274,7 +274,6 @@ def run_scale_tier(spark, queries, oracles, base_sf_dir: str) -> dict:
     past SCALE_SLOW_S a single sample's box-noise share is negligible
     and repeats would double the tier's wall for nothing."""
     from scripts.duck_twin import connect, summarize, time_oracle
-    from scripts.scale_smoke import replicate
 
     r = SCALE_TIER_R
     dst = os.environ.get("SPARK_GRAFT_SCALE_DIR", f"/tmp/spark_graft_scale{r}")
@@ -324,31 +323,24 @@ def run_scale_tier(spark, queries, oracles, base_sf_dir: str) -> dict:
                 file=sys.stderr,
             )
 
-    # Replica provenance marker (ADVICE r11): the _DONE marker records
-    # the base SF dir and R it was built from, so a SCALE_DIR reused
-    # across pairs built from a DIFFERENT base is rebuilt instead of
-    # silently mislabeling the tier's provenance. (replicate() writes
-    # mode=overwrite per table, so rebuilding into a dirty dir is safe.)
+    # Replica provenance marker (ADVICE r11; shared helper since r13 —
+    # ADVICE r12: scale_smoke.py and rollup_ab.py used to write a
+    # legacy "ok" marker this code always rebuilt over): records the
+    # base SF dir and R the replica was built from, so a SCALE_DIR
+    # reused across pairs built from a DIFFERENT base is rebuilt
+    # instead of silently mislabeling the tier's provenance.
+    from scripts.scale_smoke import ensure_replica, read_replica_marker
+
     t0 = time.perf_counter()
-    marker = os.path.join(dst, "_DONE")
+    have = read_replica_marker(dst)
     want = {"base": os.path.abspath(base_sf_dir), "r": r}
-    have = None
-    if os.path.exists(marker):
-        try:
-            with open(marker) as f:
-                have = json.load(f)
-        except (ValueError, OSError):
-            have = None  # pre-r12 "ok" marker or corrupt — rebuild
-    if have != want:
-        if have is not None:
-            print(
-                f"# sf1 replica marker mismatch ({have} != {want}) — "
-                "re-replicating",
-                file=sys.stderr,
-            )
-        replicate(spark, base_sf_dir, dst, r)
-        with open(marker, "w") as f:
-            json.dump(want, f)
+    if have is not None and have != want:
+        print(
+            f"# sf1 replica marker mismatch ({have} != {want}) — "
+            "re-replicating",
+            file=sys.stderr,
+        )
+    ensure_replica(spark, base_sf_dir, dst, r)
     build_s = round(time.perf_counter() - t0, 3)
 
     con = connect(dst)

@@ -215,11 +215,10 @@ def main() -> None:
     spark = get_spark(app_name="sbs-rollup-ab")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if not os.path.exists(os.path.join(dst, "_DONE")):
-        from scripts.scale_smoke import replicate
+    from scripts.scale_smoke import ensure_replica
 
-        replicate(spark, src, dst, r)
-        open(os.path.join(dst, "_DONE"), "w").write("ok")
+    if ensure_replica(spark, src, dst, r):
+        print(f"# built R={r} replica at {dst}", file=sys.stderr)
 
     base = measure_scale(spark, src, "base", state_root)
     scaled = measure_scale(spark, dst, f"r{r}", state_root)

@@ -237,6 +237,41 @@ PERTURB = {
 }
 
 
+# --- replica provenance marker (shared helper, ADVICE r12) ----------------
+# One read/write/ensure path for every replica builder (bench.py's scale
+# tier, this script, rollup_ab.py). The marker records {base, r} so a
+# SCALE_DIR reused across runs built from a DIFFERENT base or R is
+# rebuilt instead of silently mislabeling provenance. Before r13 the two
+# scripts wrote a legacy "ok" marker that bench.py always treated as a
+# mismatch (spurious full rebuild) and themselves reused ANY marked dir
+# with no provenance check at all.
+
+def read_replica_marker(dst: str) -> dict | None:
+    """The {base, r} provenance of dst, or None (absent / legacy "ok" /
+    corrupt — all mean: rebuild)."""
+    try:
+        with open(os.path.join(dst, "_DONE")) as f:
+            out = json.load(f)
+        return out if isinstance(out, dict) else None
+    except (ValueError, OSError):
+        return None
+
+
+def ensure_replica(spark, src: str, dst: str, r: int) -> bool:
+    """Build the R× replica of src in dst unless a marker proves dst
+    already holds exactly that. Returns True if a (re)build happened.
+    replicate() writes mode=overwrite per table, so rebuilding into a
+    dirty dir is safe."""
+    want = {"base": os.path.abspath(src), "r": r}
+    if read_replica_marker(dst) == want:
+        return False
+    replicate(spark, src, dst, r)
+    os.makedirs(dst, exist_ok=True)
+    with open(os.path.join(dst, "_DONE"), "w") as f:
+        json.dump(want, f)
+    return True
+
+
 def replicate(spark, src: str, dst: str, r: int) -> None:
     # one shared key stride so orders.o_orderkey and lineitem.l_orderkey
     # remap consistently (copy k of an order keeps its copy-k lineitems)
@@ -307,9 +342,8 @@ def main() -> None:
     spark = get_spark(app_name="sbs-scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if not os.path.exists(os.path.join(dst, "_DONE")):
-        replicate(spark, src, dst, r)
-        open(os.path.join(dst, "_DONE"), "w").write("ok")
+    if ensure_replica(spark, src, dst, r):
+        print(f"# built R={r} replica at {dst}", file=sys.stderr)
 
     queries = dict(all_queries())
 
