@@ -588,6 +588,11 @@ def neardup_lsh(
 # algorithm; swap in k-means centroids for production recall.
 
 IVF_CENTROIDS = 32
+
+# semdedup cell-kernel Gram tile budget, in float64 ELEMENTS per tile
+# (4M ≈ 32 MB). Module-level so tests can shrink it to force the
+# multi-tile path on fixture-sized cells.
+SEMDEDUP_TILE_ELEMS = int(4e6)
 IVF_NPROBE = 4
 
 
@@ -1269,11 +1274,13 @@ def semdedup_pairs(
     vector's cosines are NaN in the kernel and fail the ≥ margin —
     same drop as the nullif spelling. Measured: the 75.9 s pair stage
     → ~1 s; bit-identical (exceptAll both ways = 0) at sf0.01 and
-    sf0.1, oracle unchanged. Per-cell kernel memory is |cell|²
-    doubles for the Gram matrix (~3.6 MB at the fixture's 671-row max
-    cell); at 100 TB the bound is the same n_centroids lever, and a
-    pathological mega-cell would sub-block the Gram accumulation
-    before it breaks a task.
+    sf0.1, oracle unchanged. Per-cell kernel memory (since r13, ADVICE
+    r12): the Gram accumulation is SUB-BLOCKED over row tiles of
+    ≤ ~32 MB, so a normal cell (k ≤ ~2000) computes exactly the
+    pre-r13 one-tile Gram (~3.6 MB at the fixture's 671-row max cell)
+    while a pathological mega-cell degrades to more tiles instead of
+    an executor-OOM-sized dense k×k; the COMPUTE bound is still
+    Σ|cell|² and the lever is still n_centroids.
 
     The k-means is the deterministic Lloyd loop of
     :func:`kmeans_centroids` and the single-nearest assignment of
@@ -1289,6 +1296,10 @@ def semdedup_pairs(
     cent = kmeans_centroids(v, n_centroids)
     assigned = ivf_assign(v, cent, dim, n_assign=1)
     margin = threshold - 1e-6
+    # snapshot driver-side so the closure ships the value (tests shrink
+    # it to force the multi-tile path; workers re-import the module and
+    # would otherwise see the unpatched constant)
+    tile_elems = SEMDEDUP_TILE_ELEMS
 
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({
@@ -1302,23 +1313,43 @@ def semdedup_pairs(
         ids = pdf["id"].to_numpy()
         m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
         k, d = m.shape
-        acc = np.zeros((k, k))
         nn = np.zeros(k)
         for i in range(d):  # sequential in i: left-assoc sums
-            acc += np.outer(m[:, i], m[:, i])
             nn += m[:, i] * m[:, i]
         norm = np.sqrt(nn)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = acc / (norm[:, None] * norm[None, :])
-        iu = np.triu_indices(k, 1)
-        c = cos[iu[0], iu[1]]
-        keep = c >= margin  # NaN (zero-norm) fails, matching nullif
-        if not keep.any():
+        # Sub-blocked Gram accumulation (ADVICE r12): tile the outer-
+        # product loop over ROW blocks so the peak tile is bs×k doubles
+        # (≤ ~32 MB) instead of a dense k×k — a pathological 100k-row
+        # mega-cell degrades to more tiles instead of an ~80 GB
+        # single-task allocation that OOMs the executor. Cells up to
+        # ~4M²-element Grams (k ≤ 2000 at 32 MB) stay one tile, the
+        # pre-r13 fast path. Bit-identity: each Gram element acc[a,b]
+        # accumulates m[a,i]*m[b,i] in the SAME i order regardless of
+        # which tile holds row a, so tiling cannot move a double.
+        bs = max(1, tile_elems // k)
+        cols = np.arange(k)
+        out = []
+        for s in range(0, k, bs):
+            e = min(s + bs, k)
+            accb = np.zeros((e - s, k))
+            for i in range(d):  # sequential in i: left-assoc sums
+                accb += np.outer(m[s:e, i], m[:, i])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cosb = accb / (norm[s:e, None] * norm[None, :])
+            # upper triangle (a < b by SORTED position = id order) and
+            # the margin filter; NaN (zero-norm) fails, matching nullif
+            keep = (cols[None, :] > np.arange(s, e)[:, None]) & (
+                cosb >= margin
+            )
+            ra, cb = np.nonzero(keep)
+            if len(ra):
+                out.append((ids[ra + s], ids[cb], cosb[ra, cb]))
+        if not out:
             return empty
         return pd.DataFrame({
-            "a": ids[iu[0][keep]],
-            "b": ids[iu[1][keep]],
-            "c": c[keep],
+            "a": np.concatenate([o[0] for o in out]),
+            "b": np.concatenate([o[1] for o in out]),
+            "c": np.concatenate([o[2] for o in out]),
         })
 
     return (

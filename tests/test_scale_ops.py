@@ -414,3 +414,36 @@ def test_ivf_fused_zero_norm_vector(spark):
         )
 
     assert key(composed) == key(fused)
+
+
+def test_semdedup_gram_tiling_bit_identical(spark, monkeypatch):
+    """ADVICE r12: semdedup's cell kernel sub-blocks the Gram
+    accumulation so a mega-cell degrades to more tiles instead of a
+    dense k x k allocation. Tiling must not move a double: each Gram
+    element accumulates m[a,i]*m[b,i] in the same i order regardless
+    of which tile holds row a. Force the multi-tile path on
+    fixture-sized cells (tile budget 64 elements -> bs of a few rows,
+    many tiles per cell) and assert the pair set is bit-identical to
+    the one-tile spelling; n_centroids=1 makes ONE cell so the tiling
+    (not the clustering) is what the comparison exercises."""
+    from storm_bench_spark.operators import similarity as SIM
+
+    rows = [
+        (i, [float((i * 13 + d * 5) % 17 - 8) / (1.0 + 0.1 * d) for d in range(8)])
+        for i in range(60)
+    ]
+    rows[7] = (7, [0.0] * 8)  # zero-norm row: NaN cosines must drop
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    one_tile = sorted(
+        tuple(r)
+        for r in SIM.semdedup_pairs(vecs, 0.5, 8, n_centroids=1).collect()
+    )
+    assert one_tile, "fixture produced no pairs — threshold too high"
+    monkeypatch.setattr(SIM, "SEMDEDUP_TILE_ELEMS", 64)
+    tiled = sorted(
+        tuple(r)
+        for r in SIM.semdedup_pairs(vecs, 0.5, 8, n_centroids=1).collect()
+    )
+    assert tiled == one_tile
+    assert all(7 not in (a, b) for a, b, _ in one_tile)
