@@ -33,13 +33,42 @@ ALIASES = {
 }
 
 
+# Per-query behavioral deltas vs the reference, surfaced in `run --help`
+# and on stderr when the query runs (VERDICT r12 next #8) — so a user
+# replaying the reference's conf isn't surprised by a silent difference.
+QUERY_NOTES = {
+    "rolling_geo_count": (
+        "the reference's shipped conf NEVER configures this topology: "
+        "RollingGeoCount.java:38-39 reads rollingcount.window_length / "
+        "rollingcount.emit_frequency, keys conf/conf.yaml does not set "
+        "(its rolling_count.* spelling is a different topology's), so "
+        "the reference silently falls back to its window defaults. "
+        "This engine pins a WORKING 3600s/600s window instead of "
+        "replaying that fallback — expect different window widths "
+        "than an unconfigured reference run, and note that setting "
+        "rollingcount.* (or geocount.*) in a conf file changes "
+        "nothing in either system."
+    ),
+}
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="storm_bench_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sub.add_parser("list", help="list every registered query")
 
-    runp = sub.add_parser("run", help="run one query")
+    notes = "\n\n".join(
+        f"note [{n} (alias {a})]: {t}"
+        for n, t in QUERY_NOTES.items()
+        for a in [next((k for k, v in ALIASES.items() if v == n), n)]
+    )
+    runp = sub.add_parser(
+        "run",
+        help="run one query",
+        epilog=notes,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
     runp.add_argument("query", help="query name or run_topo alias (wc, grep, ...)")
     runp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     runp.add_argument(
@@ -61,6 +90,9 @@ def main(argv: list[str] | None = None) -> int:
     if name not in queries:
         print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
         return 2
+
+    if name in QUERY_NOTES:
+        print(f"# note: {QUERY_NOTES[name]}", file=sys.stderr)
 
     spark = get_spark(app_name=f"sbs-{name}")
     spark.sparkContext.setLogLevel("ERROR")

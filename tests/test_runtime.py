@@ -32,6 +32,28 @@ def test_cli_unknown_query():
     assert main(["run", "nope_not_a_query", "--sf-dir", SF_DIR]) == 2
 
 
+def test_cli_gcount_config_bug_note(capsys):
+    """VERDICT r12 next #8: the reference's RollingGeoCount reads
+    rollingcount.* keys its shipped conf never sets (the config bug,
+    SURVEY §2.10 #6); the engine pins a working 3600s/600s window.
+    `run --help` must state the delta, and running gcount must print
+    it, so a user replaying the reference conf isn't surprised."""
+    import pytest
+
+    from storm_bench_spark.__main__ import main
+
+    with pytest.raises(SystemExit) as e:
+        main(["run", "--help"])
+    assert e.value.code == 0
+    out = capsys.readouterr().out
+    assert "rollingcount.window_length" in out
+    assert "3600s/600s" in out and "gcount" in out
+
+    assert main(["run", "gcount", "--sf-dir", SF_DIR, "--sink", "noop"]) == 0
+    err = capsys.readouterr().err
+    assert "rollingcount.window_length" in err
+
+
 def test_write_batch_partitioned_roundtrip(spark):
     from storm_bench_spark.sources.derived import pageviews
 
