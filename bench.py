@@ -76,8 +76,9 @@ HEADLINE = [
     "corpus_curate",
     "pagerank_neardup",
     # span-duplication measure + boilerplate-line scrub + PII
-    # redaction (round 7)
+    # redaction (round 7); maximal-span emitter (round 13)
     "dup_ngram_spans",
+    "exact_dup_spans",
     "line_dedup",
     "pii_scrub",
     # tokenizer apply (train on vocab, join-encode the corpus, round 7)
@@ -126,9 +127,10 @@ HEADLINE = [
     "ann_topk_quantized",
     "embedding_quantize",
     "multimodal_image_meta",
-    # real RIFF/WAVE + Netpbm P6 codec round-trips (round 8)
+    # real RIFF/WAVE + Netpbm P6 + BMP codec round-trips (rounds 8, 13)
     "multimodal_wav_meta",
     "multimodal_ppm_meta",
+    "multimodal_bmp_meta",
     "adsb_parse",
     # sketches / pruning / fuzzy blocking (round 4, late)
     "hll_users_per_type",
@@ -233,6 +235,7 @@ SF1_TIER = [
     "heavy_hitters_cms",
     "gap_fill_hourly",
     "dup_ngram_spans",
+    "exact_dup_spans",
     "line_dedup",
     "chunk_dedup",
     "boilerplate_ngram_ratio",
@@ -244,6 +247,7 @@ SF1_TIER = [
     "dsir_select",
     "multimodal_wav_meta",
     "multimodal_ppm_meta",
+    "multimodal_bmp_meta",
     "multimodal_audio_meta",
     "expand_words",
     # probed in the round-11 census and measured affordable (duck 38 /

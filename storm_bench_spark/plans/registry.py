@@ -72,47 +72,97 @@ def _ensure_loaded() -> None:
 # name that somehow escapes the list sorts LAST — fail-safe: an
 # unlisted query can never displace promised window rows.
 #
-# ROUND-12 WINDOW (exactly 50). Registry growth stays FROZEN at 177
-# (VERDICT r11 next #8 — window math: 177 rows / 50 slots; unfreezing
-# before the old cohorts re-gate would reopen the staleness gap;
-# revisit at r13 when the oldest gated row is r9). Composition, from
-# per-query max-round over all CORRECTNESS_r*.json files (note: the
-# VERDICT r11 #2 "15 r7-gated rows" list was stale — most of it
-# re-gated in r11; the true map is r7=4, r8=29, r9=46):
-# (a) TOUCHED this round (5): boilerplate_ngram_ratio (in-array
-# trigram-hash respell — the big exchange removed; bit-identical,
-# BASELINE.md round 12) and the four registered queries whose plans
-# contain _pair_cos, which now nullif-guards the norm product
-# (zero-norm rows NULL-rank instead of ANSI DIVIDE_BY_ZERO):
-# embedding_neardup_lsh, embedding_neardup_lsh_scaled, semdedup,
-# ann_topk_ivf_kmeans. (The registered ann_topk_ivf runs the FUSED
-# path — docstring-only change, keeps its r9 gate via the filler
-# below; embedding_neardup and ann_recall_at_k use the Arrow
-# reference scorer, untouched.)
-# (b) the FULL r7 cohort (4): pmi_bigrams, pack_sequences,
-# quality_quantile_filter, rrf_hybrid_rank — the rows deferred at
-# positions 51-54 across the r11 window, promised to front this one.
-# (c) the FULL r8 cohort (29): dataclean, dedup_exact, distinct_users,
-# doc_fingerprint, grep, histogram_quantiles, kmv_distinct_users,
-# lsh_recall_pairs, multimodal_ppm_meta, multimodal_wav_meta,
-# pageview_count, rolling_count, rolling_sort, sol, token_count,
-# top_terms, tpch_q1/q3/q4/q5/q6/q10/q12/q14/q19, unique_visitor,
-# user_sessions, wordcount (embedding_neardup_lsh is r8 AND touched —
-# counted once).
-# (d) r9-cohort fillers (13, oldest-first alphabetical):
-# ann_recall_at_k, ann_topk (the fused-path family neighbors of the
-# touched code — cheap insurance), asof_click_purchase,
-# bitmap_distinct_daily, bitmap_distinct_weekly_rollup,
-# bitmap_retention_daily, expand_words, histogram_quantiles_rollup,
-# kmv_resemblance, multimodal_audio_chunks, multimodal_audio_meta,
-# multimodal_features, multimodal_frames.
-# After this window the oldest gated row is r9 (33 remaining), then
-# r10/r11 — the r13 rotation takes the rest of the r9 cohort.
+# ROUND-13 WINDOW (exactly 50) = VERDICT r12 next #2 verbatim: rotate
+# onto the r9 cohort. Composition, from per-query max-round over all
+# CORRECTNESS_r*.json files (r12 map: r9=33, r10=45, r11=49, r12=50):
+# (a) TOUCHED this round (3): ann_rerank (stage-2 exact cosine moved
+# into the per-pair Arrow kernel — bit-identical via git-stash A/B at
+# sf0.01 + the R=10 tier), semdedup (cell kernel Gram accumulation
+# sub-blocked — bit-identity pinned by a forced-multi-tile test),
+# dup_ngram_spans (its islands pipeline factored into
+# _dup_window_islands, shared with the new exact_dup_spans — values
+# unchanged, oracle-green in the r13 sweep).
+# (b) the FULL r9 cohort (33): every row whose last driver gate is r9
+# — the streaming annex (18), the stateful/trident pair, multimodal
+# image stubs (2), rolling_geo/hashtag, weighted_sample(+_per_source),
+# tumbling_ohlc + batch twins, one_per_key, orders_rollup,
+# pageview_extract, user_running_value, value_percentiles,
+# zorder_layout.
+# (c) oldest r10 fillers (14, alphabetical): adsb_parse, ann_topk_ivf,
+# ann_topk_quantized, asof_click_purchase_tol, audience_overlap_hll,
+# bloom_high_value_orders, cohort_retention, dsir_select,
+# embedding_neardup, embedding_project, embedding_quantize,
+# funnel_conversion, gap_fill_hourly, hll_users_per_type.
+# After this window the oldest gated row is r10 (31 remaining) — the
+# r14 rotation takes the rest of the r10 cohort.
+#
+# REGISTRY FREEZE DECISION AT R13 (VERDICT r12 next #3): unfrozen for
+# exactly TWO additions, both judge-named candidates — exact_dup_spans
+# (the suffix-array exact-substring span emitter) and
+# multimodal_bmp_meta (third REAL codec: stride padding + bottom-up
+# rows). Growth 177 -> 179. Per the round-5 rule, new queries pin
+# DIRECTLY BELOW the window (positions 51-52): they are gated
+# repo-side by the per-pytest sf0.001 replay and the r13 sf0.01
+# full-registry sweep, and rotate into the driver window at r14.
+# Window math stays sound: 179 rows / 50 slots, oldest cohort after
+# this gate is r10.
 _GATE_PRIORITY: tuple[str, ...] = (
+    "ann_rerank",
+    "semdedup",
+    "dup_ngram_spans",
+    "multimodal_image_meta",
+    "multimodal_resize",
+    "one_per_key",
+    "orders_rollup",
+    "pageview_extract",
+    "rolling_geo_count",
+    "rolling_hashtag_count",
+    "stateful_running_count",
+    "streaming_bitmap_visitors",
+    "streaming_cdc_apply",
+    "streaming_dedup",
+    "streaming_dedup_watermarked",
+    "streaming_enriched_revenue",
+    "streaming_flight_dist",
+    "streaming_funnel",
+    "streaming_hashtag_count",
+    "streaming_heavy_hitters",
+    "streaming_histogram_quantiles",
+    "streaming_interval_join",
+    "streaming_kmv_sketch",
+    "streaming_rolling_count",
+    "streaming_rolling_sort",
+    "streaming_sol",
+    "streaming_tumbling_ohlc",
+    "streaming_user_sessions",
+    "streaming_weighted_sample",
+    "trident_wordcount",
+    "tumbling_ohlc",
+    "user_running_value",
+    "value_percentiles",
+    "weighted_sample",
+    "weighted_sample_per_source",
+    "zorder_layout",
+    "adsb_parse",
+    "ann_topk_ivf",
+    "ann_topk_quantized",
+    "asof_click_purchase_tol",
+    "audience_overlap_hll",
+    "bloom_high_value_orders",
+    "cohort_retention",
+    "dsir_select",
+    "embedding_neardup",
+    "embedding_project",
+    "embedding_quantize",
+    "funnel_conversion",
+    "gap_fill_hourly",
+    "hll_users_per_type",
+    # --- window boundary (first 50 above) ---
+    "exact_dup_spans",
+    "multimodal_bmp_meta",
     "boilerplate_ngram_ratio",
     "embedding_neardup_lsh",
     "embedding_neardup_lsh_scaled",
-    "semdedup",
     "ann_topk_ivf_kmeans",
     "pmi_bigrams",
     "pack_sequences",
@@ -159,7 +209,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "multimodal_audio_meta",
     "multimodal_features",
     "multimodal_frames",
-    # --- window boundary (first 50 above) ---
     "cdc_apply",
     "user_event_unpivot",
     "tpch_q17",
@@ -182,7 +231,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "token_budget_select",
     "vocab_oov_rate",
     "chunk_dedup",
-    "ann_rerank",
     "bm25_rank",
     "bpe_encode",
     "bpe_merge_steps",
@@ -192,7 +240,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "decontaminate",
     "decontaminate_minhash",
     "dedup_keep_best",
-    "dup_ngram_spans",
     "fuzzy_name_pairs",
     "fuzzy_name_pairs_d2",
     "fuzzy_triangles",
@@ -209,27 +256,14 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "textrank_keywords",
     "tfidf_top_terms",
     "training_corpus_build",
-    "audience_overlap_hll",
     "streaming_audience_overlap",
-    "embedding_neardup",
-    "ann_topk_ivf",
-    "dsir_select",
     "unique_visitor_approx",
     "streaming_hll_visitors",
-    "hll_users_per_type",
-    "adsb_parse",
     "interval_click_error",
     "print_passthrough",
     "users_except",
     "users_intersect",
     "users_union",
-    "ann_topk_quantized",
-    "asof_click_purchase_tol",
-    "bloom_high_value_orders",
-    "cohort_retention",
-    "embedding_quantize",
-    "funnel_conversion",
-    "gap_fill_hourly",
     "multires_rollup",
     "props_json_stats",
     "rolling_latlong",
@@ -241,7 +275,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "value_zscore_outliers",
     "rolling_flight_dist",
     "rolling_flight_dist_bucketed",
-    "embedding_project",
     "pii_mask",
     "stratified_sample",
     "text_normalize",
@@ -254,39 +287,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "tpch_q15",
     "tpch_q16",
     "user_event_pivot",
-    "weighted_sample",
-    "streaming_weighted_sample",
-    "weighted_sample_per_source",
-    "streaming_bitmap_visitors",
-    "tumbling_ohlc",
-    "streaming_tumbling_ohlc",
-    "zorder_layout",
-    "rolling_geo_count",
-    "streaming_kmv_sketch",
-    "streaming_histogram_quantiles",
-    "streaming_heavy_hitters",
-    "streaming_dedup",
-    "streaming_dedup_watermarked",
-    "streaming_enriched_revenue",
-    "streaming_rolling_count",
-    "streaming_sol",
-    "streaming_rolling_sort",
-    "streaming_interval_join",
-    "streaming_flight_dist",
-    "streaming_user_sessions",
-    "streaming_hashtag_count",
-    "streaming_funnel",
-    "streaming_cdc_apply",
-    "trident_wordcount",
-    "stateful_running_count",
-    "rolling_hashtag_count",
-    "orders_rollup",
-    "user_running_value",
-    "value_percentiles",
-    "multimodal_image_meta",
-    "multimodal_resize",
-    "pageview_extract",
-    "one_per_key",
 )
 
 

@@ -67,18 +67,15 @@ PII_PATTERNS = (
 )
 
 
-def span_coverage(words: DataFrame, k: int = NGRAM_SPAN_K) -> DataFrame:
-    """(doc_id, n_tokens, dup_tokens, dup_ppm) over a (doc_id, w)
-    token-array frame: per-document token coverage of the union of
-    ``k``-token windows whose text occurs ≥ 2 times in the corpus.
-
-    Plan: one overlapping-window explode (narrow), one digest-keyed
-    count (map-side combined), one digest equi-join, then the
-    per-document gaps-and-islands merge (lag + running sum + one
-    two-level keyed agg — all partitioned by doc_id). Shuffled bytes
-    are digest- and position-sized; window text never leaves the scan
-    stage. A 100× corpus grows every stage 100× and nothing else.
-    """
+def _dup_window_islands(words: DataFrame, k: int) -> DataFrame:
+    """(doc_id, i, isle) — the duplicated k-window start positions of
+    every document, labeled with their gaps-and-islands run id (two
+    dup windows at i < j share an island iff j - i ≤ k). The shared
+    core of :func:`span_coverage` (coverage aggregate) and
+    :func:`dup_span_extents` (span emitter): one overlapping-window
+    explode (narrow), one digest-keyed count (map-side combined), one
+    digest semi-join, then per-document lag + running sum — window
+    text never leaves the scan stage, shuffles carry md5 + position."""
     g = words.where(F.size("w") >= k).select(
         "doc_id",
         F.explode(F.expr(f"sequence(0L, size(w) - {k})")).alias("i"),
@@ -101,11 +98,26 @@ def span_coverage(words: DataFrame, k: int = NGRAM_SPAN_K) -> DataFrame:
             F.col("i") - F.coalesce(F.lag("i").over(wdoc), F.lit(-(k + 1))) > k, 1
         ).otherwise(0).alias("b"),
     )
-    isl = brk.select(
+    return brk.select(
         "doc_id",
         "i",
         F.sum("b").over(wdoc.rowsBetween(Window.unboundedPreceding, 0)).alias("isle"),
     )
+
+
+def span_coverage(words: DataFrame, k: int = NGRAM_SPAN_K) -> DataFrame:
+    """(doc_id, n_tokens, dup_tokens, dup_ppm) over a (doc_id, w)
+    token-array frame: per-document token coverage of the union of
+    ``k``-token windows whose text occurs ≥ 2 times in the corpus.
+
+    Plan: one overlapping-window explode (narrow), one digest-keyed
+    count (map-side combined), one digest equi-join, then the
+    per-document gaps-and-islands merge (lag + running sum + one
+    two-level keyed agg — all partitioned by doc_id). Shuffled bytes
+    are digest- and position-sized; window text never leaves the scan
+    stage. A 100× corpus grows every stage 100× and nothing else.
+    """
+    isl = _dup_window_islands(words, k)
     cov = (
         isl.groupBy("doc_id", "isle")
         .agg((F.max("i") - F.min("i") + k).alias("c"))
@@ -271,6 +283,82 @@ def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-substring dup measure) over the documents table — see
     :func:`span_coverage` for semantics and the scale argument."""
     return span_coverage(_words(spark, sf_dir))
+
+
+def dup_span_extents(words: DataFrame, k: int = NGRAM_SPAN_K) -> DataFrame:
+    """(doc_id, span_start, span_tokens, n_windows) — every MAXIMAL
+    duplicated span of each document: the token extent of each island
+    of duplicated k-windows (first window start → last window end).
+
+    This is the REMOVAL-READY output of Lee et al. 2022's
+    suffix-array exact-substring pass: where a suffix array reports
+    maximal repeated substrings of length ≥ L by position, the
+    distributed respell finds the same extents as islands of
+    duplicated fixed-k windows — a span of ``n`` consecutive
+    duplicated tokens (n ≥ k) appears as one island of n − k + 1
+    window starts, so span_start/span_tokens delimit exactly the
+    passage a dedup cut would excise (``dup_ngram_spans`` reports only
+    the per-doc coverage SUM of these extents). ``n_windows`` is the
+    island's window count — span_tokens − k + 1 for a solid span, less
+    never; it ships so a consumer can verify island solidity.
+
+    Scale: identical plan to :func:`span_coverage` minus the final
+    per-doc aggregate — one narrow explode, one digest-keyed count,
+    one digest semi-join, per-document window functions; output is
+    dup-span-sized (≪ corpus), never text."""
+    return (
+        _dup_window_islands(words, k)
+        .groupBy("doc_id", "isle")
+        .agg(
+            F.min("i").cast("bigint").alias("span_start"),
+            (F.max("i") - F.min("i") + k).cast("bigint").alias("span_tokens"),
+            F.count("*").cast("bigint").alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_tokens", "n_windows")
+    )
+
+
+@register(
+    "exact_dup_spans",
+    oracle=f"""
+WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+g AS (
+  SELECT doc_id, CAST(unnest(range(0, len(w) - {NGRAM_SPAN_K} + 1)) AS BIGINT) AS i, w
+  FROM words WHERE len(w) >= {NGRAM_SPAN_K}
+),
+k AS (
+  SELECT doc_id, i,
+         md5(array_to_string(list_slice(w, i + 1, i + {NGRAM_SPAN_K}), ' ')) AS key
+  FROM g
+),
+dup AS (SELECT key FROM k GROUP BY key HAVING count(*) >= 2),
+d AS (SELECT k.doc_id, k.i FROM k JOIN dup USING (key)),
+brk AS (
+  SELECT doc_id, i,
+         CASE WHEN i - coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i),
+                                -{NGRAM_SPAN_K + 1}) > {NGRAM_SPAN_K}
+              THEN 1 ELSE 0 END AS b
+  FROM d
+),
+isl AS (
+  SELECT doc_id, i,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS UNBOUNDED PRECEDING) AS isle
+  FROM brk
+)
+SELECT doc_id,
+       CAST(min(i) AS BIGINT) AS span_start,
+       CAST(max(i) - min(i) + {NGRAM_SPAN_K} AS BIGINT) AS span_tokens,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM isl GROUP BY doc_id, isle
+""",
+)
+def exact_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-span extents per document (the suffix-array
+    exact-substring variant of ``dup_ngram_spans`` — VERDICT r12 next
+    #3's unfreeze candidate) — see :func:`dup_span_extents` for
+    semantics and the scale argument."""
+    return dup_span_extents(_words(spark, sf_dir))
 
 
 @register(

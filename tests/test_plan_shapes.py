@@ -359,6 +359,7 @@ CODEGEN_HOF_ALLOW: dict[str, str] = {
     "lsh_recall_pairs": "same minhash permutation transform chain as minhash_lsh (composes it)",
     "bpe_encode": "in-string merge replace + split filter; bounded by doc length",
     "dup_ngram_spans": "word_split + shingle-window lambdas; per-doc bounded",
+    "exact_dup_spans": "same word_split + shingle-window lambdas as dup_ngram_spans (shares _dup_window_islands)",
     "line_dedup": "word_split + stride segment/reassembly lambdas (r11 respell, measured 1.09x at tier)",
     "chunk_dedup": "word_split + block segment/reassembly lambdas (r11 respell, measured 1.88x idle-box)",
     "ann_rerank": "int8 quantization transform lambdas, dim-bounded per vector; scoring runs in the Arrow kernel",

@@ -257,3 +257,64 @@ def test_pii_injection_covers_every_category_and_both_gate_sides(spark):
     assert all(v > 0 for v in agg), f"a PII category never fired: {agg}"
     kept = {r["keep"] for r in out.select("keep").distinct().collect()}
     assert kept == {0, 1}, f"release gate never exercised both sides: {kept}"
+
+
+def test_dup_span_extents_matches_brute_force_and_coverage(spark):
+    """exact_dup_spans (round 13): per-doc maximal duplicated spans
+    must equal the brute-force interval union's maximal runs, and the
+    per-doc SUM of span_tokens must equal span_coverage's dup_tokens —
+    the two operators are the same islands pipeline, one emitting, one
+    aggregating."""
+    from storm_bench_spark.plans.scrub_ops import dup_span_extents
+
+    corpus = [
+        (1, "a b c d a b c d x y"),        # within-doc repeated 4-gram
+        (2, "p q r s t u v w"),            # shares 4-gram with doc 3
+        (3, "z z p q r s t z"),            # overlapping dup windows chain
+        (4, "unique words only here now"),  # no duplication -> no rows
+        (5, "a b"),                         # shorter than the window
+        (6, "p q r s x1 x2 x3 x4 x5 J J J J"),  # TWO islands (gap > k)
+        (7, "J J J J k"),                   # partner for doc 6's middle
+    ]
+    k = 4
+    rows = dup_span_extents(_words_df(spark, corpus), k=k).collect()
+
+    # brute force: covered-token runs per doc
+    from collections import Counter
+
+    toks = {d: t.split() for d, t in corpus}
+    counts = Counter(
+        " ".join(t[i : i + k]) for t in toks.values() for i in range(len(t) - k + 1)
+    )
+    expect = {}
+    for d, t in toks.items():
+        starts = [
+            i
+            for i in range(len(t) - k + 1)
+            if counts[" ".join(t[i : i + k])] >= 2
+        ]
+        spans = []
+        for i in starts:
+            if spans and i - spans[-1][1] <= k:
+                spans[-1] = (spans[-1][0], i, spans[-1][2] + 1)
+            else:
+                spans.append((i, i, 1))
+        for s, e, nw in spans:
+            expect[(d, s)] = (e - s + k, nw)
+    got = {
+        (r["doc_id"], r["span_start"]): (r["span_tokens"], r["n_windows"])
+        for r in rows
+    }
+    assert got == expect
+    assert any(d == 6 for d, _ in got) and sum(d == 6 for d, _ in got) >= 2
+
+    # coverage consistency with the aggregating twin
+    cov = {
+        r["doc_id"]: r["dup_tokens"]
+        for r in span_coverage(_words_df(spark, corpus), k=k).collect()
+        if r["dup_tokens"] > 0
+    }
+    agg = {}
+    for (d, _), (st, _) in got.items():
+        agg[d] = agg.get(d, 0) + st
+    assert agg == cov
