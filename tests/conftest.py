@@ -27,6 +27,17 @@ def spark():
 @pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()
+    # Cap the oracle's allocator IN-SUITE only (round 13): DuckDB's
+    # default memory_limit is ~80% of RAM, which races the resident
+    # Spark JVM for the box's remaining memory — the r7/r12/r13
+    # "OutOfMemoryException on one row, clean on isolated re-run"
+    # transient (COVERAGE.md). With a hard cap + a spill directory the
+    # oracle SPILLS instead of failing allocation. The bench's duck
+    # leg (scripts/duck_twin.connect) deliberately keeps the default:
+    # capping there could change baseline denominators, and bench
+    # pairs have never hit the transient.
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duck_spill_pytest'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
     yield con
