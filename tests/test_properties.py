@@ -480,3 +480,92 @@ def test_bitmap_distinct_matches_set(spark, ids, n_groups):
     for i, v in enumerate(ids):
         want.setdefault(i % n_groups, set()).add(v)
     assert got == {g: len(s) for g, s in want.items()}
+
+
+# ---------------------------------------------------------------------------
+# BMP codec (round 13) == analytic model, pure Python — cheap examples
+
+_bmp_payloads = st.binary(min_size=0, max_size=600)
+_bmp_widths = st.integers(min_value=1, max_value=40)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_bmp_payloads, _bmp_widths)
+def test_bmp_codec_roundtrip_property(payload, width):
+    """encode_bmp24 ∘ decode_bmp24 equals the analytic model for ANY
+    payload/width: header fields from the construction parameters,
+    mean over the zero-padded raster, first_pixel = payload[0] (the
+    bottom-up flip recovered), file length exactly header + stride
+    rows."""
+    from storm_bench_spark.operators.multimodal import (
+        decode_bmp24,
+        encode_bmp24,
+    )
+
+    bmp = encode_bmp24(payload, width)
+    row = 3 * width
+    h = max(1, len(payload) // row)
+    stride = (row + 3) // 4 * 4
+    raster = (payload + b"\x00" * row)[: row * h]
+    assert len(bmp) == 54 + stride * h
+    assert decode_bmp24(bmp) == (
+        width, h, 24, stride, 54 + stride * h,
+        payload[0] if payload else 0,
+        sum(raster) / len(raster),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dup_span_extents (round 13) == pure-Python islands over random corpora
+
+_span_corpora = st.lists(
+    st.lists(
+        st.sampled_from("abcde"), min_size=0, max_size=14
+    ).map(" ".join),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_span_corpora, st.integers(min_value=2, max_value=4))
+def test_dup_span_extents_matches_python_islands(spark, corpus_texts, k):
+    """The maximal-span emitter equals a pure-Python replay (window
+    multiset -> duplicated starts -> greedy gap-k island merge) on
+    random tiny-alphabet corpora, where duplicated windows are dense
+    and island boundaries land everywhere."""
+    from storm_bench_spark.plans.scrub_ops import dup_span_extents
+
+    corpus = list(enumerate(corpus_texts))
+    df = spark.createDataFrame(corpus, schema="doc_id long, text string")
+    words = df.select(
+        "doc_id",
+        F.filter(F.split("text", r"\s+"), lambda w: w != F.lit("")).alias("w"),
+    )
+    rows = dup_span_extents(words, k=k).collect()
+    got = {
+        (r["doc_id"], r["span_start"]): (r["span_tokens"], r["n_windows"])
+        for r in rows
+    }
+
+    from collections import Counter
+
+    toks = {d: t.split() for d, t in corpus}
+    counts = Counter(
+        " ".join(t[i : i + k])
+        for t in toks.values()
+        for i in range(len(t) - k + 1)
+    )
+    expect = {}
+    for d, t in toks.items():
+        spans = []
+        for i in range(len(t) - k + 1):
+            if counts[" ".join(t[i : i + k])] < 2:
+                continue
+            if spans and i - spans[-1][1] <= k:
+                spans[-1] = (spans[-1][0], i, spans[-1][2] + 1)
+            else:
+                spans.append((i, i, 1))
+        for s, e, nw in spans:
+            expect[(d, s)] = (e - s + k, nw)
+    assert got == expect
