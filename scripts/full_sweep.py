@@ -36,18 +36,15 @@ sys.path[:0] = [
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"),
 ]
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
-
-
 def _mem_available_gib() -> float:
-    with open("/proc/meminfo") as f:
-        for ln in f:
-            if ln.startswith("MemAvailable:"):
-                return int(ln.split()[1]) / (1024 * 1024)
-    return float("inf")  # non-Linux: don't block on the guard
+    try:
+        with open("/proc/meminfo") as f:
+            for ln in f:
+                if ln.startswith("MemAvailable:"):
+                    return int(ln.split()[1]) / (1024 * 1024)
+    except OSError:
+        pass
+    return float("inf")  # non-Linux / no procfs: don't block on the guard
 
 
 def _other_jvms() -> list[str]:
@@ -100,6 +97,7 @@ def main() -> None:
 
     import __spark_entry__ as E
     from oracle_utils import assert_frames_match
+    from storm_bench_spark.sources.tables import TABLES
 
     sf_dir = os.environ.get("SWEEP_SF_DIR", "/root/testdata/sf0.01")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")

@@ -265,6 +265,14 @@ def ensure_replica(spark, src: str, dst: str, r: int) -> bool:
     want = {"base": os.path.abspath(src), "r": r}
     if read_replica_marker(dst) == want:
         return False
+    # Invalidate any stale marker BEFORE rebuilding: an interrupted
+    # replicate() must leave an unmarked (= will-rebuild) dir, not a
+    # marker asserting the OLD provenance over partially-overwritten
+    # tables (code-review r13).
+    try:
+        os.remove(os.path.join(dst, "_DONE"))
+    except OSError:
+        pass
     replicate(spark, src, dst, r)
     os.makedirs(dst, exist_ok=True)
     with open(os.path.join(dst, "_DONE"), "w") as f:

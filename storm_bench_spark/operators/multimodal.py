@@ -623,13 +623,16 @@ def decode_bmp24(bmp: bytes) -> tuple[int, int, int, int, int, int, float]:
         raise ValueError("expected a bottom-up BMP")
     row = 3 * width
     stride = (row + 3) // 4 * 4
-    rows = [
-        np.frombuffer(bmp[data_off + r * stride :][:row], dtype=np.uint8)
-        for r in range(height - 1, -1, -1)  # stored bottom-up -> logical
-    ]
-    raster = np.concatenate(rows) if rows else np.array([], dtype=np.uint8)
-    if len(raster) != row * height:
+    if len(bmp) < data_off + stride * height:
         raise ValueError("truncated raster")
+    # one zero-copy view over the pixel data, then one linear copy:
+    # reshape to (height, stride), flip to logical top-down order, and
+    # drop the per-row padding columns (code-review r13 — the per-row
+    # bytes-slice spelling copied the remaining file per row, O(height
+    # × file_size) on a big payload)
+    raster = np.frombuffer(
+        bmp, dtype=np.uint8, count=stride * height, offset=data_off
+    ).reshape(height, stride)[::-1, :row].reshape(-1)
     mean_pixel = (
         float(raster.astype(np.int64).sum()) / len(raster) if len(raster) else 0.0
     )

@@ -299,8 +299,12 @@ def dup_span_extents(words: DataFrame, k: int = NGRAM_SPAN_K) -> DataFrame:
     window starts, so span_start/span_tokens delimit exactly the
     passage a dedup cut would excise (``dup_ngram_spans`` reports only
     the per-doc coverage SUM of these extents). ``n_windows`` is the
-    island's window count — span_tokens − k + 1 for a solid span, less
-    never; it ships so a consumer can verify island solidity.
+    island's window count — span_tokens − k + 1 for a SOLID span
+    (every window duplicated), MORE never, and less exactly when the
+    island has internal gaps ≤ k wide (the merge rule joins islands
+    whose coverage abuts or overlaps even when some interior windows
+    are unique); it ships so a consumer can check solidity:
+    n_windows == span_tokens − k + 1 iff the span is gap-free.
 
     Scale: identical plan to :func:`span_coverage` minus the final
     per-doc aggregate — one narrow explode, one digest-keyed count,
