@@ -142,3 +142,58 @@ def test_scale_tier_names_resolve():
     assert not overlap, f"rows listed both ratio and spark-only: {overlap}"
     dupes = {n for n in SF1_TIER if SF1_TIER.count(n) > 1}
     assert not dupes, f"sf1 tier lists queries twice: {dupes}"
+
+
+def test_scale_tier_warm_lap_protocol(spark, tmp_path, monkeypatch):
+    """Round 13: the tier runs the headline's warm-lap protocol — one
+    untimed execution of every row first, then the timed min-of-runs
+    lap, duck symmetric — and SPARK_GRAFT_SCALE_WARM=0 reproduces the
+    pre-r13 adaptive-sampling path. Exercised end-to-end on a tiny
+    sf0.001-based replica so the assertion covers the real loop, not
+    a mock: sample counts, the warmed flags, the recorded protocol
+    fields, and replica reuse via the shared provenance marker."""
+    from bench import run_scale_tier
+    from scripts.scale_smoke import read_replica_marker
+
+    dst = str(tmp_path / "tier_replica")
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_DIR", dst)
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_TIER_QUERIES", "wordcount")
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_RUNS", "2")
+    base = "/root/testdata/sf0.001"
+
+    out = run_scale_tier(spark, all_queries(), all_oracles(), base)
+    assert out["warm_run"] is True
+    assert out["warmed"] == {"wordcount": True}
+    # warm execution discarded: exactly `runs` timed samples, both legs
+    assert out["n_samples"] == {"wordcount": 2}
+    assert out["duck_n_samples"] == {"wordcount": 2}
+    assert out["ratio"]["wordcount"] is not None
+    marker = read_replica_marker(dst)
+    assert marker == {"base": base, "r": out["r"]}
+
+    # opt-out reproduces the r10-r12 protocol (first sample timed,
+    # adaptive top-up) and reuses the replica without a rebuild
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_WARM", "0")
+    out2 = run_scale_tier(spark, all_queries(), all_oracles(), base)
+    assert out2["warm_run"] is False
+    assert out2["warmed"] == {"wordcount": False}
+    assert out2["n_samples"] == {"wordcount": 2}
+    assert out2["replicate_build_s"] < 1.0  # marker hit — no rebuild
+
+
+def test_full_sweep_settle_guard_pieces(monkeypatch):
+    """The settle guard's primitives: MemAvailable parses to a float
+    (or inf without procfs), the JVM scan never lists this python
+    process, and settle() returns promptly on an idle box instead of
+    sleeping toward its timeout."""
+    import time
+
+    from scripts import full_sweep as FS
+
+    avail = FS._mem_available_gib()
+    assert avail > 0
+    monkeypatch.setattr(FS, "_mem_available_gib", lambda: float("inf"))
+    monkeypatch.setattr(FS, "_other_jvms", lambda: [])
+    t0 = time.time()
+    FS.settle(max_wait_s=30.0)
+    assert time.time() - t0 < 2.0
