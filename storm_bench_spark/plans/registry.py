@@ -72,41 +72,163 @@ def _ensure_loaded() -> None:
 # name that somehow escapes the list sorts LAST — fail-safe: an
 # unlisted query can never displace promised window rows.
 #
-# ROUND-13 WINDOW (exactly 50) = VERDICT r12 next #2 verbatim: rotate
-# onto the r9 cohort. Composition, from per-query max-round over all
-# CORRECTNESS_r*.json files (r12 map: r9=33, r10=45, r11=49, r12=50):
-# (a) TOUCHED this round (3): ann_rerank (stage-2 exact cosine moved
-# into the per-pair Arrow kernel — bit-identical via git-stash A/B at
-# sf0.01 + the R=10 tier), semdedup (cell kernel Gram accumulation
-# sub-blocked — bit-identity pinned by a forced-multi-tile test),
-# dup_ngram_spans (its islands pipeline factored into
-# _dup_window_islands, shared with the new exact_dup_spans — values
-# unchanged, oracle-green in the r13 sweep).
-# (b) the FULL r9 cohort (33): every row whose last driver gate is r9
-# — the streaming annex (18), the stateful/trident pair, multimodal
-# image stubs (2), rolling_geo/hashtag, weighted_sample(+_per_source),
-# tumbling_ohlc + batch twins, one_per_key, orders_rollup,
-# pageview_extract, user_running_value, value_percentiles,
-# zorder_layout.
-# (c) oldest r10 fillers (14, alphabetical): adsb_parse, ann_topk_ivf,
-# ann_topk_quantized, asof_click_purchase_tol, audience_overlap_hll,
-# bloom_high_value_orders, cohort_retention, dsir_select,
-# embedding_neardup, embedding_project, embedding_quantize,
-# funnel_conversion, gap_fill_hourly, hll_users_per_type.
-# After this window the oldest gated row is r10 (31 remaining) — the
-# r14 rotation takes the rest of the r10 cohort.
-#
-# REGISTRY FREEZE DECISION AT R13 (VERDICT r12 next #3): unfrozen for
-# exactly TWO additions, both judge-named candidates — exact_dup_spans
-# (the suffix-array exact-substring span emitter) and
-# multimodal_bmp_meta (third REAL codec: stride padding + bottom-up
-# rows). Growth 177 -> 179. Per the round-5 rule, new queries pin
-# DIRECTLY BELOW the window (positions 51-52): they are gated
-# repo-side by the per-pytest sf0.001 replay and the r13 sf0.01
-# full-registry sweep, and rotate into the driver window at r14.
-# Window math stays sound: 179 rows / 50 slots, oldest cohort after
-# this gate is r10.
+# ROUND-14 WINDOW (exactly 50) = VERDICT r13 next #3 verbatim.
+# Composition, from per-query max-round over all CORRECTNESS_r*.json
+# files (r13 map: never=2, r10=31, r11=47, r12=49, r13=50):
+# (a) the TWO never-driver-gated rows HEAD the window (the r13
+# registry additions, pinned below the r13 window per the round-5
+# rule): exact_dup_spans, multimodal_bmp_meta — after this gate,
+# cumulative driver coverage is 179/179.
+# (b) the FULL r10 cohort (31): every row whose last driver gate is
+# r10 — the set-ops trio, the q8 source pair, rolling_latlong +
+# both flight-dist rows, scd2/pii_mask/stratified_sample/
+# text_normalize, the seven heavy TPC-H rows, user_event_pivot,
+# multires_rollup, props_json_stats, salted_segment_revenue,
+# user_moving_avg, value_zscore_outliers, interval_click_error,
+# print_passthrough, unique_visitor_approx, streaming_audience_
+# overlap, streaming_hll_visitors.
+# (c) oldest r11 fillers (17, in standing cohort order): cdc_apply,
+# user_event_unpivot, tpch_q17/q18/q20/q21/q22, bigram_lm_score,
+# chunk_documents, contamination_score, domain_mix_sample,
+# epoch_shuffle, events_cube, heavy_hitters_cms, lang_id,
+# ngram_jaccard, quality_score.
+# After this window the oldest gated row is r11 (30 remaining) — the
+# r15 rotation takes the rest of the r11 cohort. No query code,
+# shared helper, or oracle changed in round 14 (the round's diffs are
+# bench-harness/protocol only), so the touched-row clause is vacuous.
+# Registry FROZEN at 179 this round (VERDICT r13: "registry stays
+# frozen at 179 unless an item below forces a change" — none did).
 _GATE_PRIORITY: tuple[str, ...] = (
+    "exact_dup_spans",
+    "multimodal_bmp_meta",
+    "streaming_audience_overlap",
+    "unique_visitor_approx",
+    "streaming_hll_visitors",
+    "interval_click_error",
+    "print_passthrough",
+    "users_except",
+    "users_intersect",
+    "users_union",
+    "multires_rollup",
+    "props_json_stats",
+    "rolling_latlong",
+    "salted_segment_revenue",
+    "scd2_customer_history",
+    "source_centroids_q8",
+    "source_similarity_q8",
+    "user_moving_avg",
+    "value_zscore_outliers",
+    "rolling_flight_dist",
+    "rolling_flight_dist_bucketed",
+    "pii_mask",
+    "stratified_sample",
+    "text_normalize",
+    "tpch_q2",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "user_event_pivot",
+    "cdc_apply",
+    "user_event_unpivot",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "bigram_lm_score",
+    "chunk_documents",
+    "contamination_score",
+    "domain_mix_sample",
+    "epoch_shuffle",
+    "events_cube",
+    "heavy_hitters_cms",
+    "lang_id",
+    "ngram_jaccard",
+    "quality_score",
+    # --- window boundary (first 50 above) ---
+    "repetition_score",
+    "simhash",
+    "token_budget_select",
+    "vocab_oov_rate",
+    "chunk_dedup",
+    "bm25_rank",
+    "bpe_encode",
+    "bpe_merge_steps",
+    "containment_pairs",
+    "corpus_curate",
+    "corpus_split",
+    "decontaminate",
+    "decontaminate_minhash",
+    "dedup_keep_best",
+    "fuzzy_name_pairs",
+    "fuzzy_name_pairs_d2",
+    "fuzzy_triangles",
+    "incremental_dedup",
+    "inverted_index",
+    "minhash_lsh",
+    "neardup_clusters",
+    "pagerank_neardup",
+    "pii_scrub",
+    "line_dedup",
+    "simhash_pairs",
+    "source_overlap",
+    "table_profile",
+    "textrank_keywords",
+    "tfidf_top_terms",
+    "training_corpus_build",
+    "boilerplate_ngram_ratio",
+    "embedding_neardup_lsh",
+    "embedding_neardup_lsh_scaled",
+    "ann_topk_ivf_kmeans",
+    "pmi_bigrams",
+    "pack_sequences",
+    "quality_quantile_filter",
+    "rrf_hybrid_rank",
+    "dataclean",
+    "dedup_exact",
+    "distinct_users",
+    "doc_fingerprint",
+    "grep",
+    "histogram_quantiles",
+    "kmv_distinct_users",
+    "lsh_recall_pairs",
+    "multimodal_ppm_meta",
+    "multimodal_wav_meta",
+    "pageview_count",
+    "rolling_count",
+    "rolling_sort",
+    "sol",
+    "token_count",
+    "top_terms",
+    "tpch_q1",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q19",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "unique_visitor",
+    "user_sessions",
+    "wordcount",
+    "ann_recall_at_k",
+    "ann_topk",
+    "asof_click_purchase",
+    "bitmap_distinct_daily",
+    "bitmap_distinct_weekly_rollup",
+    "bitmap_retention_daily",
+    "expand_words",
+    "histogram_quantiles_rollup",
+    "kmv_resemblance",
+    "multimodal_audio_chunks",
+    "multimodal_audio_meta",
+    "multimodal_features",
+    "multimodal_frames",
     "ann_rerank",
     "semdedup",
     "dup_ngram_spans",
@@ -157,136 +279,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "funnel_conversion",
     "gap_fill_hourly",
     "hll_users_per_type",
-    # --- window boundary (first 50 above) ---
-    "exact_dup_spans",
-    "multimodal_bmp_meta",
-    "boilerplate_ngram_ratio",
-    "embedding_neardup_lsh",
-    "embedding_neardup_lsh_scaled",
-    "ann_topk_ivf_kmeans",
-    "pmi_bigrams",
-    "pack_sequences",
-    "quality_quantile_filter",
-    "rrf_hybrid_rank",
-    "dataclean",
-    "dedup_exact",
-    "distinct_users",
-    "doc_fingerprint",
-    "grep",
-    "histogram_quantiles",
-    "kmv_distinct_users",
-    "lsh_recall_pairs",
-    "multimodal_ppm_meta",
-    "multimodal_wav_meta",
-    "pageview_count",
-    "rolling_count",
-    "rolling_sort",
-    "sol",
-    "token_count",
-    "top_terms",
-    "tpch_q1",
-    "tpch_q10",
-    "tpch_q12",
-    "tpch_q14",
-    "tpch_q19",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "unique_visitor",
-    "user_sessions",
-    "wordcount",
-    "ann_recall_at_k",
-    "ann_topk",
-    "asof_click_purchase",
-    "bitmap_distinct_daily",
-    "bitmap_distinct_weekly_rollup",
-    "bitmap_retention_daily",
-    "expand_words",
-    "histogram_quantiles_rollup",
-    "kmv_resemblance",
-    "multimodal_audio_chunks",
-    "multimodal_audio_meta",
-    "multimodal_features",
-    "multimodal_frames",
-    "cdc_apply",
-    "user_event_unpivot",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "bigram_lm_score",
-    "chunk_documents",
-    "contamination_score",
-    "domain_mix_sample",
-    "epoch_shuffle",
-    "events_cube",
-    "heavy_hitters_cms",
-    "lang_id",
-    "ngram_jaccard",
-    "quality_score",
-    "repetition_score",
-    "simhash",
-    "token_budget_select",
-    "vocab_oov_rate",
-    "chunk_dedup",
-    "bm25_rank",
-    "bpe_encode",
-    "bpe_merge_steps",
-    "containment_pairs",
-    "corpus_curate",
-    "corpus_split",
-    "decontaminate",
-    "decontaminate_minhash",
-    "dedup_keep_best",
-    "fuzzy_name_pairs",
-    "fuzzy_name_pairs_d2",
-    "fuzzy_triangles",
-    "incremental_dedup",
-    "inverted_index",
-    "minhash_lsh",
-    "neardup_clusters",
-    "pagerank_neardup",
-    "pii_scrub",
-    "line_dedup",
-    "simhash_pairs",
-    "source_overlap",
-    "table_profile",
-    "textrank_keywords",
-    "tfidf_top_terms",
-    "training_corpus_build",
-    "streaming_audience_overlap",
-    "unique_visitor_approx",
-    "streaming_hll_visitors",
-    "interval_click_error",
-    "print_passthrough",
-    "users_except",
-    "users_intersect",
-    "users_union",
-    "multires_rollup",
-    "props_json_stats",
-    "rolling_latlong",
-    "salted_segment_revenue",
-    "scd2_customer_history",
-    "source_centroids_q8",
-    "source_similarity_q8",
-    "user_moving_avg",
-    "value_zscore_outliers",
-    "rolling_flight_dist",
-    "rolling_flight_dist_bucketed",
-    "pii_mask",
-    "stratified_sample",
-    "text_normalize",
-    "tpch_q2",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "user_event_pivot",
 )
 
 
