@@ -6,15 +6,91 @@ JSON line {"metric", "value", "unit", "queries", "sf"}.
 Each query is fully materialized through the noop sink (no driver
 collect, no column pruning shortcut — the executed plan is the plan a
 real sink would see).
+
+Round 14 (VERDICT r13 next #1/#2): the harness must be UN-KILLABLE as a
+measurement — r13's driver run blew its external wall-clock budget
+mid-sf1-tier and the kill-induced executor stack traces displaced the
+crash-safety snapshot from the captured stdout tail (BENCH_r13.json:
+rc 124, parsed null). Four defenses, all default-on:
+  1. tier warm run counts as the row's FIRST timed sample (one fewer
+     execution of every below-cut row on BOTH legs vs the r13
+     protocol — restores the r12 execution count while keeping the
+     warm lap's C2 separation);
+  2. every-other-round tier membership rotation (SF1_TIER_EVERY_OTHER);
+  3. SPARK_GRAFT_BENCH_DEADLINE (default 2700 s from process start):
+     past it, no new tier/annex work starts, the final line prints
+     with the partial stages marked, and the process exits 0;
+  4. a SIGTERM/SIGINT handler re-prints the most recent snapshot JSON
+     line as the true last stdout line, and the Spark log level runs
+     at FATAL so teardown spew cannot displace it.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
+import signal
 import sys
 import time
+
+# wall-clock origin for the bench deadline (defense #3 above)
+BENCH_T0 = time.monotonic()
+# most recent compact stdout snapshot line, re-printed by the kill
+# handler so an external SIGTERM cannot cost the round its numbers
+_LAST_SNAPSHOT: str | None = None
+
+
+def _deadline_s() -> float:
+    """Seconds of wall budget from process start; 0 disables."""
+    return float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "2700"))
+
+
+def _past_deadline() -> bool:
+    dl = _deadline_s()
+    return dl > 0 and (time.monotonic() - BENCH_T0) > dl
+
+
+def _snapshot_line() -> str:
+    """The line the kill handler re-prints: the most recent snapshot,
+    or a minimal parseable marker if the kill landed before the first
+    emit (still better than an empty tail — the driver's parse then
+    records an explicit early-kill instead of null)."""
+    return _LAST_SNAPSHOT or json.dumps(
+        {"metric": "headline_queries_total_wall", "value": None,
+         "unit": "sec", "killed_before_first_snapshot": True,
+         "final": False}
+    )
+
+
+def _kill_handler(signum, frame):  # noqa: ARG001
+    """Re-print the latest snapshot as the LAST stdout line on
+    SIGTERM/SIGINT, then exit immediately (os._exit: no JVM teardown,
+    whose executor stack traces are exactly what displaced the r13
+    snapshot from the driver's tail capture)."""
+    sys.stdout.write("\n" + _snapshot_line() + "\n")
+    sys.stdout.flush()
+    os._exit(0)
+
+
+def _install_kill_handler() -> None:
+    signal.signal(signal.SIGTERM, _kill_handler)
+    signal.signal(signal.SIGINT, _kill_handler)
+
+
+def _infer_round() -> int | None:
+    """Next round number = max over committed BENCH_r{N}.json + 1.
+    Drives the every-other-round tier rotation deterministically with
+    no extra env contract; None (fresh checkout) disables rotation —
+    fail-safe toward MORE coverage."""
+    ns = []
+    here = os.path.dirname(os.path.abspath(__file__))
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            ns.append(int(m.group(1)))
+    return max(ns) + 1 if ns else None
 
 from pyspark.sql import functions as F
 
@@ -256,6 +332,55 @@ SF1_TIER = [
     "ann_topk_ivf_kmeans",
     "lsh_recall_pairs",
 ]
+# Every-other-round tier membership (VERDICT r13 next #6): the tier's
+# wall driver is the duck leg, and these rows' adjudications have been
+# stable at <=0.35x for 3+ pairs (ratio history r12-pair-1 / r12-final /
+# r13-closing quoted per row), so they rotate to an every-other-round
+# cadence: they run on ODD rounds and are skipped on EVEN rounds
+# (round inferred from committed BENCH_r*.json — see _infer_round).
+# Skipping them removes ~570 duck-seconds per even-round pair. The
+# watch rows (line_dedup, chunk_dedup, exact_dup_spans,
+# dup_ngram_spans, boilerplate_ngram_ratio, ann_rerank) and everything
+# touched in the last round (semdedup — gram tiling landed r13, only
+# one pair datum since) stay EVERY round. Override:
+# SPARK_GRAFT_TIER_ROTATION=all (force-include) / skip (force-exclude);
+# an explicit SPARK_GRAFT_SCALE_TIER_QUERIES selection bypasses
+# rotation entirely.
+SF1_TIER_EVERY_OTHER = {
+    "pagerank_neardup": "0.025/0.026/0.029; duck 172-233 s",
+    "corpus_curate": "0.215/0.176/0.067; duck 28-73 s",
+    "bpe_encode": "0.062/0.047/0.075; duck 21-26 s",
+    "lang_id": "0.032/0.024/0.024; duck 18-21 s",
+    "multimodal_wav_meta": "0.026/0.022/0.021; duck 17-18 s",
+    "multimodal_audio_meta": "0.017/0.013/0.015; duck 17-19 s",
+    "ann_topk_ivf_kmeans": "0.196/0.152/0.163; duck 15-17 s",
+    "multimodal_ppm_meta": "0.052/0.051/0.037; duck 8 s",
+    "quality_score": "0.050/0.054/0.041; duck 7-8 s",
+    "expand_words": "0.053/0.046/0.055; duck 3 s",
+}
+
+def _apply_rotation(
+    names: list[str],
+    explicit_selection: bool,
+    rotation: str,
+    round_inferred: int | None,
+) -> tuple[list[str], list[str]]:
+    """(kept, rotated_out) under the every-other-round cadence: EVEN
+    rounds skip SF1_TIER_EVERY_OTHER rows, odd rounds (and unknown
+    rounds, and explicit selections, and rotation=all) run them."""
+    if explicit_selection or rotation == "all":
+        return names, []
+    skip = rotation == "skip" or (
+        rotation == "auto"
+        and round_inferred is not None
+        and round_inferred % 2 == 0
+    )
+    if not skip:
+        return names, []
+    rotated = [n for n in names if n in SF1_TIER_EVERY_OTHER]
+    return [n for n in names if n not in SF1_TIER_EVERY_OTHER], rotated
+
+
 # Spark-timed only — the ORACLE is super-linear in data (brute-force
 # quadratic stand-ins), so a duck leg at R=10 is hours; the engine side
 # is still timed and its scale shape recorded.
@@ -283,7 +408,13 @@ def run_scale_tier(spark, queries, oracles, base_sf_dir: str) -> dict:
     dst = os.environ.get("SPARK_GRAFT_SCALE_DIR", f"/tmp/spark_graft_scale{r}")
 
     runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
-    slow_s = float(os.environ.get("SPARK_GRAFT_SCALE_SLOW_S", "30"))
+    # Default raised 30 -> 70 in round 14 (VERDICT r13 next #1a): the
+    # builder's pairs have run SLOW_S=70 since r12 so 30-70 s oracles
+    # get n=3 on both legs; the driver ran the 30 default and the two
+    # protocols diverged. With the warm run now counting as the first
+    # timed sample (below), 70 no longer multiplies executions of
+    # mid-weight rows, so the proven builder value becomes the default.
+    slow_s = float(os.environ.get("SPARK_GRAFT_SCALE_SLOW_S", "70"))
     # TIER WARM LAP (round 13, VERDICT r12 next #1): the headline leg
     # has carried a warm lap since round 10 because min-of-3 provably
     # does NOT remove first-encounter C2 JIT (the written rationale at
@@ -310,6 +441,19 @@ def run_scale_tier(spark, queries, oracles, base_sf_dir: str) -> dict:
         if sel
         else SF1_TIER + sorted(SF1_TIER_SPARK_ONLY)
     )
+    # every-other-round rotation (see SF1_TIER_EVERY_OTHER); an
+    # explicit selection bypasses it. No silent caps: what rotated out
+    # is printed AND recorded in the result dict.
+    rotation = os.environ.get("SPARK_GRAFT_TIER_ROTATION", "auto")
+    round_inferred = _infer_round()
+    names, rotated_out = _apply_rotation(names, bool(sel), rotation, round_inferred)
+    if rotated_out:
+        print(
+            f"# sf1 rotation (round {round_inferred}, even): "
+            f"{len(rotated_out)} stable <=0.35x rows sit this round "
+            f"out — {', '.join(rotated_out)}",
+            file=sys.stderr,
+        )
     # Validate BEFORE the expensive replica build (ADVICE r11): a typo
     # in SCALE_TIER_QUERIES used to raise KeyError mid-tier, after the
     # R=10 replication and possibly after some rows had already timed.
@@ -356,31 +500,68 @@ def run_scale_tier(spark, queries, oracles, base_sf_dir: str) -> dict:
     warmed: dict[str, bool] = {}
     warm_wall: dict[str, float] = {}
     duck_warm: dict[str, float] = {}
+    # deadline bookkeeping (VERDICT r13 next #1b): rows the wall budget
+    # never let START are dropped; rows whose warm lap ran but whose
+    # timed lap the deadline overtook degrade to their (already-paid)
+    # warm sample on both legs — zero extra wall, still a datum.
+    deadline_dropped: list[str] = []
+    deadline_degraded: list[str] = []
     if tier_warm:
         t_w = time.perf_counter()
+        lap_names = []
         for name in names:
+            if _past_deadline():
+                deadline_dropped = names[len(lap_names):]
+                print(
+                    f"# sf1 DEADLINE ({_deadline_s():.0f}s) hit in warm "
+                    f"lap — dropping {len(deadline_dropped)} rows: "
+                    f"{', '.join(deadline_dropped)}",
+                    file=sys.stderr,
+                )
+                break
             s, _ = _run_spark_query(spark, queries[name], dst, 1)
             warm_wall[name] = s[0]
             if name not in SF1_TIER_SPARK_ONLY and name in oracles:
                 duck_warm[name] = time_oracle(con, oracles[name], 1)[0]
+            lap_names.append(name)
+        names = lap_names
         print(
             f"# sf1 warm lap: {len(names)} rows in "
-            f"{time.perf_counter() - t_w:.1f}s (untimed below the "
-            "adaptive cut; a warm run past the cut becomes the row's "
-            "single sample)",
+            f"{time.perf_counter() - t_w:.1f}s (the warm run is each "
+            "row's FIRST timed sample since r14; past the adaptive cut "
+            "it is the row's ONLY sample)",
             file=sys.stderr,
         )
     for name in names:
         if tier_warm:
-            if warm_wall[name] >= slow_s or runs < 1:
-                # too slow to repeat — the warm run IS the sample
-                # (identical wall cost to the pre-r13 protocol)
+            # Round 14 (VERDICT r13 next #1a): the warm run COUNTS as
+            # the row's first timed sample, so a below-cut row runs
+            # `runs` times total instead of r13's warm+runs — one full
+            # execution of every fast row removed from BOTH legs,
+            # restoring the r12 wall while keeping the r13 lap
+            # separation (samples 2..runs are post-lap steady state;
+            # min-of-N discards the cold first sample).
+            if (
+                warm_wall[name] >= slow_s
+                or runs <= 1
+                or _past_deadline()
+            ):
+                # past the cut (or the deadline): the warm run IS the
+                # sample — identical wall cost to the pre-r13 protocol
                 samples = [warm_wall[name]]
                 warmed[name] = False
+                if warm_wall[name] < slow_s and runs > 1:
+                    deadline_degraded.append(name)
             else:
-                samples, _ = _run_spark_query(spark, queries[name], dst, runs)
+                more, _ = _run_spark_query(
+                    spark, queries[name], dst, runs - 1
+                )
+                samples = [warm_wall[name]] + more
                 warmed[name] = True
         else:
+            if _past_deadline():
+                deadline_dropped.append(name)
+                continue
             samples, _fl = _run_spark_query(spark, queries[name], dst, 1)
             warmed[name] = False
             if samples[0] < slow_s and runs > 1:
@@ -390,7 +571,20 @@ def run_scale_tier(spark, queries, oracles, base_sf_dir: str) -> dict:
                 samples += more
         t[name] = round(min(samples), 3)
         n_samples[name] = len(samples)
-        msg = f"# sf1 {name}: {t[name]}s (n={len(samples)}"
+        if (
+            tier_warm
+            and warmed[name]
+            and name not in deadline_degraded
+            and _past_deadline()
+        ):
+            # deadline arrived after this row's spark samples but
+            # before its duck leg: fall back to the warm pair on BOTH
+            # legs so min-of-N depth stays symmetric within the row
+            deadline_degraded.append(name)
+            warmed[name] = False
+            t[name] = round(warm_wall[name], 3)
+            n_samples[name] = 1
+        msg = f"# sf1 {name}: {t[name]}s (n={n_samples[name]}"
         msg += ", warm)" if warmed[name] else ")"
         if name not in SF1_TIER_SPARK_ONLY and name in oracles:
             # symmetric sampling (ADVICE r11 medium): the duck leg gets
@@ -404,10 +598,20 @@ def run_scale_tier(spark, queries, oracles, base_sf_dir: str) -> dict:
             # with the Spark leg), and a past-the-cut warm run is the
             # single sample on this leg too.
             if tier_warm:
-                if duck_warm[name] >= slow_s or runs < 1:
+                # symmetric warm-as-first-sample (r14): duck's warm
+                # execution is its first timed sample too; a degraded
+                # (deadline-overtaken) row keeps just the warm sample
+                # on both legs so the ratio stays a like-for-like pair
+                if (
+                    duck_warm[name] >= slow_s
+                    or runs <= 1
+                    or name in deadline_degraded
+                ):
                     ds = [duck_warm[name]]
                 else:
-                    ds = time_oracle(con, oracles[name], runs)
+                    ds = [duck_warm[name]] + time_oracle(
+                        con, oracles[name], runs - 1
+                    )
             else:
                 ds = time_oracle(con, oracles[name], 1)
                 if ds[0] < slow_s and runs > 1:
@@ -442,6 +646,13 @@ def run_scale_tier(spark, queries, oracles, base_sf_dir: str) -> dict:
         "ratio_total": round(matched / duck_total, 3) if duck_total else None,
         # ADVICE r10: the Spark JVM stays resident during the duck leg
         "duck_jvm_resident": True,
+        # r14 protocol provenance: what the rotation skipped and what
+        # the deadline cost, if anything (no silent caps)
+        "round_inferred": round_inferred,
+        "rotated_out": rotated_out,
+        "deadline_dropped": deadline_dropped,
+        "deadline_degraded": deadline_degraded,
+        "sf1_partial": bool(deadline_dropped or deadline_degraded),
     }
 
 
@@ -508,14 +719,92 @@ def _run_spark_query(spark, fn, sf_dir: str, runs: int) -> tuple[list[float], fl
     return samples, floor
 
 
+# The nine Arrow-kernel tier rows — the set the r13 judge had to
+# hand-rerun to establish that the killed tier had no organic crash.
+# SPARK_GRAFT_TIER_SMOKE=1 runs exactly these spark-side on the R=10
+# replica, one execution each, no duck leg, no timing protocol: a
+# ~90 s "does the tier crash?" discriminator (VERDICT r13 next #7).
+TIER_SMOKE_ROWS = [
+    "multimodal_bmp_meta",
+    "multimodal_wav_meta",
+    "multimodal_ppm_meta",
+    "multimodal_audio_meta",
+    "ann_rerank",
+    "semdedup",
+    "embedding_neardup_lsh",
+    "lsh_recall_pairs",
+    "ann_topk_ivf_kmeans",
+]
+
+
+def run_tier_smoke() -> None:
+    global _LAST_SNAPSHOT
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="sbs-tier-smoke")
+    spark.sparkContext.setLogLevel("FATAL")
+    queries = all_queries()
+    sel = os.environ.get("SPARK_GRAFT_SCALE_TIER_QUERIES")
+    names = [q.strip() for q in sel.split(",")] if sel else TIER_SMOKE_ROWS
+    unknown = [n for n in names if n not in queries]
+    if unknown:
+        raise SystemExit(f"tier-smoke names not in the registry: {unknown}")
+    from scripts.scale_smoke import ensure_replica
+
+    dst = os.environ.get(
+        "SPARK_GRAFT_SCALE_DIR", f"/tmp/spark_graft_scale{SCALE_TIER_R}"
+    )
+    t0 = time.perf_counter()
+    ensure_replica(spark, sf_dir, dst, SCALE_TIER_R)
+    failures: dict[str, str] = {}
+    for name in names:
+        t_row = time.perf_counter()
+        try:
+            _run_spark_query(spark, queries[name], dst, 1)
+            status = f"ok ({time.perf_counter() - t_row:.1f}s)"
+        except Exception as e:  # noqa: BLE001 — the smoke must finish the list
+            failures[name] = str(e).split("\n")[0][:300]
+            status = "FAIL"
+        print(f"# tier-smoke {name}: {status}", file=sys.stderr)
+    line = json.dumps({
+        "metric": "tier_smoke",
+        "value": round(time.perf_counter() - t0, 1),
+        "unit": "sec",
+        "rows": len(names),
+        "failures": failures,
+        "final": True,
+    })
+    _LAST_SNAPSHOT = line
+    print(line, flush=True)
+    if failures:
+        sys.exit(1)
+
+
 def main() -> None:
+    _install_kill_handler()
+    if os.environ.get("SPARK_GRAFT_TIER_SMOKE", "0") == "1":
+        return run_tier_smoke()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark(app_name="sbs-bench")
-    spark.sparkContext.setLogLevel("ERROR")
+    # FATAL, not ERROR (round 14): when an external kill lands, the
+    # dying executors spew ERROR-level stack traces into the captured
+    # output — in r13 that spew displaced the final snapshot line from
+    # the driver's tail. Real failures still surface as Python
+    # exceptions; the log stream is not the error channel here.
+    spark.sparkContext.setLogLevel("FATAL")
 
     queries = all_queries()
+    headline = HEADLINE
+    sel_h = os.environ.get("SPARK_GRAFT_HEADLINE_QUERIES")
+    if sel_h:
+        headline = [q.strip() for q in sel_h.split(",")]
+        unknown = [n for n in headline if n not in queries]
+        if unknown:
+            raise SystemExit(
+                f"SPARK_GRAFT_HEADLINE_QUERIES names not in the registry: "
+                f"{unknown}"
+            )
     # JVM/codegen/scan warmup so the first timed query isn't charged
     # one-time startup: exercise codegen, a shuffle, and the file index
     # of every fixture table (cheap count over pruned scans).
@@ -556,10 +845,10 @@ def main() -> None:
 
     if warm_lap:
         t_warm = time.perf_counter()
-        for name in HEADLINE:
+        for name in headline:
             _run_spark_query(spark, queries[name], sf_dir, 1)
         print(
-            f"# warm lap: {len(HEADLINE)} queries in "
+            f"# warm lap: {len(headline)} queries in "
             f"{time.perf_counter() - t_warm:.1f}s (untimed)",
             file=sys.stderr,
         )
@@ -578,7 +867,7 @@ def main() -> None:
     stream_floor: dict[str, float] = {}
     duck_timings: dict[str, float] = {}
     duck_spreads: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         samples, floor = _run_spark_query(spark, queries[name], sf_dir, runs)
         timings[name] = round(min(samples), 3)
         # dispersion over the WARM encounters only: run 1 pays JIT /
@@ -633,8 +922,12 @@ def main() -> None:
     # the full Spark record — the pairing degrades gracefully instead
     # of losing the round's bench numbers.
     pair_id = time.strftime("%Y-%m-%dT%H:%M:%S")
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
+    detail_path = os.path.join(
+        os.environ.get(
+            "SPARK_GRAFT_DETAIL_DIR", os.path.dirname(os.path.abspath(__file__))
+        ),
+        "BENCH_DETAIL.json",
+    )
     worst = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     total_spread = round(sum(spreads.values()), 3)
     total_floor = round(sum(stream_floor.values()), 3)
@@ -649,8 +942,12 @@ def main() -> None:
     # progressive snapshot from the round's number of record.)
     annex_on = interleave and os.environ.get("SPARK_GRAFT_ANNEX", "1") != "0"
     tier_on = interleave and os.environ.get("SPARK_GRAFT_SCALE_TIER", "1") != "0"
+    # stages the wall-budget deadline refused to start (round 14);
+    # a skipped stage flips its *_on flag so "final" still completes
+    deadline_skipped: list[str] = []
 
     def _emit(duck_total=None, duck_spread=None, probes=None):
+        global _LAST_SNAPSHOT
         with open(detail_path, "w") as f:
             json.dump({
                 "metric": "headline_queries_total_wall",
@@ -746,6 +1043,12 @@ def main() -> None:
             out["sf1_duck_total"] = scale_tier["duck_total"]
             out["sf1_ratio"] = scale_tier["ratio_total"]
             out["sf1_rows"] = len(scale_tier["duck"])
+            if scale_tier.get("sf1_partial"):
+                # the deadline cut the tier short (dropped rows and/or
+                # warm-only samples) — the number stands but is partial
+                out["sf1_partial"] = True
+        if deadline_skipped:
+            out["deadline_skipped"] = deadline_skipped
         # last-line-wins marker (ADVICE r11): progressive crash-safety
         # emits are snapshots; only the line with final=true carries
         # every enabled stage
@@ -785,7 +1088,9 @@ def main() -> None:
                     f"{out['retake_recommended']}",
                     file=sys.stderr,
                 )
-        print(json.dumps(out), flush=True)
+        line = json.dumps(out)
+        _LAST_SNAPSHOT = line
+        print(line, flush=True)
 
     from scripts.duck_twin import write_detail
 
@@ -808,7 +1113,7 @@ def main() -> None:
             from scripts.duck_twin import time_oracles
 
             probes["duck_leg"] = box_probe()
-            duck_timings, duck_spreads = time_oracles(sf_dir, HEADLINE, runs)
+            duck_timings, duck_spreads = time_oracles(sf_dir, headline, runs)
             probes["duck_leg_end"] = box_probe()
             write_detail(duck_timings, sf, runs, pair_id=pair_id,
                          spreads=duck_spreads, probe=probes["duck_leg"])
@@ -826,8 +1131,18 @@ def main() -> None:
     # lose the round's numbers; after the annex the line re-prints
     # with annex_total added. Interleaved-mode only (sequential mode
     # stops the JVM before the duck leg).
-    if interleave and os.environ.get("SPARK_GRAFT_ANNEX", "1") != "0":
-        annex_names = [n for n in queries if n not in set(HEADLINE)]
+    if annex_on and _past_deadline():
+        # wall budget spent before the annex (round 14): skip it, keep
+        # the round's headline numbers, finish with a parseable line
+        annex_on = False
+        deadline_skipped.append("annex")
+        print(
+            f"# DEADLINE ({_deadline_s():.0f}s) hit before the annex — "
+            "skipping it",
+            file=sys.stderr,
+        )
+    if annex_on:
+        annex_names = [n for n in queries if n not in set(headline)]
         a_runs = min(2, runs) if runs > 0 else 1
         a_t: dict[str, float] = {}
         a_floor: dict[str, float] = {}
@@ -878,13 +1193,36 @@ def main() -> None:
     # dominated and carry the 2x adjudication for those rows. Runs LAST:
     # a complete compact line has already printed, so a tier crash or an
     # external wall-clock kill cannot lose the round's headline numbers.
-    if interleave and os.environ.get("SPARK_GRAFT_SCALE_TIER", "1") != "0":
+    if tier_on and _past_deadline():
+        tier_on = False
+        deadline_skipped.append("sf1_tier")
+        print(
+            f"# DEADLINE ({_deadline_s():.0f}s) hit before the sf1 tier "
+            "— skipping it",
+            file=sys.stderr,
+        )
+    if tier_on:
         scale_tier = run_scale_tier(spark, queries, oracles, sf_dir)
+        _emit(round(sum(duck_timings.values()), 3),
+              round(sum(duck_spreads.values()), 3), probes)
+
+    if deadline_skipped and interleave:
+        # a stage was refused: the last emitted line predates the skip
+        # decision, so re-emit — now with final=true and the skipped
+        # stages named — and exit 0 (VERDICT r13 next #1b done-criteria)
         _emit(round(sum(duck_timings.values()), 3),
               round(sum(duck_spreads.values()), 3), probes)
 
     if con is not None:
         con.close()
+
+    # test hook for the kill contract (tests/test_bench_contract.py):
+    # hold the process alive after the final emit so a test can SIGTERM
+    # it deterministically and assert the snapshot re-print
+    hang = float(os.environ.get("SPARK_GRAFT_TEST_HANG_S", "0"))
+    if hang > 0:
+        print(f"# test hook: hanging {hang}s for a kill test", file=sys.stderr)
+        time.sleep(hang)
 
 
 if __name__ == "__main__":

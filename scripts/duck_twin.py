@@ -31,8 +31,16 @@ import time
 
 sys.path[:0] = [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
 
-DETAIL = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                      "DUCK_DETAIL.json")
+# SPARK_GRAFT_DETAIL_DIR redirects the detail artifacts (round 14, for
+# the bench kill-test: a subprocess bench run must not clobber the
+# committed pair's DUCK_DETAIL.json at the repo root)
+DETAIL = os.path.join(
+    os.environ.get(
+        "SPARK_GRAFT_DETAIL_DIR",
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ),
+    "DUCK_DETAIL.json",
+)
 
 
 def sf_of(sf_dir: str) -> float:

@@ -59,6 +59,8 @@ def test_compact_summary_line_fits_driver_tail():
         "sf1_duck_total": 99999.999,
         "sf1_ratio": 99.999,
         "sf1_rows": 999,
+        "sf1_partial": True,
+        "deadline_skipped": ["annex", "sf1_tier"],
         "final": False,
         "retake_recommended": (
             "probe_drift 9.999 > 0.1; value_spread 99999.999 > 15% of "
@@ -145,14 +147,20 @@ def test_scale_tier_names_resolve():
 
 
 def test_scale_tier_warm_lap_protocol(spark, tmp_path, monkeypatch):
-    """Round 13: the tier runs the headline's warm-lap protocol — one
-    untimed execution of every row first, then the timed min-of-runs
-    lap, duck symmetric — and SPARK_GRAFT_SCALE_WARM=0 reproduces the
+    """Round 13/14: the tier runs the headline's warm-lap protocol —
+    one execution of every row first in a full lap, then the timed lap,
+    duck symmetric. Since round 14 (VERDICT r13 next #1a) the warm run
+    COUNTS as each below-cut row's first timed sample, so a row costs
+    exactly `runs` executions per leg (r12's wall), not r13's
+    warm+runs — asserted here by counting real executions through a
+    delegating wrapper. SPARK_GRAFT_SCALE_WARM=0 reproduces the
     pre-r13 adaptive-sampling path. Exercised end-to-end on a tiny
     sf0.001-based replica so the assertion covers the real loop, not
-    a mock: sample counts, the warmed flags, the recorded protocol
-    fields, and replica reuse via the shared provenance marker."""
+    a mock: execution counts, sample counts, the warmed flags, the
+    recorded protocol fields, and replica reuse via the marker."""
+    import bench as B
     from bench import run_scale_tier
+    from scripts import duck_twin as DT
     from scripts.scale_smoke import read_replica_marker
 
     dst = str(tmp_path / "tier_replica")
@@ -161,13 +169,33 @@ def test_scale_tier_warm_lap_protocol(spark, tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_SCALE_RUNS", "2")
     base = "/root/testdata/sf0.001"
 
+    spark_execs = {"n": 0}
+    real_run = B._run_spark_query
+    monkeypatch.setattr(
+        B, "_run_spark_query",
+        lambda sp, fn, d, runs: (spark_execs.__setitem__("n", spark_execs["n"] + runs)
+                                 or real_run(sp, fn, d, runs)),
+    )
+    duck_execs = {"n": 0}
+    real_oracle = DT.time_oracle
+    monkeypatch.setattr(
+        DT, "time_oracle",
+        lambda con, sql, runs: (duck_execs.__setitem__("n", duck_execs["n"] + runs)
+                                or real_oracle(con, sql, runs)),
+    )
+
     out = run_scale_tier(spark, all_queries(), all_oracles(), base)
     assert out["warm_run"] is True
     assert out["warmed"] == {"wordcount": True}
-    # warm execution discarded: exactly `runs` timed samples, both legs
+    # warm run = first timed sample: exactly `runs` samples AND exactly
+    # `runs` executions per leg (the r13 protocol executed runs+1)
     assert out["n_samples"] == {"wordcount": 2}
     assert out["duck_n_samples"] == {"wordcount": 2}
+    assert spark_execs["n"] == 2
+    assert duck_execs["n"] == 2
     assert out["ratio"]["wordcount"] is not None
+    assert out["sf1_partial"] is False
+    assert out["deadline_dropped"] == [] and out["deadline_degraded"] == []
     marker = read_replica_marker(dst)
     assert marker == {"base": base, "r": out["r"]}
 
@@ -197,3 +225,208 @@ def test_full_sweep_settle_guard_pieces(monkeypatch):
     t0 = time.time()
     FS.settle(max_wait_s=30.0)
     assert time.time() - t0 < 2.0
+
+
+# ---------------------------------------------------------------------------
+# Round 14 (VERDICT r13 next #1/#2/#6/#7): the un-killable-bench contract
+# ---------------------------------------------------------------------------
+
+
+def test_every_other_round_rotation_membership():
+    """SF1_TIER_EVERY_OTHER rows must (a) exist in SF1_TIER, (b) never
+    include a watch row or a row touched in the last round, (c) leave
+    the tier's adjudication rows intact on even rounds."""
+    from bench import SF1_TIER, SF1_TIER_EVERY_OTHER, _apply_rotation
+
+    unknown = [n for n in SF1_TIER_EVERY_OTHER if n not in SF1_TIER]
+    assert not unknown, f"rotation rows not in the tier: {unknown}"
+    # watch rows + rows with a standing VERDICT ask stay EVERY round
+    must_stay = {
+        "line_dedup", "chunk_dedup", "exact_dup_spans", "dup_ngram_spans",
+        "boilerplate_ngram_ratio", "ann_rerank", "multimodal_bmp_meta",
+        "semdedup",
+    }
+    overlap = must_stay & set(SF1_TIER_EVERY_OTHER)
+    assert not overlap, f"watch rows must not rotate out: {overlap}"
+    kept, rotated = _apply_rotation(list(SF1_TIER), False, "auto", 14)
+    assert set(rotated) == set(SF1_TIER_EVERY_OTHER)
+    assert must_stay <= set(kept)
+    # odd round / unknown round / explicit selection / 'all' → no skip
+    assert _apply_rotation(list(SF1_TIER), False, "auto", 15)[1] == []
+    assert _apply_rotation(list(SF1_TIER), False, "auto", None)[1] == []
+    assert _apply_rotation(list(SF1_TIER), True, "auto", 14)[1] == []
+    assert _apply_rotation(list(SF1_TIER), False, "all", 14)[1] == []
+
+
+def test_infer_round_from_bench_artifacts():
+    """_infer_round reads the committed BENCH_r{N}.json files — the
+    same files the driver writes — so the rotation parity needs no
+    extra env contract. In this tree it must be max(N)+1."""
+    import glob
+    import os
+    import re
+
+    from bench import _infer_round
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ns = [
+        int(re.search(r"BENCH_r(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+    ]
+    assert ns, "no BENCH_r*.json in the repo — rotation would disable"
+    assert _infer_round() == max(ns) + 1
+
+
+def test_snapshot_line_fallback_parses():
+    """The kill handler's output must parse even when the kill lands
+    before the first emit (the minimal-marker branch)."""
+    import json
+
+    import bench as B
+
+    old = B._LAST_SNAPSHOT
+    try:
+        B._LAST_SNAPSHOT = None
+        d = json.loads(B._snapshot_line())
+        assert d["killed_before_first_snapshot"] is True
+        assert d["final"] is False
+        B._LAST_SNAPSHOT = '{"metric": "x"}'
+        assert B._snapshot_line() == '{"metric": "x"}'
+    finally:
+        B._LAST_SNAPSHOT = old
+
+
+def test_tier_deadline_drops_rows(spark, tmp_path, monkeypatch):
+    """With the wall budget already spent, the tier must refuse every
+    row, record what it dropped, and still return a well-formed result
+    (sf1_partial true) instead of crashing or running anyway."""
+    from bench import run_scale_tier
+
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_DIR", str(tmp_path / "replica"))
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_TIER_QUERIES", "wordcount,grep")
+    # BENCH_T0 is minutes old by the time pytest gets here, so any
+    # tiny positive budget is already spent
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DEADLINE", "0.001")
+    out = run_scale_tier(spark, all_queries(), all_oracles(), "/root/testdata/sf0.001")
+    assert out["sf1_partial"] is True
+    assert out["deadline_dropped"] == ["wordcount", "grep"]
+    assert out["queries"] == {} and out["duck"] == {}
+    assert out["ratio_total"] is None
+
+
+def _wait_for(path, needle, proc, timeout_s):
+    import time
+
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        try:
+            if needle in path.read_text(errors="ignore"):
+                return True
+        except OSError:
+            pass
+        if proc.poll() is not None:
+            return False
+        time.sleep(2)
+    return False
+
+
+def test_bench_deadline_and_kill_end_to_end(tmp_path):
+    """The whole round-14 contract in one subprocess run: a bench whose
+    deadline expires after the headline leg must (a) skip the annex and
+    tier, (b) print a final=true line naming the skipped stages, and
+    (c) when SIGTERMed afterward (the external wall-clock kill), re-print
+    that snapshot as the true last stdout line via the kill handler —
+    the exact failure that made BENCH_r13.json parse as null."""
+    import json
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_HEADLINE_QUERIES="wordcount",
+        SPARK_GRAFT_BENCH_RUNS="1",
+        SPARK_GRAFT_BENCH_DEADLINE="1",
+        SPARK_GRAFT_TEST_HANG_S="240",
+        SPARK_GRAFT_DETAIL_DIR=str(tmp_path),
+        SPARK_GRAFT_SCALE_DIR=str(tmp_path / "replica"),
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_DRIVER_MEM="3g",
+    )
+    out_path, err_path = tmp_path / "out.txt", tmp_path / "err.txt"
+    with open(out_path, "wb") as out_f, open(err_path, "wb") as err_f:
+        proc = subprocess.Popen(
+            [sys.executable, "bench.py"],
+            cwd=repo, env=env, stdout=out_f, stderr=err_f,
+            start_new_session=True,
+        )
+        try:
+            hooked = _wait_for(err_path, "# test hook: hanging", proc, 300)
+            assert hooked, (
+                f"bench never reached the hang hook (rc={proc.poll()}):\n"
+                f"{err_path.read_text(errors='ignore')[-2000:]}"
+            )
+            os.killpg(proc.pid, signal.SIGTERM)
+            rc = proc.wait(timeout=30)
+        finally:
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+    assert rc == 0, f"kill handler must exit 0, got {rc}"
+    lines = [ln for ln in out_path.read_text().splitlines() if ln.strip()]
+    last = json.loads(lines[-1])  # the driver's LAST-LINE-WINS parse
+    assert last["final"] is True
+    assert set(last["deadline_skipped"]) == {"annex", "sf1_tier"}
+    assert "sf1_total" not in last
+    assert last["n_queries"] == 1
+    # the handler re-printed the snapshot verbatim: the last TWO
+    # final=true lines are identical
+    finals = [ln for ln in lines if '"final": true' in ln]
+    assert len(finals) >= 2 and finals[-1] == finals[-2]
+    # detail artifact went to the redirected dir, not the repo root
+    assert (tmp_path / "BENCH_DETAIL.json").exists()
+
+
+def test_tier_smoke_mode(tmp_path):
+    """SPARK_GRAFT_TIER_SMOKE=1 (VERDICT r13 next #7): spark-side-only
+    execution of the Arrow-kernel tier rows on the replica — the ~90 s
+    'does the tier crash organically?' discriminator the r13 judge had
+    to hand-write. Subset here for test wall; rc 0 + one parseable
+    tier_smoke line is the contract."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from bench import TIER_SMOKE_ROWS
+
+    # the default smoke set must resolve and be Arrow-kernel tier rows
+    missing = [n for n in TIER_SMOKE_ROWS if n not in all_queries()]
+    assert not missing, f"tier-smoke rows not in the registry: {missing}"
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_TIER_SMOKE="1",
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_SCALE_DIR=str(tmp_path / "replica"),
+        SPARK_GRAFT_SCALE_TIER_QUERIES="multimodal_bmp_meta,ann_rerank",
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_DRIVER_MEM="3g",
+    )
+    res = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    lines = [ln for ln in res.stdout.splitlines() if ln.strip()]
+    last = json.loads(lines[-1])
+    assert last["metric"] == "tier_smoke"
+    assert last["rows"] == 2
+    assert last["failures"] == {}
+    assert last["final"] is True
