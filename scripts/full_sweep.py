@@ -48,14 +48,28 @@ def _mem_available_gib() -> float:
 
 
 def _other_jvms() -> list[str]:
+    """Live ``java`` processes NOT owned by this python process.
+
+    ADVICE r13: the old exclusion compared each java PID to
+    ``os.getpid()`` — this process is python, so that never matched
+    (dead code), and had settle() ever run after this script's own
+    SparkSession existed, its own child JVM would have deadlocked the
+    guard. Compare the java process's PPID to our PID instead, and
+    skip malformed ps lines rather than crashing the sweep."""
     out = subprocess.run(
-        ["ps", "-eo", "pid=,comm="], capture_output=True, text=True
+        ["ps", "-eo", "pid=,ppid=,comm="], capture_output=True, text=True
     ).stdout
     me = os.getpid()
     jvms = []
     for ln in out.splitlines():
-        pid_s, _, comm = ln.strip().partition(" ")
-        if comm.strip() == "java" and int(pid_s) != me:
+        parts = ln.split(None, 2)
+        if len(parts) != 3 or parts[2].strip() != "java":
+            continue
+        try:
+            ppid = int(parts[1])
+        except ValueError:
+            continue
+        if ppid != me:
             jvms.append(ln.strip())
     return jvms
 

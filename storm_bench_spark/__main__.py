@@ -42,9 +42,13 @@ QUERY_NOTES = {
         "RollingGeoCount.java:38-39 reads rollingcount.window_length / "
         "rollingcount.emit_frequency, keys conf/conf.yaml does not set "
         "(its rolling_count.* spelling is a different topology's), so "
-        "the reference silently falls back to its window defaults. "
-        "This engine pins a WORKING 3600s/600s window instead of "
-        "replaying that fallback — expect different window widths "
+        "getConfInt (BenchmarkBase.java:123-131) returns its -1 "
+        "missing-key sentinel and the reference builds "
+        "RollingCountBolt(-1, -1): a single-chunk window with an "
+        "invalid -1s tick-tuple frequency — a degenerate window, not "
+        "RollingBolt's 300s/60s defaults. This engine pins a WORKING "
+        "3600s/600s window instead of replaying that degenerate "
+        "construction — expect different window widths "
         "than an unconfigured reference run, and note that setting "
         "rollingcount.* (or geocount.*) in a conf file changes "
         "nothing in either system."

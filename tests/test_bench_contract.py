@@ -227,6 +227,39 @@ def test_full_sweep_settle_guard_pieces(monkeypatch):
     assert time.time() - t0 < 2.0
 
 
+def test_other_jvms_ppid_exclusion(tmp_path):
+    """ADVICE r13: _other_jvms must exclude a java process whose
+    PARENT is this process (our own child JVM — the old code compared
+    java PIDs to os.getpid(), which is a python PID and never matched)
+    while still counting a java process owned by someone else. Proven
+    with a /bin/sleep copy named 'java' (comm follows the executable
+    name): a direct child is excluded, a grandchild via an intermediate
+    sh (foreign PPID) is counted."""
+    import shutil
+    import subprocess
+    import time
+
+    from scripts import full_sweep as FS
+
+    fake = tmp_path / "java"
+    shutil.copy("/bin/sleep", fake)
+    fake.chmod(0o755)
+    child = subprocess.Popen([str(fake), "30"])
+    gsh = subprocess.Popen(["sh", "-c", f"'{fake}' 30; true"])
+    try:
+        time.sleep(0.5)  # let both exec
+        jvms = FS._other_jvms()
+        pids = [int(ln.split(None, 2)[0]) for ln in jvms]
+        ppids = [int(ln.split(None, 2)[1]) for ln in jvms]
+        assert child.pid not in pids, "own child JVM counted as foreign"
+        assert gsh.pid in ppids, "foreign java (grandchild) not detected"
+    finally:
+        child.kill()
+        gsh.kill()
+        child.wait()
+        gsh.wait()
+
+
 # ---------------------------------------------------------------------------
 # Round 14 (VERDICT r13 next #1/#2/#6/#7): the un-killable-bench contract
 # ---------------------------------------------------------------------------

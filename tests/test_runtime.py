@@ -48,6 +48,12 @@ def test_cli_gcount_config_bug_note(capsys):
     out = capsys.readouterr().out
     assert "rollingcount.window_length" in out
     assert "3600s/600s" in out and "gcount" in out
+    # ADVICE r13: the note must describe what the unconfigured
+    # reference ACTUALLY builds — getConfInt's -1 missing-key sentinel
+    # yields RollingCountBolt(-1, -1), a degenerate single-chunk
+    # window — not a fall-back to "window defaults" (there are none)
+    assert "RollingCountBolt(-1, -1)" in out
+    assert "window defaults" not in out
 
     assert main(["run", "gcount", "--sf-dir", SF_DIR, "--sink", "noop"]) == 0
     err = capsys.readouterr().err
