@@ -363,6 +363,22 @@ def _wait_for(path, needle, proc, timeout_s):
     return False
 
 
+def _settle_after_subprocess_jvm():
+    """Wait for the subprocess bench's JVM to fully exit and its
+    memory to be released before the NEXT test module's DuckDB work
+    starts. Without this, the dying JVM's asynchronous multi-GB
+    release races the oracle allocator — the r7/r12/r13 transient,
+    which these subprocess tests otherwise trigger SYSTEMATICALLY
+    (the first full-suite run of round 14 failed 11 test_correctness
+    rows this way, all green isolated). full_sweep.settle's foreign-JVM
+    scan is PPID-aware, so the pytest session's own resident JVM does
+    not block it; the orphaned bench JVM (reparented away from us)
+    does, until it exits."""
+    from scripts.full_sweep import settle
+
+    settle(max_wait_s=120.0, min_avail_gib=8.0)
+
+
 def test_bench_deadline_and_kill_end_to_end(tmp_path):
     """The whole round-14 contract in one subprocess run: a bench whose
     deadline expires after the headline leg must (a) skip the annex and
@@ -410,6 +426,7 @@ def test_bench_deadline_and_kill_end_to_end(tmp_path):
                 os.killpg(proc.pid, signal.SIGKILL)
             except ProcessLookupError:
                 pass
+    _settle_after_subprocess_jvm()
     assert rc == 0, f"kill handler must exit 0, got {rc}"
     lines = [ln for ln in out_path.read_text().splitlines() if ln.strip()]
     last = json.loads(lines[-1])  # the driver's LAST-LINE-WINS parse
@@ -456,6 +473,7 @@ def test_tier_smoke_mode(tmp_path):
         [sys.executable, "bench.py"],
         cwd=repo, env=env, capture_output=True, text=True, timeout=600,
     )
+    _settle_after_subprocess_jvm()
     assert res.returncode == 0, res.stderr[-2000:]
     lines = [ln for ln in res.stdout.splitlines() if ln.strip()]
     last = json.loads(lines[-1])
