@@ -158,8 +158,21 @@ def lsh_candidates(bands: DataFrame) -> DataFrame:
     The band side is repartitioned on the bucket key first, so the
     self-join's two sides share one exchange (ReuseExchange) — the
     shingle→signature→digest pipeline upstream runs once, not twice.
+
+    Round 14: the band table is additionally PERSISTED (8 slim rows
+    per doc). The exchange-reuse pin only holds while both self-join
+    sides stay on the shuffle path; whenever the planner broadcasts
+    one side (it does at every bench SF — the digest table estimates
+    small), that side re-derives the signature pipeline from scratch —
+    32 array-min permutations per doc, the family's dominant compute —
+    so every caller paid it twice. With the cache both the broadcast
+    build and the probe side read materialized rows.
     """
-    bands = bands.repartition("band", "digest")
+    from pyspark import StorageLevel
+
+    bands = bands.persist(StorageLevel.MEMORY_AND_DISK).repartition(
+        "band", "digest"
+    )
     l = bands.alias("l")
     r = bands.alias("r")
     return (

@@ -32,6 +32,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _symmetrize(edges: DataFrame, a: str, b: str) -> DataFrame:
+    """(node, peer) with every edge in both orientations — ONE pass.
+
+    Round 14: was ``select(a,b).union(select(b,a))``, whose two
+    branches are separate subtrees, so the whole upstream pair
+    pipeline (for the near-dup graphs: candidate join + exact-Jaccard
+    verify) evaluated TWICE before the eager checkpoint that follows.
+    Exploding a two-struct array emits both orientations from a single
+    evaluation of each edge row — same multiset (union is UNION ALL),
+    half the upstream work, and one scan stage instead of two."""
+    return edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(a).alias("node"), F.col(b).alias("peer")),
+                F.struct(F.col(b).alias("node"), F.col(a).alias("peer")),
+            )
+        ).alias("e")
+    ).select("e.node", "e.peer")
+
+
 def connected_components(
     edges: DataFrame, max_iter: int = 20, a: str = "a", b: str = "b"
 ) -> DataFrame:
@@ -46,12 +66,7 @@ def connected_components(
     a pathological input worth failing loudly on rather than silently
     mislabeling).
     """
-    ea = F.col(a).alias("node")
-    eb = F.col(b).alias("node")
-    sym = edges.select(ea, F.col(b).alias("peer")).union(
-        edges.select(eb, F.col(a).alias("peer"))
-    )
-    sym = sym.localCheckpoint(eager=True)
+    sym = _symmetrize(edges, a, b).localCheckpoint(eager=True)
     labels = (
         sym.select("node").distinct().withColumn("comp", F.col("node"))
     ).localCheckpoint(eager=True)
@@ -133,10 +148,7 @@ def pagerank(
     unroll (no driver loop over data; the single driver-side scalar is
     the node count, which also guards div-by-zero on an empty graph).
     """
-    sym = edges.select(F.col(a).alias("node"), F.col(b).alias("peer")).union(
-        edges.select(F.col(b).alias("node"), F.col(a).alias("peer"))
-    )
-    sym = sym.localCheckpoint(eager=True)
+    sym = _symmetrize(edges, a, b).localCheckpoint(eager=True)
     deg = sym.groupBy("node").agg(F.count("*").alias("deg"))
     deg = deg.localCheckpoint(eager=True)
     n = deg.count()

@@ -235,8 +235,22 @@ WITH fp AS ({DD.simhash_sql()})
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3) via exact nibble banding;
     the oracle brute-forces the same fingerprints — pigeonhole makes
-    the banded candidate set lossless."""
-    fp = DD.simhash(_spread(load_table(spark, sf_dir, "documents"), sf_dir))
+    the banded candidate set lossless.
+
+    Round 14: the fingerprint table is PERSISTED (doc_id + one bigint
+    per doc — the cheapest cacheable unit in the engine). Without it
+    the band self-join's two sides are separate subtrees, and whenever
+    the planner broadcasts one side (it does at every bench SF) the
+    whole scan → tokenize → per-token md5 → 64-vote aggregation
+    pipeline — this row's dominant compute — ran TWICE; the
+    ``repartition("cid","key")`` exchange-reuse pin inside
+    ``simhash_near_pairs`` only helps when both sides stay on the
+    shuffle path."""
+    from pyspark import StorageLevel
+
+    fp = DD.simhash(_spread(load_table(spark, sf_dir, "documents"), sf_dir)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     return DD.simhash_near_pairs(fp, max_hamming=3)
 
 

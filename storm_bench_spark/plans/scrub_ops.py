@@ -39,6 +39,7 @@ integer div); document reassembly sorts per-document only.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -73,23 +74,54 @@ def _dup_window_islands(words: DataFrame, k: int) -> DataFrame:
     dup windows at i < j share an island iff j - i ≤ k). The shared
     core of :func:`span_coverage` (coverage aggregate) and
     :func:`dup_span_extents` (span emitter): one overlapping-window
-    explode (narrow), one digest-keyed count (map-side combined), one
-    digest semi-join, then per-document lag + running sum — window
-    text never leaves the scan stage, shuffles carry md5 + position."""
-    g = words.where(F.size("w") >= k).select(
-        "doc_id",
-        F.explode(F.expr(f"sequence(0L, size(w) - {k})")).alias("i"),
-        "w",
-    )
-    keyed = g.select(
-        "doc_id",
-        "i",
-        F.md5(F.array_join(F.slice("w", F.col("i") + 1, k), " ")).alias("key"),
+    digest pass (narrow), one digest-keyed count (map-side combined),
+    one digest semi-join, then per-document lag + running sum — window
+    text never leaves the scan stage, shuffles carry digest + position.
+
+    Round 14 respell (the r12 ``boilerplate_ngram_ratio`` treatment):
+    the r13 spelling built the dup-key set and the probe side as two
+    SEPARATE explode→md5 subtrees — they project different columns, so
+    no exchange/stage reuse is possible and the corpus was tokenized
+    and every window md5-hashed TWICE (the before-plan shows two full
+    Scan→Generate→md5 pipelines; this row's dominant compute is the
+    md5-per-window). Now the per-doc window digests are computed ONCE
+    into an array<binary> row (16-byte ``unhex(md5(...))`` — half the
+    32-char hex key's shuffle/broadcast bytes with zero collision
+    change, the exactness-safe key the round-14 hash64 DECLINE
+    recorded) and persisted at doc grain; the DF count explodes the
+    cached arrays into a map-side-combined groupBy (a hot window key
+    still collapses to ≤ #partitions partial rows — the skew-safe
+    shape; the window-count single-exchange spelling stays DECLINED
+    here for the same reason as boilerplate_ngram_ratio r11: these
+    windows match at ANY alignment, so a corpus-constant k-gram's
+    occurrences would funnel into one unsplittable window partition,
+    while a JOIN gets AQE skew handling), and the probe posexplodes
+    the same cache into the digest semi-join. Cache cost is
+    16 B/window-position + array overhead at doc grain,
+    MEMORY_AND_DISK (spills, never OOMs) — the cache-vs-recompute
+    trade the boilerplate/trigram family already ships."""
+    arr = (
+        words.where(F.size("w") >= k)
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, size(w) - {k}), "
+                f"i -> unhex(md5(array_join(slice(w, i + 1, {k}), ' '))))"
+            ).alias("hs"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dup = (
-        keyed.groupBy("key").agg(F.count("*").alias("cnt")).where(F.col("cnt") >= 2)
+        arr.select(F.explode("hs").alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= 2)
     )
-    d = keyed.join(dup.select("key"), "key", "left_semi").select("doc_id", "i")
+    d = (
+        arr.select("doc_id", F.posexplode("hs").alias("i", "key"))
+        .join(dup.select("key"), "key", "left_semi")
+        .select("doc_id", F.col("i").cast("bigint").alias("i"))
+    )
     wdoc = Window.partitionBy("doc_id").orderBy("i")
     brk = d.select(
         "doc_id",
