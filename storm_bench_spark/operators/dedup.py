@@ -155,24 +155,24 @@ def band_digests_sql() -> str:
 def lsh_candidates(bands: DataFrame) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing at least one band bucket.
 
-    The band side is repartitioned on the bucket key first, so the
-    self-join's two sides share one exchange (ReuseExchange) — the
-    shingle→signature→digest pipeline upstream runs once, not twice.
+    The band table is PERSISTED (8 slim rows per doc): both self-join
+    sides read materialized rows, so the shingle→signature→digest
+    pipeline upstream runs once — including when the planner
+    broadcasts one side (it does at every bench SF), which an
+    exchange-reuse pin alone cannot cover.
 
-    Round 14: the band table is additionally PERSISTED (8 slim rows
-    per doc). The exchange-reuse pin only holds while both self-join
-    sides stay on the shuffle path; whenever the planner broadcasts
-    one side (it does at every bench SF — the digest table estimates
-    small), that side re-derives the signature pipeline from scratch —
-    32 array-min permutations per doc, the family's dominant compute —
-    so every caller paid it twice. With the cache both the broadcast
-    build and the probe side read materialized rows.
+    No explicit repartition on the bucket key: with the cache in
+    place the pre-r14 ``repartition("band","digest")`` pin was pure
+    overhead — on the broadcast path it hash-shuffled the probe side
+    for nothing AND inserted an Exchange under the BroadcastExchange
+    (the build side is collected whole regardless), and on the
+    sort-merge path ENSURE_REQUIREMENTS inserts the same
+    hashpartitioning over two identical cached subtrees, which
+    ReuseExchange dedupes exactly as the explicit pin did.
     """
     from pyspark import StorageLevel
 
-    bands = bands.persist(StorageLevel.MEMORY_AND_DISK).repartition(
-        "band", "digest"
-    )
+    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     l = bands.alias("l")
     r = bands.alias("r")
     return (
@@ -384,8 +384,10 @@ def simhash_near_pairs(fp: DataFrame, max_hamming: int = 3) -> DataFrame:
         .select(
             "doc_id", "simhash", F.col("e.cid").alias("cid"), F.col("e.key").alias("key")
         )
-        # shared exchange for the self-join: fingerprints compute once
-        .repartition("cid", "key")
+        # no repartition pin: the fingerprint table under this explode
+        # is persisted by the callers, so both self-join sides read the
+        # cache; an explicit hash exchange here only added a wasted
+        # shuffle on the broadcast path (see lsh_candidates)
     )
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
