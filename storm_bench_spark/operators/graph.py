@@ -67,12 +67,30 @@ def connected_components(
     mislabeling).
     """
     sym = _symmetrize(edges, a, b).localCheckpoint(eager=True)
+
+    # Convergence gauge: labels are monotone non-increasing per node
+    # and the node set is fixed, so Σcomp is strictly decreasing until
+    # the fixpoint and equal across an iteration IFF no label moved.
+    # Comparing sums replaces the per-iteration join+count action of
+    # rounds ≤13 with one tiny aggregate over the already-materialized
+    # checkpoint — at bench SF the loop cost is job count, not bytes.
+    # DECIMAL(38,0) accumulation: a bigint sum overflows once
+    # n_nodes × max_id exceeds 2^63 (10^10 docs with 2^40 ids does),
+    # and a silent wrap could fake sum-equality mid-descent.
+    def _label_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+
+    # Init = the old round 1's propagation, folded into ONE keyed
+    # aggregate: label(v) = min(v, min neighbor) — replaces the
+    # distinct-nodes checkpoint AND the first iteration's join.
     labels = (
-        sym.select("node").distinct().withColumn("comp", F.col("node"))
-    ).localCheckpoint(eager=True)
+        sym.groupBy("node")
+        .agg(F.least(F.col("node"), F.min("peer")).alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = _label_sum(labels)
 
     converged = False
-    changed = -1
     for _ in range(max_iter):
         neigh_min = (
             sym.join(
@@ -86,39 +104,41 @@ def connected_components(
             "node",
             F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
         )
-        # materialize prop before the self-join below: both join sides
-        # embed it, and while ReuseExchange dedupes the shuffles, the
-        # post-shuffle join+agg compute would otherwise run twice per
-        # iteration — the dominant per-iteration cost
-        prop = prop.localCheckpoint(eager=True)
-        # pointer jumping (path halving): adopt the label OF the label.
-        # Labels cover every node and comp is always a node id, so the
-        # self-lookup is total; label values only ever decrease, so the
-        # jump is monotone toward the same fixpoint, reached in
-        # O(log diameter) rounds instead of O(diameter).
+        # Pointer jumping (path shortcutting): adopt the label OF the
+        # label — looked up in the PREVIOUS iteration's labels, which
+        # are already materialized. Rounds ≤13 jumped through `prop`
+        # itself, which required an extra eager checkpoint of prop per
+        # iteration (both jump-join sides embedded it); jumping through
+        # the old labels needs no mid-iteration materialization, so an
+        # iteration is ONE checkpoint job + one scalar aggregate.
+        # Still monotone toward the same unique min-label fixpoint
+        # (labels[x] ≤ x for every x after init, and every comp value
+        # is a node id present in labels), and reach still compounds
+        # super-linearly per round (≥ Fibonacci: r_{t+1} ≥ r_t +
+        # r_{t-1}), so O(log diameter)-class convergence is kept —
+        # the diameter-64 path test passes well inside max_iter=20.
         new_labels = (
             prop.join(
-                prop.select(F.col("node").alias("comp"), F.col("comp").alias("jcomp")),
+                labels.select(F.col("node").alias("comp"), F.col("comp").alias("jcomp")),
                 "comp",
                 "left",
             )
-            .select("node", F.coalesce("jcomp", "comp").alias("comp"))
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("jcomp", F.col("comp"))).alias("comp"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge within max_iter={max_iter} "
-            f"iterations ({changed} labels still changing); raise max_iter — "
+            "iterations (label sum still decreasing); raise max_iter — "
             "an unconverged labeling would silently mislabel components"
         )
     return labels
