@@ -98,20 +98,28 @@ def minhash_signature_arrays(arr: DataFrame) -> DataFrame:
     permutation; the 32 permutations then run as array_min over pure
     lambda-variable reads.
     """
-    from storm_bench_spark.functions.text import bind
+    # One parsed SQL string (similarity.py's _dot_terms rule): the
+    # per-permutation Column/lambda loop cost ~250 py4j round trips of
+    # pure DataFrame-build time on every encounter — the dominant cost
+    # of the whole minhash family at bench SF (phase_profile:
+    # minhash_lsh build_s 1.1 of 1.6 total). The text reproduces the
+    # bind() shape exactly — hash the shingle array ONCE into a bound
+    # lambda variable via the one-element-array transform trick, then
+    # one array_min per permutation over pure variable reads — so the
+    # analyzed expression, and therefore every signature value, is
+    # unchanged.
+    from storm_bench_spark.functions.hashing import PERMS_64
 
-    def _perm_min(hv, i: int):
-        # single-arg inner lambda: a two-arg lambda would receive the
-        # ARRAY INDEX as its second argument and shadow the perm index
-        return F.array_min(F.transform(hv, lambda x: minhash_perm(x, i)))
-
-    hs = F.transform(F.col("shs"), lambda s: hash64(s) % MERSENNE_31)
-    sig = bind(
-        hs,
-        lambda hv: F.struct(
-            *[_perm_min(hv, i).alias(f"mh{i}") for i in range(N_PERMS)]
-        ),
+    hs_sql = (
+        "transform(shs, s -> "
+        f"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % {MERSENNE_31})"
     )
+    fields = ", ".join(
+        f"'mh{i}', array_min(transform(hv, x -> "
+        f"((x % {MERSENNE_31}) * {PERMS_64[i][0]} + {PERMS_64[i][1]}) % {MERSENNE_31}))"
+        for i in range(N_PERMS)
+    )
+    sig = F.expr(f"get(transform(array({hs_sql}), hv -> named_struct({fields})), 0)")
     return arr.select("doc_id", sig.alias("_sig")).select("doc_id", "_sig.*")
 
 
@@ -126,16 +134,18 @@ def minhash_signature_sql() -> str:
 def band_digests(sig: DataFrame) -> DataFrame:
     """(doc_id, band, digest): md5 of each band's signature slice —
     the LSH bucket key. Equal digest ⇒ candidate pair."""
-    entries = []
-    for band in range(N_BANDS):
-        cols = [
-            F.col(f"mh{band * ROWS_PER_BAND + r}").cast("string")
-            for r in range(ROWS_PER_BAND)
-        ]
-        entries.append(
-            F.struct(F.lit(band).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("digest"))
+    # SQL text for the same reason as minhash_signature_arrays above.
+    entries = ", ".join(
+        "named_struct('band', {band}, 'digest', md5(concat_ws(',', {cols})))".format(
+            band=band,
+            cols=", ".join(
+                f"CAST(mh{band * ROWS_PER_BAND + r} AS STRING)"
+                for r in range(ROWS_PER_BAND)
+            ),
         )
-    return sig.select("doc_id", F.explode(F.array(*entries)).alias("e")).select(
+        for band in range(N_BANDS)
+    )
+    return sig.select("doc_id", F.expr(f"explode(array({entries}))").alias("e")).select(
         "doc_id", F.col("e.band").alias("band"), F.col("e.digest").alias("digest")
     )
 
@@ -297,18 +307,37 @@ def simhash(docs: DataFrame) -> DataFrame:
     tokens = docs.select(
         "doc_id", F.explode(F.array_distinct(w)).alias("tok")
     ).select("doc_id", hash64("tok").alias("h"))
+    # Vote and fingerprint expressions are SQL TEXT parsed by F.expr
+    # (similarity.py's _dot_terms rule): the per-bit Column-operator
+    # loops used through round 13 cost one py4j round trip per
+    # operator — ~4 s of pure DataFrame-BUILD time per encounter at
+    # bench SF (phase_profile: simhash_pairs build_s 4.8 of 5.8 total)
+    # — for the very same analyzed expressions. Values are unchanged:
+    # identical CASE arithmetic, and the fingerprint terms are all-
+    # bigint (0L/L literals) where the old chain mixed int partial
+    # sums below bit 31 — both stay in range (bits 0..30 sum to at
+    # most 2^31 - 1), so the results agree exactly.
     aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
+        F.expr(
+            f"sum(CASE WHEN ((shiftright(h, {b}) & 1) = 1) THEN 1 ELSE -1 END) AS v{b}"
+        )
         for b in range(N_SIMHASH_BITS)
     ]
     votes = tokens.groupBy("doc_id").agg(*aggs)
-    fp = None
-    for b in range(N_SIMHASH_BITS):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(_bit_value(b))).otherwise(F.lit(0))
-        fp = bit if fp is None else fp + bit
-    return votes.select("doc_id", fp.cast("bigint").alias("simhash"))
+    terms = [
+        (
+            f"(CASE WHEN v{b} > 0 THEN {_bit_value(b)}L ELSE 0L END)"
+            if b < 63
+            # -(2^63): the bare literal -9223372036854775808L dies in
+            # the parser (positive literal first, then negate), so the
+            # sign bit's contribution is spelled as an exact in-range
+            # subtraction
+            else f"(CASE WHEN v{b} > 0 THEN (-9223372036854775807L - 1L) ELSE 0L END)"
+        )
+        for b in range(N_SIMHASH_BITS)
+    ]
+    fp = F.expr(f"CAST({' + '.join(terms)} AS BIGINT)")
+    return votes.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_sql() -> str:
@@ -366,21 +395,22 @@ def simhash_near_pairs(fp: DataFrame, max_hamming: int = 3) -> DataFrame:
     assert max_hamming <= SIMHASH_SUB_BANDS - SIMHASH_SUBSET, (
         "subset width must leave enough intact bands for the pigeonhole"
     )
-    band = lambda i: F.shiftright(F.col("simhash"), i * SIMHASH_SUB_BITS).bitwiseAND(
-        F.lit(_SUB_MASK)
-    )
-    entries = [
-        F.struct(
-            F.lit(cid).alias("cid"),
-            sum(
-                (band(b) * F.lit(1 << (SIMHASH_SUB_BITS * pos)) for pos, b in enumerate(combo)),
-                F.lit(0),
-            ).cast("bigint").alias("key"),
+    # One parsed SQL string for the 56-combo key array (the _dot_terms
+    # rule, see simhash above): the Column-operator spelling cost
+    # ~900 py4j round trips of pure build time per encounter.
+    entries = ", ".join(
+        "named_struct('cid', {cid}, 'key', CAST({terms} AS BIGINT))".format(
+            cid=cid,
+            terms=" + ".join(
+                f"((shiftright(simhash, {b * SIMHASH_SUB_BITS}) & {_SUB_MASK})"
+                f" * {1 << (SIMHASH_SUB_BITS * pos)}L)"
+                for pos, b in enumerate(combo)
+            ),
         )
         for cid, combo in enumerate(_band_subsets())
-    ]
+    )
     banded = (
-        fp.select("doc_id", "simhash", F.explode(F.array(*entries)).alias("e"))
+        fp.select("doc_id", "simhash", F.expr(f"explode(array({entries}))").alias("e"))
         .select(
             "doc_id", "simhash", F.col("e.cid").alias("cid"), F.col("e.key").alias("key")
         )
