@@ -1292,7 +1292,17 @@ def semdedup_pairs(
     """
     import numpy as np
 
-    v = vectors.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("v"))
+    # Persist the projected double-cast vector table: the Lloyd loop
+    # makes 1 + n_iter full passes over it (init sample + one
+    # mapInPandas scan per iteration) and ivf_assign a further one —
+    # without the cache each pass re-reads the parquet and re-casts
+    # float→double (phase_profile: 1.3 s of semdedup's 2.0 s total was
+    # these driver-coordinated build jobs at bench SF).
+    from pyspark.storagelevel import StorageLevel
+
+    v = vectors.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("v")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cent = kmeans_centroids(v, n_centroids)
     assigned = ivf_assign(v, cent, dim, n_assign=1)
     margin = threshold - 1e-6
