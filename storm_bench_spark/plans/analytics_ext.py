@@ -166,11 +166,19 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     is associative min-reduction all the way down, so partial
     aggregation does the heavy lifting at any scale.
     """
+    from pyspark import StorageLevel
+
     es = D.events_sec(spark, sf_dir).select("user_id", "sec", "event_type")
+    # v and c are each consumed twice (the next stage's broadcast probe
+    # AND the final stage count); uncached, the funnel re-scanned the
+    # events table six times (v 3x, c 2x, p 1x). The per-user one-row
+    # stage tables are the cheapest cacheable unit — persisting the two
+    # reused ones cuts the scans to one per stage.
     v = (
         es.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("sec").alias("vs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     c = (
         es.where(F.col("event_type") == "click")
@@ -178,6 +186,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("sec") >= F.col("vs"))
         .groupBy("user_id")
         .agg(F.min("sec").alias("cs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     p = (
         es.where(F.col("event_type") == "purchase")

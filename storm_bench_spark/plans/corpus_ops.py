@@ -953,11 +953,27 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = words.select(
         F.explode(_bigram_pairs(drop_self=True)).alias("b")
     ).select("b.w1", "b.w2")
+    # Edge symmetrization in ONE explode pass (the r14 graph.py
+    # _symmetrize fix): the two-branch unionByName evaluated the whole
+    # corpus tokenize+bigram subtree twice — same UNION ALL multiset,
+    # half the upstream work.
     e = (
-        bi.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
-        .unionByName(bi.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
+        bi.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("w1").alias("src"), F.col("w2").alias("dst")),
+                    F.struct(F.col("w2").alias("src"), F.col("w1").alias("dst")),
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
         .groupBy("src", "dst")
         .agg(F.count("*").alias("wgt"))
+        # persisted: consumed by wdeg AND the ew join below — uncached,
+        # ONE materialization of ew ran the corpus pipeline twice (the
+        # plan carried zero ReusedExchange), and the r0 rank init added
+        # a third evaluation via wdeg
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     wdeg = e.groupBy("src").agg(F.sum("wgt").alias("wdeg"))
     ew = e.join(wdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
@@ -1448,18 +1464,29 @@ def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals are a broadcast 1-row aggregate; the final top-{PMI_TOP}
     is TakeOrdered (per-partition heaps), never a global sort.
     """
+    from pyspark import StorageLevel
+
     docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
     words = docs.select("doc_id", word_split("text").alias("w"))
+    # Both count tables are persisted (vocabulary-sized aggregates):
+    # uncached, the totals row re-evaluated bi AND uni and the scored
+    # joins re-evaluated uni twice more — five corpus tokenize passes
+    # for one query (plan carried 5 parquet scans, zero
+    # ReusedExchange). With the caches the corpus is tokenized twice
+    # (once per count table), and everything downstream reads
+    # vocab-sized cached rows.
     bi = (
         words.select(F.explode(_bigram_pairs()).alias("p"))
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_xy"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     uni = (
         words.select(F.explode("w").alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     tot = bi.agg(F.sum("c_xy").alias("n_bi")).crossJoin(
         uni.agg(F.sum("c").alias("n_uni"))
