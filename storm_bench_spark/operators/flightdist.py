@@ -165,12 +165,20 @@ def flight_dist_pairs(
     routes pair generation through the grid-pruned equi-join
     (:func:`flight_dist_from_latest_bucketed`) — identical results.
     """
+    from pyspark.storagelevel import StorageLevel
+
     latest = latest_by(
         positions,
         key_cols=["icao"],
         order_key=FLIGHT_ORDER_KEY(),
         payload_cols=["postime", "lat", "lng", "spd", "trak"],
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # persisted: the snapshot (one row per aircraft — the smallest
+    # cacheable unit in the family) is consumed by BOTH pair sides,
+    # and the bucketed path's _grid_spec stats action besides; without
+    # the cache the whole positions→parse→latest_by pipeline re-ran
+    # per consumer (the broadcast build side re-derives its subtree —
+    # the same pathology the LSH family's r14 persists closed).
     impl = flight_dist_from_latest_bucketed if bucketed else flight_dist_from_latest
     return impl(
         latest, dist_threshold_km, speculative_comp_num, speculative_comp_timestep_sec

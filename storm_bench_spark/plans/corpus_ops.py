@@ -143,7 +143,12 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = words.select("doc_id", F.explode(_bigram_pairs()).alias("b")).select(
         "doc_id", "b.w1", "b.w2"
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    # c2 is consumed twice (the c1 rollup and the probe join); persist
+    # the vocabulary-sized count so the bigram-row aggregation over the
+    # cached bi table runs once, not once per consumer
+    c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     p = (
         bi.join(c2, ["w1", "w2"])
