@@ -1219,11 +1219,18 @@ def source_similarity_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vec_id"), "source"
     )
+    from pyspark import StorageLevel
+
     s = (
         emb.join(src, "vec_id")
         .select("source", F.posexplode("qarr").alias("pos", "q"))
         .groupBy("source", "pos")
         .agg(F.sum("q").alias("s"))
+        # persisted: both self-join sides consume it, and the broadcast
+        # build side would otherwise re-run the emb⋈src + posexplode +
+        # aggregation pipeline from scratch (64·|sources| rows — the
+        # smallest cacheable unit in the query)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = s.select(F.col("source").alias("source_a"), "pos", F.col("s").alias("sa"))
     b = s.select(F.col("source").alias("source_b"), "pos", F.col("s").alias("sb"))
