@@ -120,6 +120,15 @@ _BATCH_QUERIES = [
 
 
 def _plan(spark, name):
+    # Clean cache state first — the bench protocol the lint models
+    # (bench.py clears the cache between queries). The session-scoped
+    # fixture carries materialized persists from earlier test FILES
+    # (e.g. test_corpus_ops executing pmi_bigrams), and CacheManager
+    # substitutes those into later plans; a cached table materialized
+    # as one partition then lets the planner drop the partial-agg step
+    # and the funnel lint misreads the bounded 1-row totals exchange
+    # as a raw-row funnel (r14: the pmi_bigrams false positive).
+    spark.catalog.clearCache()
     df = all_queries()[name](spark, SF_DIR)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
