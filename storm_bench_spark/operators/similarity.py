@@ -799,6 +799,13 @@ def ann_topk_ivf(
     v = vectors.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("v"))
     n_assign = 1
     if centroids == "kmeans":
+        # persist for the Lloyd loop's 1 + n_iter full passes plus the
+        # assignment pass (the semdedup_pairs r14 fix — without the
+        # cache each pass re-reads the parquet and re-casts
+        # float→double); sample mode reads v once and skips the cache
+        from pyspark.storagelevel import StorageLevel
+
+        v = v.persist(StorageLevel.MEMORY_AND_DISK)
         cent_df = kmeans_centroids(v, n_centroids)
         n_assign = 2
     elif centroids == "sample":
