@@ -53,7 +53,7 @@ def _symmetrize(edges: DataFrame, a: str, b: str) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 20, a: str = "a", b: str = "b"
+    edges: DataFrame, max_iter: int = 30, a: str = "a", b: str = "b"
 ) -> DataFrame:
     """(node, comp) for every node appearing in ``edges`` (undirected
     pairs); ``comp`` is the smallest node id in the component.
@@ -62,9 +62,13 @@ def connected_components(
     pointer-jump only shortcuts along already-derived labels — so a
     DuckDB recursive-CTE reachability oracle replays the fixpoint
     exactly. Raises ``RuntimeError`` if labels are still changing at
-    ``max_iter`` (with jumping that needs diameter > ~2^max_iter, i.e.
-    a pathological input worth failing loudly on rather than silently
-    mislabeling).
+    ``max_iter``. Since round 14 the jump reads the PREVIOUS
+    iteration's labels, so per-round reach grows Fibonacci-like
+    (~1.618^t), not ~2^t: convergence needs diameter ≲ 1.618^max_iter.
+    The default is 30 (≈ 1.9M effective diameter — more than the old
+    20-round doubling bound covered), so graphs that converged before
+    the round-14 respell still converge; a non-converging input fails
+    loudly rather than silently mislabeling.
     """
     sym = _symmetrize(edges, a, b).localCheckpoint(eager=True)
 

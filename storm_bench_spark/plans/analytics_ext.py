@@ -19,6 +19,15 @@ every number is bit-replayable by the DuckDB oracle:
   only floats are deterministic IEEE ops on exact per-group sums, so
   the 1.6σ cut selects the same rows in both engines by bit equality,
   not by luck.
+
+PERSIST CONVENTION (round 14, applies engine-wide): the mid-query
+``persist()`` calls here and in corpus_ops/dedup_queries/similarity/
+flightdist are intentionally NOT unpersisted — each query is a pure
+builder whose caches the bench clears between queries
+(``spark.catalog.clearCache()``), and an in-query unpersist after the
+"final" action would break consumers that compose queries (a returned
+DataFrame may be re-executed by the caller). Callers composing several
+queries in one long-lived session should clearCache() between them.
 """
 
 from __future__ import annotations

@@ -238,14 +238,17 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the banded candidate set lossless.
 
     Round 14: the fingerprint table is PERSISTED (doc_id + one bigint
-    per doc — the cheapest cacheable unit in the engine). Without it
-    the band self-join's two sides are separate subtrees, and whenever
-    the planner broadcasts one side (it does at every bench SF) the
-    whole scan → tokenize → per-token md5 → 64-vote aggregation
-    pipeline — this row's dominant compute — ran TWICE; the
-    ``repartition("cid","key")`` exchange-reuse pin inside
-    ``simhash_near_pairs`` only helps when both sides stay on the
-    shuffle path."""
+    per doc — the cheapest cacheable unit in the engine), and that is
+    the whole design — no explicit bucket-key repartition remains (the
+    old ``repartition("cid","key")`` pin inside ``simhash_near_pairs``
+    was dropped; see ``lsh_candidates`` for the identical rationale).
+    Without the persist the band self-join's two sides are separate
+    subtrees, and whenever the planner broadcasts one side (it does at
+    every bench SF) the whole scan → tokenize → per-token md5 →
+    64-vote aggregation pipeline — this row's dominant compute — ran
+    TWICE; on the sort-merge path ENSURE_REQUIREMENTS + ReuseExchange
+    reinstate the shared shuffle over the two identical cached
+    subtrees."""
     from pyspark import StorageLevel
 
     fp = DD.simhash(_spread(load_table(spark, sf_dir, "documents"), sf_dir)).persist(

@@ -72,34 +72,83 @@ def _ensure_loaded() -> None:
 # name that somehow escapes the list sorts LAST — fail-safe: an
 # unlisted query can never displace promised window rows.
 #
-# ROUND-14 WINDOW (exactly 50) = VERDICT r13 next #3 verbatim.
-# Composition, from per-query max-round over all CORRECTNESS_r*.json
-# files (r13 map: never=2, r10=31, r11=47, r12=49, r13=50):
-# (a) the TWO never-driver-gated rows HEAD the window (the r13
-# registry additions, pinned below the r13 window per the round-5
-# rule): exact_dup_spans, multimodal_bmp_meta — after this gate,
-# cumulative driver coverage is 179/179.
-# (b) the FULL r10 cohort (31): every row whose last driver gate is
-# r10 — the set-ops trio, the q8 source pair, rolling_latlong +
-# both flight-dist rows, scd2/pii_mask/stratified_sample/
-# text_normalize, the seven heavy TPC-H rows, user_event_pivot,
-# multires_rollup, props_json_stats, salted_segment_revenue,
-# user_moving_avg, value_zscore_outliers, interval_click_error,
-# print_passthrough, unique_visitor_approx, streaming_audience_
-# overlap, streaming_hll_visitors.
-# (c) oldest r11 fillers (17, in standing cohort order): cdc_apply,
-# user_event_unpivot, tpch_q17/q18/q20/q21/q22, bigram_lm_score,
-# chunk_documents, contamination_score, domain_mix_sample,
-# epoch_shuffle, events_cube, heavy_hitters_cms, lang_id,
-# ngram_jaccard, quality_score.
-# After this window the oldest gated row is r11 (30 remaining) — the
-# r15 rotation takes the rest of the r11 cohort. No query code,
-# shared helper, or oracle changed in round 14 (the round's diffs are
-# bench-harness/protocol only), so the touched-row clause is vacuous.
-# Registry FROZEN at 179 this round (VERDICT r13: "registry stays
-# frozen at 179 unless an item below forces a change" — none did).
+# ROUND-15 WINDOW (exactly 50) = VERDICT r14 next #1 (the touched-row
+# correctness debt) + this round's optimization targets + oldest-cohort
+# fillers:
+# (a) ALL 27 round-14-touched rows FIRST — the rewritten dedup/CC/
+# corpus/similarity/flight/span family had its code or a shared helper
+# changed in commits 9320cdb..2c2dfad but was never re-certified by the
+# driver's hash-gate at gate SF (VERDICT r14 "What's wrong" #1; the r14
+# window predated the optimization work and was never re-rotated —
+# a violation of this rule, acknowledged and repaid here). The set =
+# VERDICT r14's audit list (25) + ann_topk_ivf_kmeans and
+# source_similarity_q8, which this round's consumer audit shows also
+# ride changed code (ann_topk_ivf helper; cb5be8c persist).
+# rrf_hybrid_rank / embedding_project / token_budget_select were
+# checked and EXCLUDED: they touch only unchanged *_sql() oracle
+# generators or docstrings, not the changed Spark helpers.
+# (b) the round-15 optimization targets (VERDICT r14 next #5/#7):
+# rolling_count / rolling_geo_count / rolling_hashtag_count /
+# rolling_latlong, fuzzy_name_pairs_d2, ann_rerank — pinned in the
+# window UP FRONT so any r15 change to them is gate-covered even if
+# the session is interrupted mid-round.
+# (c) fillers: the full r11-cohort remainder (16 rows, oldest gated
+# cohort) + ann_recall_at_k (oldest r12 row). After this gate the
+# oldest cohort is r12.
+# Any FURTHER query touched later in round 15 must be rotated in
+# before the round closes (the standing round-4 rule).
 _GATE_PRIORITY: tuple[str, ...] = (
+    "simhash",
+    "simhash_pairs",
+    "minhash_lsh",
+    "lsh_recall_pairs",
+    "source_overlap",
+    "decontaminate_minhash",
+    "incremental_dedup",
+    "corpus_curate",
+    "dedup_keep_best",
+    "neardup_clusters",
+    "pagerank_neardup",
+    "training_corpus_build",
+    "textrank_keywords",
+    "pmi_bigrams",
+    "bigram_lm_score",
+    "source_similarity_q8",
+    "funnel_conversion",
+    "semdedup",
+    "ann_topk_ivf",
+    "ann_topk_ivf_kmeans",
+    "dup_ngram_spans",
     "exact_dup_spans",
+    "chunk_dedup",
+    "rolling_flight_dist",
+    "rolling_flight_dist_bucketed",
+    "streaming_flight_dist",
+    "streaming_funnel",
+    "rolling_count",
+    "rolling_geo_count",
+    "rolling_hashtag_count",
+    "rolling_latlong",
+    "fuzzy_name_pairs_d2",
+    "ann_rerank",
+    "bm25_rank",
+    "bpe_encode",
+    "bpe_merge_steps",
+    "containment_pairs",
+    "corpus_split",
+    "decontaminate",
+    "fuzzy_name_pairs",
+    "fuzzy_triangles",
+    "inverted_index",
+    "line_dedup",
+    "pii_scrub",
+    "repetition_score",
+    "table_profile",
+    "tfidf_top_terms",
+    "token_budget_select",
+    "vocab_oov_rate",
+    "ann_recall_at_k",
+    # --- window boundary (first 50 above) ---
     "multimodal_bmp_meta",
     "streaming_audience_overlap",
     "unique_visitor_approx",
@@ -111,15 +160,11 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "users_union",
     "multires_rollup",
     "props_json_stats",
-    "rolling_latlong",
     "salted_segment_revenue",
     "scd2_customer_history",
     "source_centroids_q8",
-    "source_similarity_q8",
     "user_moving_avg",
     "value_zscore_outliers",
-    "rolling_flight_dist",
-    "rolling_flight_dist_bucketed",
     "pii_mask",
     "stratified_sample",
     "text_normalize",
@@ -139,7 +184,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
-    "bigram_lm_score",
     "chunk_documents",
     "contamination_score",
     "domain_mix_sample",
@@ -149,42 +193,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "lang_id",
     "ngram_jaccard",
     "quality_score",
-    # --- window boundary (first 50 above) ---
-    "repetition_score",
-    "simhash",
-    "token_budget_select",
-    "vocab_oov_rate",
-    "chunk_dedup",
-    "bm25_rank",
-    "bpe_encode",
-    "bpe_merge_steps",
-    "containment_pairs",
-    "corpus_curate",
-    "corpus_split",
-    "decontaminate",
-    "decontaminate_minhash",
-    "dedup_keep_best",
-    "fuzzy_name_pairs",
-    "fuzzy_name_pairs_d2",
-    "fuzzy_triangles",
-    "incremental_dedup",
-    "inverted_index",
-    "minhash_lsh",
-    "neardup_clusters",
-    "pagerank_neardup",
-    "pii_scrub",
-    "line_dedup",
-    "simhash_pairs",
-    "source_overlap",
-    "table_profile",
-    "textrank_keywords",
-    "tfidf_top_terms",
-    "training_corpus_build",
     "boilerplate_ngram_ratio",
     "embedding_neardup_lsh",
     "embedding_neardup_lsh_scaled",
-    "ann_topk_ivf_kmeans",
-    "pmi_bigrams",
     "pack_sequences",
     "quality_quantile_filter",
     "rrf_hybrid_rank",
@@ -195,11 +206,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "grep",
     "histogram_quantiles",
     "kmv_distinct_users",
-    "lsh_recall_pairs",
     "multimodal_ppm_meta",
     "multimodal_wav_meta",
     "pageview_count",
-    "rolling_count",
     "rolling_sort",
     "sol",
     "token_count",
@@ -216,7 +225,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "unique_visitor",
     "user_sessions",
     "wordcount",
-    "ann_recall_at_k",
     "ann_topk",
     "asof_click_purchase",
     "bitmap_distinct_daily",
@@ -229,24 +237,17 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "multimodal_audio_meta",
     "multimodal_features",
     "multimodal_frames",
-    "ann_rerank",
-    "semdedup",
-    "dup_ngram_spans",
     "multimodal_image_meta",
     "multimodal_resize",
     "one_per_key",
     "orders_rollup",
     "pageview_extract",
-    "rolling_geo_count",
-    "rolling_hashtag_count",
     "stateful_running_count",
     "streaming_bitmap_visitors",
     "streaming_cdc_apply",
     "streaming_dedup",
     "streaming_dedup_watermarked",
     "streaming_enriched_revenue",
-    "streaming_flight_dist",
-    "streaming_funnel",
     "streaming_hashtag_count",
     "streaming_heavy_hitters",
     "streaming_histogram_quantiles",
@@ -266,7 +267,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "weighted_sample_per_source",
     "zorder_layout",
     "adsb_parse",
-    "ann_topk_ivf",
     "ann_topk_quantized",
     "asof_click_purchase_tol",
     "audience_overlap_hll",
@@ -276,7 +276,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "embedding_neardup",
     "embedding_project",
     "embedding_quantize",
-    "funnel_conversion",
     "gap_fill_hourly",
     "hll_users_per_type",
 )

@@ -133,6 +133,14 @@ def funnel_state(events: DataFrame) -> DataFrame:
     timestamps per user per batch — a sequential-pattern matcher that
     no built-in windowed aggregation expresses (stage k's predicate
     depends on stage k−1's MATCH TIME, not on a fixed window).
+
+    CONTRACT (since round 14): only users with ≥1 funnel event
+    (view/click/purchase) emit rows. Users whose events are all other
+    types never reach the state machine and produce NO output row —
+    do not count users from this function's output. (Before round 14
+    such users emitted an all-NULL (v, c, p) row; every consumer
+    filters stages with isNotNull, so results were identical, but the
+    per-user-row shape is now part of the contract.)
     """
     # The machine only reacts to the three funnel stages; dropping the
     # other event types BEFORE the keyed Python state stage is
