@@ -16,7 +16,8 @@ rc 124, parsed null). Four defenses, all default-on:
      execution of every below-cut row on BOTH legs vs the r13
      protocol — restores the r12 execution count while keeping the
      warm lap's C2 separation);
-  2. every-other-round tier membership rotation (SF1_TIER_EVERY_OTHER);
+  2. tier membership rotation (alternating halves since round 15:
+     SF1_TIER_SKIP_ON_EVEN / SF1_TIER_SKIP_ON_ODD);
   3. SPARK_GRAFT_BENCH_DEADLINE (default 2700 s from process start):
      past it, no new tier/annex work starts, the final line prints
      with the partial stages marked, and the process exits 0;
@@ -332,28 +333,37 @@ SF1_TIER = [
     "ann_topk_ivf_kmeans",
     "lsh_recall_pairs",
 ]
-# Every-other-round tier membership (VERDICT r13 next #6): the tier's
-# wall driver is the duck leg, and these rows' adjudications have been
-# stable at <=0.35x for 3+ pairs (ratio history r12-pair-1 / r12-final /
-# r13-closing quoted per row), so they rotate to an every-other-round
-# cadence: they run on ODD rounds and are skipped on EVEN rounds
-# (round inferred from committed BENCH_r*.json — see _infer_round).
-# Skipping them removes ~570 duck-seconds per even-round pair. The
-# watch rows (line_dedup, chunk_dedup, exact_dup_spans,
-# dup_ngram_spans, boilerplate_ngram_ratio, ann_rerank) and everything
-# touched in the last round (semdedup — gram tiling landed r13, only
-# one pair datum since) stay EVERY round. Override:
-# SPARK_GRAFT_TIER_ROTATION=all (force-include) / skip (force-exclude);
-# an explicit SPARK_GRAFT_SCALE_TIER_QUERIES selection bypasses
-# rotation entirely.
-SF1_TIER_EVERY_OTHER = {
-    "pagerank_neardup": "0.025/0.026/0.029; duck 172-233 s",
-    "corpus_curate": "0.215/0.176/0.067; duck 28-73 s",
+# Alternating-halves tier rotation (round 15; generalizes the r14
+# every-other-round cadence per VERDICT r14 next #3 "raise rotation"):
+# the tier's wall driver is the duck leg, and these rows' adjudications
+# have been stable at <=0.35x for 3+ pairs (ratio history r12-pair-1 /
+# r12-final / r13-closing quoted per row), so each runs every OTHER
+# round — but as two opposite-parity halves instead of r14's
+# all-or-nothing set, so EVERY round sheds duck-seconds and no round
+# pays the full stable set (the r14 odd-round full tier is what blew
+# the 2700 s deadline mid-tier and degraded 16 rows to cold singles).
+# Halves are assigned by round-15 need: rows whose code or shared
+# helper changed in round 14 (corpus_curate, ann_topk_ivf_kmeans) run
+# on ODD rounds (r15 corroborates them); the untouched stable rows —
+# including pagerank_neardup, whose 172-260 s oracle is ~40% of the
+# whole tier's duck leg by itself — run on EVEN rounds. The watch rows
+# (line_dedup, chunk_dedup, exact_dup_spans, dup_ngram_spans,
+# boilerplate_ngram_ratio, ann_rerank) and everything else touched in
+# the last round stay EVERY round. Round inferred from committed
+# BENCH_r*.json — see _infer_round. Override:
+# SPARK_GRAFT_TIER_ROTATION=all (force-include) / skip (force-exclude
+# both halves); an explicit SPARK_GRAFT_SCALE_TIER_QUERIES selection
+# bypasses rotation entirely.
+SF1_TIER_SKIP_ON_EVEN = {
+    "corpus_curate": "0.215/0.176/0.067; duck 28-73 s; r14-touched (CC/minhash)",
+    "ann_topk_ivf_kmeans": "0.196/0.152/0.163; duck 15-17 s; r14-touched (Lloyd persist)",
+}
+SF1_TIER_SKIP_ON_ODD = {
+    "pagerank_neardup": "0.025/0.026/0.029; duck 172-260 s",
     "bpe_encode": "0.062/0.047/0.075; duck 21-26 s",
     "lang_id": "0.032/0.024/0.024; duck 18-21 s",
     "multimodal_wav_meta": "0.026/0.022/0.021; duck 17-18 s",
     "multimodal_audio_meta": "0.017/0.013/0.015; duck 17-19 s",
-    "ann_topk_ivf_kmeans": "0.196/0.152/0.163; duck 15-17 s",
     "multimodal_ppm_meta": "0.052/0.051/0.037; duck 8 s",
     "quality_score": "0.050/0.054/0.041; duck 7-8 s",
     "expand_words": "0.053/0.046/0.055; duck 3 s",
@@ -365,20 +375,24 @@ def _apply_rotation(
     rotation: str,
     round_inferred: int | None,
 ) -> tuple[list[str], list[str]]:
-    """(kept, rotated_out) under the every-other-round cadence: EVEN
-    rounds skip SF1_TIER_EVERY_OTHER rows, odd rounds (and unknown
-    rounds, and explicit selections, and rotation=all) run them."""
+    """(kept, rotated_out) under the alternating-halves cadence: EVEN
+    rounds skip SF1_TIER_SKIP_ON_EVEN, odd rounds skip
+    SF1_TIER_SKIP_ON_ODD; unknown rounds, explicit selections, and
+    rotation=all run everything; rotation=skip skips both halves."""
     if explicit_selection or rotation == "all":
         return names, []
-    skip = rotation == "skip" or (
-        rotation == "auto"
-        and round_inferred is not None
-        and round_inferred % 2 == 0
-    )
-    if not skip:
+    if rotation == "skip":
+        skip_set = set(SF1_TIER_SKIP_ON_EVEN) | set(SF1_TIER_SKIP_ON_ODD)
+    elif rotation == "auto" and round_inferred is not None:
+        skip_set = set(
+            SF1_TIER_SKIP_ON_EVEN
+            if round_inferred % 2 == 0
+            else SF1_TIER_SKIP_ON_ODD
+        )
+    else:
         return names, []
-    rotated = [n for n in names if n in SF1_TIER_EVERY_OTHER]
-    return [n for n in names if n not in SF1_TIER_EVERY_OTHER], rotated
+    rotated = [n for n in names if n in skip_set]
+    return [n for n in names if n not in skip_set], rotated
 
 
 # Spark-timed only — the ORACLE is super-linear in data (brute-force
@@ -407,7 +421,20 @@ def run_scale_tier(spark, queries, oracles, base_sf_dir: str) -> dict:
     r = SCALE_TIER_R
     dst = os.environ.get("SPARK_GRAFT_SCALE_DIR", f"/tmp/spark_graft_scale{r}")
 
-    runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
+    # Tier sampling depth min-of-3 -> min-of-2 in round 15 (VERDICT
+    # r14 next #3 "budget the rest"): SYMMETRIC on both legs (the
+    # asymmetric-depth bias ADVICE r11 flagged cannot appear — each
+    # leg takes warm + 1 more sample under the same adaptive cut), so
+    # the ratio stays a like-for-like pair; min-of-2 reads ~2-5% above
+    # min-of-3 on BOTH numerator and denominator. Saves ~one full
+    # spark+duck lap (~350 duck-seconds on the r14 census), which —
+    # with the alternating-halves rotation above — is what lets the
+    # whole tier finish warm-protocol inside the 2700 s deadline
+    # instead of degrading its tail to cold single samples (r14: 16
+    # rows degraded, 4 of them misread 2.4-4.0x from the C2-JIT tail).
+    # Override with SPARK_GRAFT_SCALE_RUNS=3 to reproduce the r12-r14
+    # protocol for bridging measurements.
+    runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))
     # Default raised 30 -> 70 in round 14 (VERDICT r13 next #1a): the
     # builder's pairs have run SLOW_S=70 since r12 so 30-70 s oracles
     # get n=3 on both legs; the driver ran the 30 default and the two
@@ -441,7 +468,7 @@ def run_scale_tier(spark, queries, oracles, base_sf_dir: str) -> dict:
         if sel
         else SF1_TIER + sorted(SF1_TIER_SPARK_ONLY)
     )
-    # every-other-round rotation (see SF1_TIER_EVERY_OTHER); an
+    # alternating-halves rotation (see SF1_TIER_SKIP_ON_*); an
     # explicit selection bypasses it. No silent caps: what rotated out
     # is printed AND recorded in the result dict.
     rotation = os.environ.get("SPARK_GRAFT_TIER_ROTATION", "auto")
@@ -449,7 +476,7 @@ def run_scale_tier(spark, queries, oracles, base_sf_dir: str) -> dict:
     names, rotated_out = _apply_rotation(names, bool(sel), rotation, round_inferred)
     if rotated_out:
         print(
-            f"# sf1 rotation (round {round_inferred}, even): "
+            f"# sf1 rotation (round {round_inferred}): "
             f"{len(rotated_out)} stable <=0.35x rows sit this round "
             f"out — {', '.join(rotated_out)}",
             file=sys.stderr,
@@ -672,6 +699,30 @@ RETAKE_DRIFT_MAX = 0.1
 RETAKE_SPREAD_FRAC = 0.15
 
 
+def cpu_probe_spark(spark, runs: int = 2) -> float:
+    """Fixed CPU-bound Spark job (codegen'd modulo-sum over a long
+    range, one task per core), min-of-N after one warm run — the
+    scaling leg's self-evidence (VERDICT r14 next #2). At sf0.1 every
+    headline row is dominated by fixed per-job cost, so the driver's
+    32-vs-8-core comparison of headline walls reads ≈1.0 and looks
+    like the core count was ignored; this probe is pure compute and
+    scales with the cores the session actually got (measured on this
+    box: 1.85 s at local[32] vs 4.44 s at local[8])."""
+    sc = spark.sparkContext
+    q = lambda: (  # noqa: E731
+        spark.range(0, 2 * 10**10, 1, sc.defaultParallelism)
+        .selectExpr("sum(id % 1000007)")
+        .collect()
+    )
+    q()  # warm (codegen/JIT)
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        q()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def box_probe(runs: int = 3) -> float:
     import duckdb
 
@@ -855,6 +906,14 @@ def main() -> None:
 
     # box-state gauge at pair start (drift detection below)
     probe_spark = box_probe()
+    # scaling self-evidence (VERDICT r14 next #2): the effective
+    # parallelism and resolved master prove $SPARK_GRAFT_CPUS reached
+    # the session, and the CPU-bound Spark probe gives the driver a
+    # compute-dominated number that scales with cores even when every
+    # sf0.1 headline row is fixed-cost-dominated.
+    parallelism = spark.sparkContext.defaultParallelism
+    master = spark.sparkContext.master
+    probe_cpu_spark = cpu_probe_spark(spark)
 
     # min-of-N per query, mirroring the DuckDB baseline's min-of-N:
     # single-run timings flap ±1 s on untouched code (JIT, GC, page
@@ -864,11 +923,19 @@ def main() -> None:
     # its own dispersion.
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    # cache-honest first sample (VERDICT r14 next #4): run 1 of the
+    # timed lap pays every in-query persist's build cost; runs 2..N
+    # ride the run-1 cache (cleared between QUERIES, not samples — the
+    # r1–r8 protocol). Reporting it per row keeps min-of-N from
+    # over-crediting persist-heavy rows. No protocol change: the
+    # headline value stays min-of-N.
+    first_samples: dict[str, float] = {}
     stream_floor: dict[str, float] = {}
     duck_timings: dict[str, float] = {}
     duck_spreads: dict[str, float] = {}
     for name in headline:
         samples, floor = _run_spark_query(spark, queries[name], sf_dir, runs)
+        first_samples[name] = round(samples[0], 3)
         timings[name] = round(min(samples), 3)
         # dispersion over the WARM encounters only: run 1 pays JIT /
         # first-plan compilation for this row's code paths, which is
@@ -955,6 +1022,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spreads": spreads,
+                "first_samples": first_samples,
+                "parallelism": parallelism,
+                "master": master,
+                "cpu_probe_spark_s": probe_cpu_spark,
                 "value_spread": total_spread,
                 "stream_floor_sec": stream_floor,
                 "stream_floor_total": total_floor,
@@ -981,6 +1052,9 @@ def main() -> None:
             "unit": "sec",
             "sf": sf,
             "n_queries": len(timings),
+            "parallelism": parallelism,
+            "master": master,
+            "cpu_probe_spark_s": probe_cpu_spark,
             "value_spread": total_spread,
             "stream_floor_total": total_floor,
             "queries": worst,

@@ -265,30 +265,47 @@ def test_other_jvms_ppid_exclusion(tmp_path):
 # ---------------------------------------------------------------------------
 
 
-def test_every_other_round_rotation_membership():
-    """SF1_TIER_EVERY_OTHER rows must (a) exist in SF1_TIER, (b) never
-    include a watch row or a row touched in the last round, (c) leave
-    the tier's adjudication rows intact on even rounds."""
-    from bench import SF1_TIER, SF1_TIER_EVERY_OTHER, _apply_rotation
+def test_alternating_halves_rotation_membership():
+    """Rotation rows must (a) exist in SF1_TIER, (b) never include a
+    watch row or a row touched in the last round, (c) sit in exactly
+    one parity half, and (d) leave the adjudication rows intact on
+    both parities."""
+    from bench import (
+        SF1_TIER,
+        SF1_TIER_SKIP_ON_EVEN,
+        SF1_TIER_SKIP_ON_ODD,
+        _apply_rotation,
+    )
 
-    unknown = [n for n in SF1_TIER_EVERY_OTHER if n not in SF1_TIER]
+    both = set(SF1_TIER_SKIP_ON_EVEN) | set(SF1_TIER_SKIP_ON_ODD)
+    unknown = [n for n in both if n not in SF1_TIER]
     assert not unknown, f"rotation rows not in the tier: {unknown}"
+    dup = set(SF1_TIER_SKIP_ON_EVEN) & set(SF1_TIER_SKIP_ON_ODD)
+    assert not dup, f"rows in both parity halves: {dup}"
     # watch rows + rows with a standing VERDICT ask stay EVERY round
     must_stay = {
         "line_dedup", "chunk_dedup", "exact_dup_spans", "dup_ngram_spans",
         "boilerplate_ngram_ratio", "ann_rerank", "multimodal_bmp_meta",
         "semdedup",
     }
-    overlap = must_stay & set(SF1_TIER_EVERY_OTHER)
+    overlap = must_stay & both
     assert not overlap, f"watch rows must not rotate out: {overlap}"
-    kept, rotated = _apply_rotation(list(SF1_TIER), False, "auto", 14)
-    assert set(rotated) == set(SF1_TIER_EVERY_OTHER)
-    assert must_stay <= set(kept)
-    # odd round / unknown round / explicit selection / 'all' → no skip
-    assert _apply_rotation(list(SF1_TIER), False, "auto", 15)[1] == []
+    kept_e, rotated_e = _apply_rotation(list(SF1_TIER), False, "auto", 14)
+    assert set(rotated_e) == set(SF1_TIER_SKIP_ON_EVEN)
+    assert must_stay <= set(kept_e)
+    kept_o, rotated_o = _apply_rotation(list(SF1_TIER), False, "auto", 15)
+    assert set(rotated_o) == set(SF1_TIER_SKIP_ON_ODD)
+    assert must_stay <= set(kept_o)
+    # every stable row runs on exactly one parity
+    assert both <= set(kept_e) | set(kept_o)
+    # r14-touched rows needing odd-round corroboration DO run on odd
+    assert {"corpus_curate", "ann_topk_ivf_kmeans"} <= set(kept_o)
+    # unknown round / explicit selection / 'all' -> no skip
     assert _apply_rotation(list(SF1_TIER), False, "auto", None)[1] == []
     assert _apply_rotation(list(SF1_TIER), True, "auto", 14)[1] == []
     assert _apply_rotation(list(SF1_TIER), False, "all", 14)[1] == []
+    # 'skip' -> both halves out
+    assert set(_apply_rotation(list(SF1_TIER), False, "skip", 15)[1]) == both
 
 
 def test_infer_round_from_bench_artifacts():
@@ -302,10 +319,14 @@ def test_infer_round_from_bench_artifacts():
     from bench import _infer_round
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    ns = [
-        int(re.search(r"BENCH_r(\d+)\.json$", p).group(1))
+    # mirror bench._infer_round's filter: the glob also catches
+    # non-round artifacts like BENCH_r14_c8.json (the driver's low-core
+    # leg), which must not crash the parse or drive the parity
+    ms = [
+        re.search(r"BENCH_r(\d+)\.json$", p)
         for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
     ]
+    ns = [int(m.group(1)) for m in ms if m]
     assert ns, "no BENCH_r*.json in the repo — rotation would disable"
     assert _infer_round() == max(ns) + 1
 
