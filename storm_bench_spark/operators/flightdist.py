@@ -54,12 +54,19 @@ from storm_bench_spark.operators.windows import latest_by
 
 
 def FLIGHT_ORDER_KEY():
-    """Latest-report order key shared by the batch topology, the
-    streaming twin, and (as a row_number spec) the DuckDB oracles:
-    lexicographic (postime, event_id). A struct, not an integer
-    packing — ``postime·10^6 + event_id`` silently inverts the order
-    once event_id reaches 10^6 (same hazard fixed in cdc_apply)."""
-    return F.struct(F.col("postime"), F.col("event_id"))
+    """Latest-report order key shared by the batch topology and the
+    streaming twin (the DuckDB oracles spell the same order as a
+    row_number over postime DESC, event_id DESC): lexicographic
+    (postime, event_id), packed into one DECIMAL(38,0) via
+    ``windows.packed_order`` — order-preserving at ANY bigint range
+    (radix 10^19 > 2^63, unlike the ``postime·10^6 + event_id``
+    bigint packing this repo rejects), unique per row (event_id is),
+    and scalar so ``latest_by`` stays on the HashAggregate path
+    (round 15; the struct key forced SortAggregate with a full sort
+    on both sides of the exchange)."""
+    from storm_bench_spark.operators.windows import packed_order
+
+    return packed_order("postime", "event_id")
 
 
 def _precompute_side(latest: DataFrame, suffix: str) -> DataFrame:

@@ -152,8 +152,52 @@ def sliding_distinct_count(
     )
 
 
+# 10^19 — the packing radix for two-bigint lexicographic order keys.
+# Any non-negative bigint is a valid low part (2^63 - 1 < 10^19).
+_PACK_RADIX = "10000000000000000000"
+
+
+def packed_order(hi: Column | str, lo: Column | str) -> Column:
+    """Order-preserving DECIMAL(38,0) encoding of the lexicographic
+    bigint pair (hi, lo): ``hi * 10^19 + lo``.
+
+    WHY (round 15): an argmax spelled ``max(struct(...))`` or
+    ``max_by(_, struct(...))`` forces SortAggregate — struct (and
+    string/binary) aggregation buffers are not mutable UnsafeRow
+    fields, so HashAggregate refuses the plan and BOTH sides of the
+    aggregation pay a full per-partition sort of their input (measured
+    on this repo: every latest-per-key family row carried 2 extra
+    Sorts). DECIMAL(38,0) IS a mutable buffer type, so ``max(packed)``
+    + per-column ``max_by(col, packed)`` hash-aggregate.
+
+    Correctness bounds, checked statically rather than at runtime:
+    ``lo`` must lie in [0, 10^19) — any non-negative BIGINT qualifies
+    since 2^63 − 1 ≈ 9.22e18 < 10^19 — while ``hi`` may be any bigint
+    (the encoding stays monotone for negative hi as long as lo is in
+    range). |hi|·10^19 + lo < 9.23e37 < 10^38 − 1, so DECIMAL(38,0)
+    never overflows and no precision is ever lost (scale 0). This is
+    NOT the ``hi·10^6 + lo`` bigint packing the repo rejects
+    (cdc_apply docstring) — that one inverts once lo reaches the
+    radix; here the radix provably exceeds every possible bigint lo.
+    """
+    hi_c = F.col(hi) if isinstance(hi, str) else hi
+    lo_c = F.col(lo) if isinstance(lo, str) else lo
+    return hi_c.cast("decimal(19,0)") * F.expr(
+        f"CAST({_PACK_RADIX} AS DECIMAL(20,0))"
+    ) + lo_c.cast("decimal(19,0)")
+
+
+def unpack_order_hi(packed: Column | str) -> Column:
+    """The ``hi`` bigint back out of :func:`packed_order` (exact
+    decimal arithmetic; valid for hi ≥ 0, which every current caller
+    satisfies — epoch-derived timestamps)."""
+    p = F.col(packed) if isinstance(packed, str) else packed
+    radix = F.expr(f"CAST({_PACK_RADIX} AS DECIMAL(20,0))")
+    return ((p - (p % radix)) / radix).cast("bigint")
+
+
 def latest_by(df: DataFrame, key_cols: Sequence[str], order_key: Column, payload_cols: Sequence[str]) -> DataFrame:
-    """Newest row per key: ``max_by(struct(payload), order_key)``.
+    """Newest row per key: per-column ``max_by(col, order_key)``.
 
     This is the LatLongReducer / flightMap upsert pattern
     (LatLongReducer.java:27-41, RollingFlightDist.java:213-219) as a
@@ -161,8 +205,21 @@ def latest_by(df: DataFrame, key_cols: Sequence[str], order_key: Column, payload
     one row per key per partition, which is what makes "latest position
     per aircraft" viable at 100 TB (a window-function row_number would
     shuffle every row).
+
+    ``order_key`` must be a SCALAR orderable column that is UNIQUE per
+    row within each key group (callers pack lexicographic pairs with
+    :func:`packed_order`): uniqueness is what lets the row be fetched
+    as independent per-column ``max_by`` calls — with a unique key the
+    argmax row is unique, so every column comes from the same row —
+    and scalarness is what keeps the aggregation on the HashAggregate
+    path (struct keys/payloads force SortAggregate; see packed_order).
+    Payload columns must be fixed-size primitive types for the same
+    reason (the current callers pass bigint/double payloads).
+
+    Round ≤14 spelling was ``max_by(struct(payload), struct_key)`` —
+    same rows, but SortAggregate on both sides of the exchange.
     """
-    payload = F.struct(*[F.col(c) for c in payload_cols])
-    agg = F.max_by(payload, order_key).alias("_latest")
-    g = df.groupBy(*[F.col(k) for k in key_cols]).agg(agg)
-    return g.select(*key_cols, *[F.col(f"_latest.{c}").alias(c) for c in payload_cols])
+    g = df.groupBy(*[F.col(k) for k in key_cols]).agg(
+        *[F.max_by(F.col(c), order_key).alias(c) for c in payload_cols]
+    )
+    return g.select(*key_cols, *payload_cols)

@@ -88,8 +88,16 @@ def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     es = D.events_sec(spark, sf_dir).select("user_id", "sec", "value", "event_id")
     hb = F.expr("sec DIV 3600")
+    # round 15: DECIMAL-packed (sec, event_id) order key instead of the
+    # struct — same argmax row (the pair is unique per row), but the
+    # struct key forced SortAggregate (struct agg buffers are not
+    # hash-aggregable) and both sides of the exchange paid a full sort
+    # of the raw events; the packed key hash-aggregates (windows.
+    # packed_order: radix 10^19 > 2^63, no inversion at any id range).
+    from storm_bench_spark.operators.windows import packed_order
+
     bucketed = es.groupBy("user_id", hb.alias("hb")).agg(
-        F.max_by("value", F.struct("sec", "event_id")).alias("_v")
+        F.max_by("value", packed_order("sec", "event_id")).alias("_v")
     )
     bounds = es.agg(
         F.min(hb).alias("h0"), F.max(hb).alias("h1")

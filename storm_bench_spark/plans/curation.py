@@ -256,10 +256,20 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = cc.join(toks, "node")
     # argmax key: (nt, -node) so more tokens win and ties prefer the
-    # smaller id — max_by is associative, hence map-side combinable
-    key = F.struct(F.col("nt"), (-F.col("node")).alias("neg"))
+    # smaller id — spelled as a MIN over the DECIMAL-packed (-nt, node)
+    # (round 15): min lexicographic (-nt, node) = max nt, tie-break
+    # smaller node — the same winner — and the scalar decimal key keeps
+    # the aggregation on the HashAggregate path (the ≤r14 struct key
+    # (nt, -node) forced SortAggregate: struct agg buffers are not
+    # hash-aggregable, so both exchange sides paid a full sort). node
+    # is a non-negative doc id, the valid low part for packed_order;
+    # min_by is associative exactly like max_by, hence still map-side
+    # combinable.
+    from storm_bench_spark.operators.windows import packed_order
+
+    key = packed_order(-F.col("nt"), F.col("node"))
     return m.groupBy("comp").agg(
-        F.max_by("node", key).alias("keeper"),
-        F.max_by("nt", key).alias("keeper_tokens"),
+        F.min_by("node", key).alias("keeper"),
+        F.min_by("nt", key).alias("keeper_tokens"),
         F.count(F.lit(1)).alias("n_members"),
     )

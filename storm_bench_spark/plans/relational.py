@@ -48,10 +48,15 @@ def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASOF JOIN is the oracle."""
     es = D.events_sec(spark, sf_dir)
     purchases = es.where(F.col("event_type") == "purchase")
+    # round 15: max_by on the scalar event_id (globally unique, so the
+    # same winning row as the old max(struct(event_id, value))) keeps
+    # this pre-reduction on the HashAggregate path — the struct
+    # spelling forced SortAggregate (struct agg buffers are not
+    # hash-aggregable), sorting the purchase rows on both exchange
+    # sides for nothing.
     b = (
         purchases.groupBy("user_id", "sec")
-        .agg(F.max(F.struct("event_id", "value")).alias("m"))
-        .select("user_id", "sec", F.col("m.value").alias("value"))
+        .agg(F.max_by("value", F.col("event_id")).alias("value"))
     )
     a = es.where(F.col("event_type") == "click").select("event_id", "user_id", "sec")
     return asof_join(a, b, ["user_id"], "sec", ["value"])
@@ -89,10 +94,15 @@ def asof_click_purchase_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     es = D.events_sec(spark, sf_dir)
     purchases = es.where(F.col("event_type") == "purchase")
+    # round 15: max_by on the scalar event_id (globally unique, so the
+    # same winning row as the old max(struct(event_id, value))) keeps
+    # this pre-reduction on the HashAggregate path — the struct
+    # spelling forced SortAggregate (struct agg buffers are not
+    # hash-aggregable), sorting the purchase rows on both exchange
+    # sides for nothing.
     b = (
         purchases.groupBy("user_id", "sec")
-        .agg(F.max(F.struct("event_id", "value")).alias("m"))
-        .select("user_id", "sec", F.col("m.value").alias("value"))
+        .agg(F.max_by("value", F.col("event_id")).alias("value"))
     )
     a = es.where(F.col("event_type") == "click").select("event_id", "user_id", "sec")
     return asof_join(
