@@ -242,8 +242,35 @@ def training_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from storm_bench_spark.plans.curation import corpus_curate
 
-    kept = corpus_curate(spark, sf_dir)
-    contam = decontaminate(spark, sf_dir).select("doc_id")
+    # Overlap the two independent legs (guide §2.6): corpus_curate's
+    # connected-components loop is a sequence of small driver-
+    # coordinated checkpoint jobs that leave most executor slots idle,
+    # while decontaminate's gram explode + broadcast-hit-list build is
+    # one fat, embarrassingly parallel job with no dependency on the
+    # curate leg. A driver thread materializes the contamination list
+    # (persisted; one bounded row per contaminated doc) into those
+    # idle slots while the CC loop runs on the main thread — FIFO
+    # scheduling back-fills exactly as §2.6 describes. Results are
+    # unchanged: the same contam table feeds the same anti-join, it is
+    # just computed earlier in wall time; the thread is joined before
+    # the composed plan is returned, and a failure in either leg
+    # propagates (fut.result() re-raises).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import StorageLevel, inheritable_thread_target
+
+    def _contam_build():
+        c = decontaminate(spark, sf_dir).select("doc_id").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        spark.sparkContext.setJobDescription("training_corpus_build: decontaminate leg")
+        c.count()  # materialize into the CC loop's idle executor slots
+        return c
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(inheritable_thread_target(spark)(_contam_build))
+        kept = corpus_curate(spark, sf_dir)
+        contam = fut.result()
     clean = kept.where(F.col("doc_id") % _EVAL_MOD != 0).join(
         contam, "doc_id", "left_anti"
     )
