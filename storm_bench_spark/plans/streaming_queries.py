@@ -507,12 +507,20 @@ def streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     and counts stages.
     """
     from storm_bench_spark.streaming.stateful import funnel_state
+    from storm_bench_spark.streaming.streams import python_stateful_partitions
 
     e = stream_table(spark, sf_dir, "events").withColumn(
         "sec", F.col("ts").cast("long")
     )
+    # Python-stateful stage over a per-user key domain: width = cores,
+    # not the JVM floor trim — one Python worker per state partition
+    # (streams.python_stateful_partitions; 2.52 s → 1.65 s at 32
+    # cores). Results are partition-invariant (keys route whole).
     snap = run_to_memory(
-        funnel_state(e), output_mode="append", query_name=None
+        funnel_state(e),
+        output_mode="append",
+        query_name=None,
+        state_partitions=python_stateful_partitions(spark),
     )
     per_user = snap.groupBy("user_id").agg(
         F.max("v").alias("v"), F.max("c").alias("c"), F.max("p").alias("p")

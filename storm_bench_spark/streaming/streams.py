@@ -191,6 +191,25 @@ def state_partitions_for(spark: SparkSession, input_bytes: int) -> int:
     return max(par, min(by_volume, 4 * par))
 
 
+def python_stateful_partitions(spark: SparkSession) -> int:
+    """State width for a PYTHON-stateful stage (applyInPandasWithState)
+    over a key domain wide enough to fill the cluster (round 15,
+    guide §4): such a stage runs one Python worker per state
+    partition, so the floor-trimmed width that is right for JVM
+    stateful operators (delta-file-per-epoch overhead, see
+    STREAM_STATE_PARTITIONS) serializes the Python work onto a handful
+    of workers — measured on streaming_funnel (1500 keys, 32 cores):
+    width 4 → 2.52 s, 8 → 2.12, 16 → 1.77, 32 → 1.65. Python-stateful
+    stages with enough keys therefore size to defaultParallelism —
+    cores, at any scale, not a constant — while stages whose key
+    domain is narrow (topn shards, per-event-type counts) keep the
+    derived width, where extra stores would just commit empty deltas.
+    ``SPARK_GRAFT_STREAM_PARTITIONS`` still wins everywhere."""
+    if "SPARK_GRAFT_STREAM_PARTITIONS" in os.environ:
+        return int(os.environ["SPARK_GRAFT_STREAM_PARTITIONS"])
+    return spark.sparkContext.defaultParallelism
+
+
 def run_to_memory(
     df: DataFrame,
     output_mode: str = "complete",
