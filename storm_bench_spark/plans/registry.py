@@ -87,11 +87,19 @@ def _ensure_loaded() -> None:
 # rrf_hybrid_rank / embedding_project / token_budget_select were
 # checked and EXCLUDED: they touch only unchanged *_sql() oracle
 # generators or docstrings, not the changed Spark helpers.
-# (b) the round-15 optimization targets (VERDICT r14 next #5/#7):
-# rolling_count / rolling_geo_count / rolling_hashtag_count /
-# rolling_latlong, fuzzy_name_pairs_d2, ann_rerank — pinned in the
-# window UP FRONT so any r15 change to them is gate-covered even if
-# the session is interrupted mid-round.
+# (b) the round-15 TOUCHED rows (final rotation, end of round 15):
+# gap_fill_hourly, asof_click_purchase, asof_click_purchase_tol
+# joined the window when the argmax-respell commit touched them; the
+# three rolling_* twins initially pinned as optimization targets were
+# examined, phase-profiled and left UNCHANGED (exec-bound, textbook
+# two-phase plans — OPTIMIZATION_r15.md), so they rotated back out to
+# make room. rolling_latlong / fuzzy_name_pairs_d2 / ann_rerank also
+# ended the round untouched (adjudicated; rolling_latlong's decimal
+# respell was measured slower and REVERTED) but keep their slots.
+# NOTE on streams.py: round 15 added python_stateful_partitions() to
+# streaming/streams.py — a pure function addition whose only
+# behavioral consumer is streaming_funnel (gate-pinned above); no
+# other streaming row's code path changed, so they are not rotated in.
 # (c) fillers: the full r11-cohort remainder (16 rows, oldest gated
 # cohort) + ann_recall_at_k (oldest r12 row). After this gate the
 # oldest cohort is r12.
@@ -125,12 +133,12 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "rolling_flight_dist_bucketed",
     "streaming_flight_dist",
     "streaming_funnel",
-    "rolling_count",
-    "rolling_geo_count",
-    "rolling_hashtag_count",
     "rolling_latlong",
     "fuzzy_name_pairs_d2",
     "ann_rerank",
+    "gap_fill_hourly",
+    "asof_click_purchase",
+    "asof_click_purchase_tol",
     "bm25_rank",
     "bpe_encode",
     "bpe_merge_steps",
@@ -149,6 +157,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "vocab_oov_rate",
     "ann_recall_at_k",
     # --- window boundary (first 50 above) ---
+    "rolling_hashtag_count",
+    "rolling_geo_count",
+    "rolling_count",
     "multimodal_bmp_meta",
     "streaming_audience_overlap",
     "unique_visitor_approx",
@@ -226,7 +237,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "user_sessions",
     "wordcount",
     "ann_topk",
-    "asof_click_purchase",
     "bitmap_distinct_daily",
     "bitmap_distinct_weekly_rollup",
     "bitmap_retention_daily",
@@ -268,7 +278,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "zorder_layout",
     "adsb_parse",
     "ann_topk_quantized",
-    "asof_click_purchase_tol",
     "audience_overlap_hll",
     "bloom_high_value_orders",
     "cohort_retention",
@@ -276,7 +285,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "embedding_neardup",
     "embedding_project",
     "embedding_quantize",
-    "gap_fill_hourly",
     "hll_users_per_type",
 )
 
